@@ -1,0 +1,154 @@
+"""Image payload encode/decode for the ``bytes``/``fmt`` columns.
+
+The input contract (BASELINE.json ``input_hint``) is an images table with
+``bytes:binary`` + ``fmt:string``.  No imaging library (PIL/imageio) exists
+in this environment, so the engine ships self-contained codecs:
+
+- ``npy``  — raw NumPy buffer (lossless).
+- ``png``  — a real, spec-conformant minimal PNG writer/reader (8-bit
+  grayscale, zlib/deflate, filter 0) — lossless, readable by any PNG tool.
+- ``jpeg`` — DETERMINISTIC LOSSY STUB: uniform quantization (step q) +
+  zlib.  Real JPEG (DCT/Huffman) decode is stubbed out (raises
+  ``NotImplementedError`` for actual JFIF payloads); the synthetic data
+  generator only emits this stub format under fmt="jpeg".  Quantization step
+  4 gives PSNR ≈ 47 dB, comfortably over the 40 dB parity gate.
+
+All functions operate on 2-D uint8 arrays (single band), matching the
+reference's byte-band common case [ref: mod/geo_raster_c.pyx:33-70 pixel
+type 1 = uint8].
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+import numpy as np
+
+JPEG_Q = 4  # uniform quantization step for the lossy stub
+
+
+# ---------------------------------------------------------------------------
+# npy
+# ---------------------------------------------------------------------------
+
+def encode_npy(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr, allow_pickle=False)
+    return buf.getvalue()
+
+
+def decode_npy(data: bytes) -> np.ndarray:
+    return np.load(io.BytesIO(data), allow_pickle=False)
+
+
+# ---------------------------------------------------------------------------
+# png (8-bit grayscale, filter 0)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw, 6)) + _chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", payload, 0)
+            if depth != 8 or ctype != 0:
+                raise NotImplementedError("only 8-bit grayscale PNG supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    out = np.empty((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.uint8)
+    for r in range(h):
+        ftype = raw[r * stride]
+        line = np.frombuffer(raw, dtype=np.uint8, count=w, offset=r * stride + 1)
+        if ftype == 0:
+            row = line.copy()
+        elif ftype == 2:  # Up
+            row = (line.astype(np.int16) + prev).astype(np.uint8)
+        else:
+            raise NotImplementedError(f"PNG filter {ftype} not supported")
+        out[r] = row
+        prev = row
+    return out
+
+
+# ---------------------------------------------------------------------------
+# "jpeg" — deterministic lossy stub (quantize + deflate)
+# ---------------------------------------------------------------------------
+
+_JPGQ_MAGIC = b"JPGQ"
+
+
+def encode_jpeg(arr: np.ndarray, q: int = JPEG_Q) -> bytes:
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape
+    quant = (arr // q).astype(np.uint8)
+    head = _JPGQ_MAGIC + struct.pack(">IIB", w, h, q)
+    return head + zlib.compress(quant.tobytes(), 6)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    if data[:4] != _JPGQ_MAGIC:
+        # a real JFIF payload: DCT decode is out of scope in this container
+        raise NotImplementedError("real JPEG decode not available; expected JPGQ stub payload")
+    w, h, q = struct.unpack_from(">IIB", data, 4)
+    quant = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8).reshape(h, w)
+    return (quant.astype(np.uint16) * q + q // 2).clip(0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# dispatch + metrics
+# ---------------------------------------------------------------------------
+
+_ENCODERS = {"npy": encode_npy, "png": encode_png, "jpeg": encode_jpeg}
+_DECODERS = {"npy": decode_npy, "png": decode_png, "jpeg": decode_jpeg}
+
+
+def encode(arr: np.ndarray, fmt: str) -> bytes:
+    return _ENCODERS[fmt](arr)
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    """fmt-keyed decode branch (SURVEY.md §2.1 S16's Spark mapping)."""
+    return _DECODERS[fmt](data)
+
+
+def is_lossless(fmt: str) -> bool:
+    return fmt in ("npy", "png")
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    """Peak signal-to-noise ratio in dB (inf when identical)."""
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)

@@ -1,0 +1,82 @@
+"""Cross-CRS warp / resample reads + first-wins mosaic (G9/G10/G11/J7).
+
+The reference's block-warp pipeline [ref: mod/geo_raster_c.pyx:955-1049 and
+mod/geo_raster_ex_c.pyx:105-425, 1093-1246] does, per target pixel:
+
+1. target (col,row) -> target-CRS coordinate (pixel center, +0.5);
+2. approximate control-grid transform to source CRS
+   [ref: mod/geo_base_c.pyx:844-998] — replaced here by the EXACT vectorized
+   transform (documented deviation, SURVEY.md §4);
+3. source (x,y) -> (col,row) by truncation (``to_cell``);
+4. out-of-bounds or source==nodata -> skip; existing non-nodata target
+   pixel -> skip (first-wins)  [ref: mod/geo_raster_ex_c.pyx:124-149].
+
+Everything below is whole-array NumPy (meshgrid transform + fancy-index
+gather) — no per-pixel Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import crs as crs_mod
+from ..grid import RasterInfo
+
+
+def warp_band(src_data, src_info: RasterInfo, dst_info: RasterInfo,
+              nodata, out=None, v_min=None, v_max=None):
+    """Nearest-neighbor warp of one source block into the target grid.
+
+    ``out`` (optional) is painted first-wins in place and returned; pixels
+    already != nodata are never overwritten."""
+    h, w = dst_info.height, dst_info.width
+    if out is None:
+        out = np.full((h, w), nodata, dtype=np.asarray(src_data).dtype)
+
+    cols, rows = np.meshgrid(np.arange(w, dtype=np.float64),
+                             np.arange(h, dtype=np.float64))
+    gt = dst_info.gt
+    tx = gt[0] + gt[1] * (cols + 0.5) + gt[2] * (rows + 0.5)
+    ty = gt[3] + gt[4] * (cols + 0.5) + gt[5] * (rows + 0.5)
+
+    sx, sy = crs_mod.transform(dst_info.crs, src_info.crs, tx.ravel(), ty.ravel())
+
+    sgt = src_info.gt
+    sc = np.trunc((sx - sgt[0]) / sgt[1]).astype(np.int64)
+    sr = np.trunc((sy - sgt[3]) / sgt[5]).astype(np.int64)
+
+    ok = ((sc >= 0) & (sc < src_info.width) & (sr >= 0) & (sr < src_info.height)
+          & np.isfinite(sx) & np.isfinite(sy))
+    vals = np.full(sc.shape, nodata, dtype=np.asarray(src_data).dtype)
+    vals[ok] = np.asarray(src_data)[sr[ok], sc[ok]]
+
+    valid = ok & (vals != nodata)
+    if v_min is not None:
+        valid &= vals >= v_min
+    if v_max is not None:
+        valid &= vals <= v_max
+
+    flat = out.ravel()
+    paint = valid & (flat == nodata)  # first-wins [ref: geo_raster_ex_c.pyx:137-140]
+    flat[paint] = vals[paint]
+    return out
+
+
+def mosaic(sources, dst_info: RasterInfo, nodata, dtype=None,
+           v_min=None, v_max=None):
+    """G11: first-wins mosaic of ``sources = [(data, RasterInfo), ...]``
+    painted in the given (deterministic) order.
+
+    [ref: mod/geo_raster_ex_c.pyx:1205-1246] — the reference paints in
+    shapefile feature order; our operators sort candidates by (priority,
+    image_id) before calling, fixing the order-dependence (SURVEY.md §4)."""
+    dtype = dtype or (np.asarray(sources[0][0]).dtype if sources else np.float64)
+    out = np.full((dst_info.height, dst_info.width), nodata, dtype=dtype)
+    for data, info in sources:
+        # cheap footprint prefilter before the per-pixel gather
+        de = dst_info.extent()
+        se = crs_mod.transform_extent(info.crs, dst_info.crs, info.extent())
+        if se[0] > de[2] or se[2] < de[0] or se[1] > de[3] or se[3] < de[1]:
+            continue
+        warp_band(data, info, dst_info, nodata, out=out, v_min=v_min, v_max=v_max)
+    return out

@@ -1,0 +1,221 @@
+"""Parity tests for focal / warp / rasterize / interpolate / stats kernels."""
+
+import numpy as np
+import pytest
+
+from geo_raster_spark.grid import RasterInfo
+from geo_raster_spark.kernels import focal, interpolate, rasterize, stats, warp
+from geo_raster_spark import geometry
+
+
+@pytest.fixture
+def dat():
+    rng = np.random.default_rng(7)
+    d = rng.integers(0, 6, size=(32, 32)).astype(np.uint8)
+    d[rng.random((32, 32)) < 0.1] = 255
+    return d
+
+
+def test_focal_median_oracle(dat):
+    got, _ = focal.focal_median(dat, 1, 255)
+    for r in range(32):
+        for c in range(32):
+            if dat[r, c] == 255:
+                assert got[r, c] == 255
+                continue
+            win = dat[max(0, r - 1):r + 2, max(0, c - 1):c + 2].ravel()
+            vs = sorted(int(v) for v in win if v != 255)
+            want = vs[len(vs) // 2] if vs else dat[r, c]
+            assert got[r, c] == want, (r, c)
+
+
+def test_focal_median_iterates_to_stability():
+    d = np.full((16, 16), 3, np.uint8)
+    d[8, 8] = 5
+    out = focal.filter_band_median(d, 1, 255, threshold=1)
+    assert (out == 3).all()
+
+
+def test_expand_counts(dat):
+    ref = np.ones_like(dat)
+    got, n = focal.expand(dat, ref, val=2, non=0, dist=1, min_num=3)
+    for r in range(32):
+        for c in range(32):
+            if dat[r, c] != 0:
+                assert got[r, c] == dat[r, c]
+                continue
+            win = dat[max(0, r - 1):r + 2, max(0, c - 1):c + 2]
+            want = 2 if (win == 2).sum() >= 3 else 0
+            assert got[r, c] == want, (r, c)
+
+
+def test_variety_range_asymmetric_window(dat):
+    v = focal.variety(dat, 2)
+    rg = focal.value_range(dat.astype(np.float32), 2)
+    r, c = 10, 20
+    win = dat[max(0, r - 2):r + 2, max(0, c - 2):c + 2]  # half-open upper, per ref
+    assert v[r, c] == len(np.unique(win))
+    assert rg[r, c] == float(win.max()) - float(win.min())
+
+
+def test_mmu_keeps_majority_class():
+    d = np.full((10, 10), 4, np.uint8)
+    d[5, 5] = 9  # isolated speck
+    out = focal.mmu(d, 1, min_num=2, nodata=255)
+    assert out[5, 5] == 4
+    assert (out[d == 4] == 4).all()
+
+
+def test_clean_removes_small_cluster():
+    d = np.zeros((20, 20), np.uint8)
+    d[10, 10] = d[10, 11] = 1  # 2-pixel noise cluster (n1=1 < min_num)
+    out, n = focal.clean(d, 2, min_num=3, nodata=255)
+    assert n >= 1 and out[10, 10] == 0 and out[10, 11] == 0
+
+
+def test_clean_skips_isolated_pixel():
+    # reference semantics: n1 == 0 -> skipped, isolated pixels survive
+    # [ref: mod/mod_filter.pyx:213 `if _n1 == 0 or _n1 >= min_num: continue`]
+    d = np.zeros((20, 20), np.uint8)
+    d[10, 10] = 1
+    out, n = focal.clean(d, 2, min_num=3, nodata=255)
+    assert n == 0 and out[10, 10] == 1
+
+
+def test_detect_corners():
+    d = np.full((10, 10), 255, np.uint8)
+    d[2:7, 3:9] = 1
+    assert focal.detect_corners(d, 255) == (2, 6, 3, 8)
+    assert focal.detect_corners(np.full((4, 4), 255, np.uint8), 255) is None
+
+
+# ---------------------------------------------------------------------------
+# warp / mosaic
+# ---------------------------------------------------------------------------
+
+def test_warp_identity_grid_roundtrip():
+    src = np.arange(100, dtype=np.float64).reshape(10, 10)
+    info = RasterInfo((0.0, 1.0, 0, 10.0, 0, -1.0), 10, 10)
+    out = warp.warp_band(src, info, info, nodata=-1.0)
+    np.testing.assert_array_equal(out, src)
+
+
+def test_warp_nn_downsample_picks_center_cell():
+    src = np.arange(100, dtype=np.float64).reshape(10, 10)
+    info = RasterInfo((0.0, 1.0, 0, 10.0, 0, -1.0), 10, 10)
+    dst = RasterInfo((0.0, 2.0, 0, 10.0, 0, -2.0), 5, 5)
+    out = warp.warp_band(src, info, dst, nodata=-1.0)
+    # target center of cell (0,0) = (1.0, 9.0) -> src cell (1,1) = 11
+    assert out[0, 0] == 11.0
+
+
+def test_mosaic_first_wins():
+    info_a = RasterInfo((0.0, 1.0, 0, 4.0, 0, -1.0), 4, 4)
+    info_b = RasterInfo((2.0, 1.0, 0, 4.0, 0, -1.0), 4, 4)
+    a = np.full((4, 4), 1.0)
+    b = np.full((4, 4), 2.0)
+    dst = RasterInfo((0.0, 1.0, 0, 4.0, 0, -1.0), 6, 4)
+    out = warp.mosaic([(a, info_a), (b, info_b)], dst, nodata=-1.0)
+    assert (out[:, :4] == 1.0).all()          # a wins overlap
+    assert (out[:, 4:6] == 2.0).all()         # b fills the rest
+    out2 = warp.mosaic([(b, info_b), (a, info_a)], dst, nodata=-1.0)
+    assert (out2[:, 2:6] == 2.0).all()        # order matters (deterministic)
+
+
+def test_warp_cross_crs_sinusoidal():
+    # a band in sinusoidal meters warped to geographic: values survive
+    from geo_raster_spark import crs
+    cell_m = 1000.0
+    x0, y0 = crs.transform("EPSG:4326", "SINU", np.array([10.0]), np.array([45.0]))
+    info_s = RasterInfo((float(x0[0]), cell_m, 0, float(y0[0]), 0, -cell_m), 50, 50, "SINU")
+    src = np.arange(2500, dtype=np.float64).reshape(50, 50)
+    dst = RasterInfo((10.0, 0.01, 0, 45.0, 0, -0.01), 40, 40, "EPSG:4326")
+    out = warp.warp_band(src, info_s, dst, nodata=-1.0)
+    assert (out != -1.0).mean() > 0.9
+
+
+# ---------------------------------------------------------------------------
+# rasterize / zonal
+# ---------------------------------------------------------------------------
+
+def test_rasterize_center_convention():
+    info = RasterInfo((0.0, 1.0, 0, 10.0, 0, -1.0), 10, 10)
+    ring = geometry.bbox_to_ring((2.0, 2.0, 7.0, 7.0))
+    m = rasterize.rasterize([ring], info)
+    # centers at x=2.5..6.5, y=2.5..6.5 inside -> 5x5 block
+    assert m.sum() == 25
+    assert m[3, 2] == 1 and m[0, 0] == 0
+
+
+def test_zonal_stats_mean_range():
+    info = RasterInfo((0.0, 1.0, 0, 10.0, 0, -1.0), 10, 10)
+    d = np.arange(100, dtype=np.float64).reshape(10, 10)
+    ring = geometry.bbox_to_ring((0.0, 8.0, 2.0, 10.0))  # top-left 2x2
+    mean, rng_ = rasterize.zonal_stats(d, info, ring, nodata=-1)
+    assert mean == np.mean([0, 1, 10, 11]) and rng_ == 11.0
+    none_mean, z = rasterize.zonal_stats(d, info, geometry.bbox_to_ring((50, 50, 60, 60)), -1)
+    assert none_mean is None and z == 0
+
+
+def test_mask_band():
+    d = np.ones((4, 4))
+    m = np.zeros((4, 4)); m[1:3, 1:3] = 1
+    out = rasterize.mask_band(d, m, nodata=-9)
+    assert out[0, 0] == -9 and out[1, 1] == 1
+
+
+# ---------------------------------------------------------------------------
+# idw
+# ---------------------------------------------------------------------------
+
+def test_idw_exact_hit_and_weighting():
+    info = RasterInfo((0.0, 1.0, 0, 4.0, 0, -1.0), 4, 4)
+    d = np.arange(16, dtype=np.float64).reshape(4, 4)
+    # exact pixel center of cell (1,1): x=1.5, y=2.5 -> value 5
+    assert interpolate.idw_at(d, info, 1.5, 2.5, 2, 2.0) == 5.0
+    # off-center: weighted mean within radius, between neighbors
+    v = interpolate.idw_at(d, info, 1.5, 2.0, 2, 2.0)
+    assert 5.0 < v < 9.5
+    assert interpolate.idw_at(d, info, 99.0, 99.0, 2, 2.0) is None
+
+
+def test_band_idw_fills_grid():
+    info = RasterInfo((0.0, 1.0, 0, 8.0, 0, -1.0), 8, 8)
+    d = np.random.default_rng(1).random((8, 8))
+    dst = RasterInfo((0.0, 2.0, 0, 8.0, 0, -2.0), 4, 4)
+    out = interpolate.band_idw(d, info, dst, dist=2, power=2.0)
+    assert (out != -9999.0).all()
+
+
+# ---------------------------------------------------------------------------
+# stats
+# ---------------------------------------------------------------------------
+
+def test_value_counts(dat):
+    vc = stats.value_counts(dat)
+    assert sum(vc.values()) == dat.size
+    assert vc[255] == float((dat == 255).sum())
+
+
+def test_ols_rma_closed_form():
+    rng = np.random.default_rng(3)
+    x = rng.random(200) * 10
+    y = 2.5 * x + 1.0 + rng.normal(0, 0.5, 200)
+    b0, b1, r2 = stats.linear_regress_ols(x, y)
+    assert abs(b1 - 2.5) < 0.1 and abs(b0 - 1.0) < 0.5 and r2 > 0.95
+    rb0, rb1, rr2 = stats.linear_regress_rma(x, y)
+    assert rb1 >= b1 and abs(rr2 - r2) < 1e-12  # RMA slope >= OLS for r<1
+
+
+def test_metrics():
+    x = np.array([1.0, 2.0, 3.0])
+    y = np.array([1.1, 1.9, 3.2])
+    assert abs(stats.cal_rmsd(x, y) - np.sqrt(0.01 + 0.01 + 0.04)) < 1e-12
+    mbe, s2d = stats.cal_mbe(x, y)
+    assert abs(mbe - (-0.0666666666)) < 1e-6
+    assert 0.0 <= stats.cal_error_bound(x, y, 2.0) <= 1.0
+
+
+def test_estimate_levels():
+    lv = stats.estimate_levels(np.arange(100), 4)
+    assert lv == [0, 25, 50, 75]

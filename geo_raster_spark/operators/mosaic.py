@@ -1,0 +1,88 @@
+"""Tile-cut / mosaic pipeline (SURVEY.md §2.7 G5, §2.3 J7, §2.7 G11) —
+the reference's flagship CLI ``split_raster_tiles.py`` re-expressed as one
+DataFrame job.
+
+Reference lifecycle [ref: util/split_raster_tiles.py:12-141]: enumerate
+tiles ∩ region, per tile mosaic-read every intersecting source, optionally
+aggregate to a coarser cell, save tile + ``.met``.  Spark-first:
+
+    images(footprint cols) --assign_tiles--> (image, tile) pairs
+      --repartition(tile_tag)--> applyInPandas(assemble) --> tile rows
+
+Determinism: candidates within a tile sort by ``image_id`` before the
+first-wins paint (fixing the reference's shapefile-order dependence,
+SURVEY.md §4).  Resume: ``CheckpointTable.filter_pending`` anti-join before
+the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import codecs
+from ..grid import RasterInfo, TileGrid
+from ..kernels import agg as agg_k
+from ..kernels import warp as warp_k
+from .tile_assign import assign_tiles
+
+TILE_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
+               "width int, height int, gt array<double>, "
+               "n_images int, painted bigint, data binary")
+
+
+def tile_cut(images: DataFrame, grid: TileGrid | None = None,
+             nodata: float = 0.0, agg_to_cell: float | None = None,
+             agg_func: str = "mean", min_rate: float = 0.1,
+             checkpoint=None, stage: str = "tile_cut") -> DataFrame:
+    """images (with footprint cols + bytes/fmt) -> one row per output tile.
+
+    ``agg_to_cell``: optional coarser output cell size (A1/A2 aggregation
+    after the mosaic, like the reference's --cell-size).
+    Output ``data`` is a PNG-encoded uint8 band."""
+    grid = grid or TileGrid()
+    assigned = assign_tiles(images, grid.image_size, grid.cell_size, grid.edge,
+                            p=grid.p)
+    if checkpoint is not None:
+        assigned = checkpoint.filter_pending(assigned, stage, "tile_tag")
+
+    g = grid
+
+    def assemble(key, pdf: pd.DataFrame):
+        tag = key[0]
+        tcol = int(pdf["tile_col"].iloc[0])
+        trow = int(pdf["tile_row"].iloc[0])
+        info = g.tile_info(tcol, trow)
+        pdf = pdf.sort_values("image_id", kind="stable")  # deterministic first-wins
+        sources = []
+        for _, r in pdf.iterrows():
+            arr = codecs.decode(r["bytes"], r["fmt"]).astype(np.float64)
+            gt = tuple(r["gt"])
+            sources.append((arr, RasterInfo(gt, int(r["w"]), int(r["h"]))))
+        out = warp_k.mosaic(sources, info, nodata=nodata)
+        out_info = info
+        if agg_to_cell is not None:
+            scaled = info.scale(cell_size=agg_to_cell)
+            off_y = (scaled.gt[3] - info.gt[3]) / info.gt[5]
+            off_x = (scaled.gt[0] - info.gt[0]) / info.gt[1]
+            sc = scaled.gt[1] / info.gt[1]
+            fn = agg_k.mean if agg_func == "mean" else agg_k.median
+            kwargs = {"min_rate": min_rate} if agg_func == "mean" else {}
+            out = fn(out, off_y, off_x, sc, nodata, scaled.height, scaled.width,
+                     **kwargs)
+            out_info = scaled
+        painted = int((out != nodata).sum())
+        png = codecs.encode_png(np.clip(out, 0, 255).astype(np.uint8))
+        return pd.DataFrame([{
+            "tile_tag": tag, "tile_col": tcol, "tile_row": trow,
+            "width": out_info.width, "height": out_info.height,
+            "gt": list(out_info.gt), "n_images": len(pdf),
+            "painted": painted, "data": png,
+        }])
+
+    return (assigned
+            .repartition("tile_tag")
+            .groupBy("tile_tag")
+            .applyInPandas(assemble, schema=TILE_SCHEMA))

@@ -1,0 +1,73 @@
+"""Distributed zonal statistics over decoded pixels (SURVEY.md §2.4 A11,
+§2.6 R1-R3).
+
+The reference computes (mean, max-min) of pixels whose centers fall inside a
+polygon, one polygon x one band at a time
+[ref: mod/geo_raster_ex_c.pyx:1272-1297].  Scale design: per (image, zone)
+candidate pair — produced by the bbox/cell prefilter join — a ``mapInPandas``
+kernel decodes the image once, rasterizes the zone over the image grid, and
+emits PARTIAL aggregates (sum, count, min, max).  A plain ``groupBy(zone)``
+then combines partials; the pixel data never shuffles, only 4 doubles per
+pair — the map-side-combine shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import codecs, dggs, geometry
+from ..dggs import DEFAULT_RES
+from ..grid import RasterInfo
+from ..kernels import rasterize as rz
+
+
+def zonal_stats(images: DataFrame, zones_pdf: pd.DataFrame,
+                nodata: float = -1.0, res: int = DEFAULT_RES) -> DataFrame:
+    """-> (zone_id, mean, rng, n_pixels, n_images) per zone.
+
+    ``images`` needs footprint cols + bytes/fmt (``with_footprint``)."""
+    spark = images.sparkSession
+
+    # candidate pairs: zone cover cells vs image center cell (broadcast)
+    cover_rows = []
+    for _, z in zones_pdf.iterrows():
+        ring = geometry.wkb_to_ring(z["geometry"])
+        for c in dggs.polygon_cover(ring, res):
+            cover_rows.append((int(c), int(z["zone_id"])))
+    cover = spark.createDataFrame(pd.DataFrame(cover_rows, columns=["cell", "zone_id"]))
+    cand = images.join(F.broadcast(cover), "cell")
+
+    rings = {int(z["zone_id"]): geometry.wkb_to_ring(z["geometry"])
+             for _, z in zones_pdf.iterrows()}
+    bc = spark.sparkContext.broadcast(rings)
+
+    partial_schema = ("zone_id int, image_id string, psum double, pcount long, "
+                      "pmin double, pmax double")
+
+    def partials(batches):
+        zr = bc.value
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                arr = codecs.decode(r["bytes"], r["fmt"]).astype(np.float64)
+                info = RasterInfo(tuple(r["gt"]), int(r["w"]), int(r["h"]))
+                ring = zr[int(r["zone_id"])]
+                m = rz.rasterize([ring], info)
+                vals = arr[m == 1]
+                vals = vals[vals != nodata]
+                if len(vals) == 0:
+                    continue
+                out.append((int(r["zone_id"]), r["image_id"], float(vals.sum()),
+                            int(len(vals)), float(vals.min()), float(vals.max())))
+            yield pd.DataFrame(out, columns=["zone_id", "image_id", "psum",
+                                             "pcount", "pmin", "pmax"])
+
+    part = cand.mapInPandas(partials, schema=partial_schema)
+    return (part.groupBy("zone_id")
+                .agg((F.sum("psum") / F.sum("pcount")).alias("mean"),
+                     (F.max("pmax") - F.min("pmin")).alias("rng"),
+                     F.sum("pcount").alias("n_pixels"),
+                     F.countDistinct("image_id").alias("n_images")))

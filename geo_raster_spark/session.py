@@ -23,6 +23,8 @@ def get_spark(app_name: str = "geo-raster-spark", cores: int | None = None,
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
         .config("spark.sql.session.timeZone", "UTC")
+        # SplitMix64 column math needs Java-wrapping long arithmetic
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -342,7 +342,11 @@ def _shipped(fn):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    import gsr_queries
+    import gsr_queries_np
+    out = {name: _shipped(fn) for name, fn in gsr_queries.QUERIES.items()}
+    out.update({name: _shipped(fn) for name, fn in gsr_queries_np.QUERIES.items()})
+    out.update({
         "g1_tile_enum": _shipped(_q_g1_tile_enum),
         "g2_tile_assign": _shipped(_q_g2_tile_assign),
         "j1_pip_rect": _shipped(_q_j1_pip_rect),
@@ -352,11 +356,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": _shipped(_q_q1_pricing),
         "a15_regression": _shipped(_q_a15_regression),
         "d1_exact_dedup": _shipped(_q_d1_exact_dedup),
-    }
+    })
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    import gsr_queries
+    out = dict(gsr_queries.ORACLES)
+    out.update({
         "g1_tile_enum": _SQL_G1,
         "g2_tile_assign": _SQL_G2,
         "j1_pip_rect": _SQL_J1,
@@ -366,4 +373,5 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing": _SQL_Q1,
         "a15_regression": _SQL_A15,
         "d1_exact_dedup": _SQL_D1,
-    }
+    })
+    return out

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
+"sf", plus flagship throughput fields}.
+
+The flagship benchmark is the BASELINE.md protocol job: synthetic images
+table (metadata only — the PIP/tile stages never read pixels) -> SplitMix64
+footprints -> DGGS cell -> broadcast PIP join to 64 zones -> global-grid
+tile assignment -> (zone, tile) counts.  ``images/sec`` is reported from it.
+
+Two-cluster-size scaling evidence is produced by ``tools/scaling_run.py``
+(separate JVMs at local[8] / local[32]); results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
+
+BENCH_QUERIES = ["q1_pricing", "g2_tile_assign", "j1_pip_rect", "j2_bbox_join",
+                 "j6_knn", "a9_value_counts", "a15_regression", "d1_exact_dedup"]
+
+
+def main():
+    import __spark_entry__ as em
+    from geo_raster_spark.session import get_spark
+    from geo_raster_spark.plans.flagship import run_flagship_synthetic
+
+    spark = get_spark(app_name="geo-raster-spark-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = em.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/Arrow paths once with a trivial action
+    spark.range(1000).count()
+
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    flag_rows = run_flagship_synthetic(
+        spark, n_images=N_IMAGES, n_zones=64, hot=False,
+        partitions=max(CPUS, 8)).count()
+    flagship_sec = time.time() - t0
+    timings["flagship_pip_tile"] = round(flagship_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline query wall time (flagship PIP+tile + operator suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "flagship_images": N_IMAGES,
+        "flagship_result_rows": flag_rows,
+        "images_per_sec": round(N_IMAGES / flagship_sec, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,14 +12,16 @@ patterns H3 would give (equi-join on cell id, k-ring candidate generation).
 Everything here is pure NumPy *and* has a Spark-column twin in
 ``geo_raster_spark.functions`` so the hot path stays JVM-side.
 
-Default resolution 7 -> 1.40625° cells (comparable to the 1° reference tile).
+Default resolution 8 -> 0.703° cells: measured optimum for the flagship
+broadcast-PIP pipeline (fewer boundary-cell refines than r7, without the
+cover explosion of r9; see BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-DEFAULT_RES = 7
+DEFAULT_RES = 8
 _RES_SHIFT = 58
 _COL_SHIFT = 29
 _ROW_MASK = (1 << 29) - 1
@@ -111,11 +113,57 @@ def bbox_cover(ext, res: int = DEFAULT_RES):
 def polygon_cover(ring, res: int = DEFAULT_RES):
     """Cells whose bbox intersects the polygon (superset cover: bbox cover
     refined by a cell-bbox x polygon intersection test)."""
+    cells, _full = polygon_cover_labeled(ring, res)
+    return cells
+
+
+def polygon_cover_labeled(ring, res: int = DEFAULT_RES):
+    """(cells, full) cover where ``full[i]`` marks cells wholly inside the
+    polygon — candidates in FULL cells need no exact point-in-polygon
+    refine (index-level predicate pushdown; only boundary cells pay the
+    ray-cast).
+
+    Fully vectorized over the candidate grid (a hot zone covers ~10^4
+    cells; a per-cell Python loop here was the flagship's serial driver
+    bottleneck).  Slightly conservative: ``keep`` is a superset cover
+    (cells whose corners touch OR whose bbox overlaps some edge's bbox)
+    and ``full`` requires all four corners inside AND no edge-bbox overlap
+    — a cell truly crossed by an edge is always PARTIAL, so correctness of
+    the refine split is preserved."""
     from . import geometry as g
-    cand = bbox_cover(g.ring_bbox(ring), res)
-    keep = []
-    for c in cand:
-        bb = cell_to_bbox(c)
-        if g.rings_intersect(g.bbox_to_ring((float(bb[0]), float(bb[1]), float(bb[2]), float(bb[3]))), ring):
-            keep.append(int(c))
-    return np.array(keep, dtype=np.int64)
+    ring = g.ring_close(np.asarray(ring, dtype=np.float64))
+    ext = g.ring_bbox(ring)
+    n_cols, n_rows, cw, ch = res_dims(res)
+    c0 = max(0, int(np.floor((ext[0] + 180.0) / cw)))
+    c1 = min(n_cols - 1, max(c0, int(np.floor((ext[2] + 180.0) / cw - 1e-12))))
+    r0 = max(0, int(np.floor((90.0 - ext[3]) / ch)))
+    r1 = min(n_rows - 1, max(r0, int(np.floor((90.0 - ext[1]) / ch - 1e-12))))
+    nc, nr = c1 - c0 + 1, r1 - r0 + 1
+
+    # corner lattice: (nr+1) x (nc+1) boundary intersections
+    xs = -180.0 + (np.arange(c0, c1 + 2)) * cw
+    ys = 90.0 - (np.arange(r0, r1 + 2)) * ch
+    X, Y = np.meshgrid(xs, ys)
+    inside = g.points_in_ring(ring, X.ravel(), Y.ravel()).reshape(nr + 1, nc + 1)
+    corners_all = inside[:-1, :-1] & inside[:-1, 1:] & inside[1:, :-1] & inside[1:, 1:]
+    corners_any = inside[:-1, :-1] | inside[:-1, 1:] | inside[1:, :-1] | inside[1:, 1:]
+
+    # edge overlay: cells whose bbox overlaps a polygon edge's bbox
+    edge_touch = np.zeros((nr, nc), dtype=bool)
+    e0, e1 = ring[:-1], ring[1:]
+    eminx = np.minimum(e0[:, 0], e1[:, 0])
+    emaxx = np.maximum(e0[:, 0], e1[:, 0])
+    eminy = np.minimum(e0[:, 1], e1[:, 1])
+    emaxy = np.maximum(e0[:, 1], e1[:, 1])
+    ec0 = np.clip(np.floor((eminx + 180.0) / cw).astype(np.int64) - c0, 0, nc - 1)
+    ec1 = np.clip(np.floor((emaxx + 180.0) / cw).astype(np.int64) - c0, 0, nc - 1)
+    er0 = np.clip(np.floor((90.0 - emaxy) / ch).astype(np.int64) - r0, 0, nr - 1)
+    er1 = np.clip(np.floor((90.0 - eminy) / ch).astype(np.int64) - r0, 0, nr - 1)
+    for i in range(len(e0)):  # loops over polygon EDGES (few dozen), not cells
+        edge_touch[er0[i]:er1[i] + 1, ec0[i]:ec1[i] + 1] = True
+
+    keep_mask = corners_any | edge_touch
+    full_mask = corners_all & ~edge_touch
+    rows_i, cols_i = np.nonzero(keep_mask)
+    cells = pack(res, cols_i + c0, rows_i + r0)
+    return cells.astype(np.int64), full_mask[rows_i, cols_i]

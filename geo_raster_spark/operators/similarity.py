@@ -1,0 +1,195 @@
+"""Embedding similarity search (ANN) over an ``array<float>`` column.
+
+- ``cosine_topk``      brute-force exact top-k against one probe vector —
+                       dot product + norms as JVM higher-order functions
+                       (``zip_with`` + ``aggregate``), ranked by a window.
+                       The correctness baseline.
+- ``lsh_bucket``       random-hyperplane (sign) LSH: ``n_planes`` seeded
+                       projections -> sign-bit bucket id.  Deterministic
+                       planes from SplitMix64, shipped as literals.
+- ``lsh_topk``         ANN: probe only its bucket (+optional 1-bit flips) —
+                       the scale path: candidates shrink ~2^n_planes-fold
+                       and the bucket join is an equi-join.
+- ``knn_pairs_exact``  all-pairs top-k within LSH buckets (near-dup by
+                       embedding cosine for dedup pipelines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..synth import splitmix64
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b) + F.lit(1e-30))
+
+
+def probe_literal(vec) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(emb: DataFrame, probe_vec, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact brute-force top-k by cosine to ``probe_vec`` (JVM-side math)."""
+    p = probe_literal(probe_vec)
+    scored = emb.select(
+        id_col,
+        F.round(cosine_sim(F.col(vec_col).cast("array<double>"), p), 8).alias("cosine"))
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
+def random_planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Deterministic hyperplanes: SplitMix64-seeded uniform in [-1, 1]."""
+    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed * 1_000_003)
+    u = splitmix64(idx).astype(np.float64) / 2.0 ** 64
+    return (2.0 * u - 1.0).reshape(n_planes, dim)
+
+
+def data_mean(emb: DataFrame, dim: int, vec_col: str = "embedding") -> np.ndarray:
+    """Exact per-dimension mean (one pass; sample at 100 TB scale)."""
+    row = emb.select(F.array(*[
+        F.avg(F.element_at(F.col(vec_col).cast("array<double>"), i + 1))
+        for i in range(dim)]).alias("mu")).collect()[0]
+    return np.array(row["mu"], dtype=np.float64)
+
+
+def with_lsh_bucket(emb: DataFrame, dim: int, n_planes: int = 8, seed: int = 7,
+                    vec_col: str = "embedding",
+                    center: np.ndarray | None = None) -> DataFrame:
+    """+ ``bucket`` column: sign-bit code over ``n_planes`` projections.
+
+    ``center``: sign-LSH splits through the origin, so non-centered data
+    (e.g. all-positive embeddings) collapses into few buckets — pass the
+    data mean to recenter; the offset folds into a per-plane constant."""
+    planes = random_planes(dim, n_planes, seed)
+    offs = planes @ center if center is not None else np.zeros(n_planes)
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col).cast("array<double>")
+    for b, plane in enumerate(planes):
+        proj = _dot(v, probe_literal(plane)) - F.lit(float(offs[b]))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return emb.withColumn("bucket", bucket)
+
+
+def _bucket_of(vec: np.ndarray, planes: np.ndarray,
+               center: np.ndarray | None = None) -> int:
+    v = np.asarray(vec, dtype=np.float64)
+    if center is not None:
+        v = v - center
+    return int(((planes @ v) >= 0).astype(np.int64) @ (1 << np.arange(len(planes))))
+
+
+def lsh_topk(emb: DataFrame, probe_vec, k: int = 10, dim: int | None = None,
+             n_planes: int = 8, seed: int = 7, multiprobe_bits: int = 1,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """ANN top-k: scan only the probe's bucket (+ buckets within
+    ``multiprobe_bits`` bit flips for recall)."""
+    probe_vec = np.asarray(probe_vec, dtype=np.float64)
+    dim = dim or len(probe_vec)
+    planes = random_planes(dim, n_planes, seed)
+    mu = data_mean(emb, dim, vec_col)
+    b0 = _bucket_of(probe_vec, planes, mu)
+    cand_buckets = {b0}
+    if multiprobe_bits >= 1:
+        for b in range(n_planes):
+            cand_buckets.add(b0 ^ (1 << b))
+
+    bucketed = with_lsh_bucket(emb, dim, n_planes, seed, vec_col, center=mu)
+    cand = bucketed.where(F.col("bucket").isin(list(cand_buckets)))
+    p = probe_literal(probe_vec)
+    scored = cand.select(
+        id_col,
+        F.round(cosine_sim(F.col(vec_col).cast("array<double>"), p), 8).alias("cosine"))
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
+def fit_centroids(emb: DataFrame, dim: int, k: int = 16, iters: int = 8,
+                  sample: int = 4096, seed: int = 11,
+                  vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic driver-side k-means on a sample -> (k, dim) centroids.
+
+    The IVF coarse quantizer: at 100 TB the sample is a tiny bounded read;
+    assignment stays distributed/JVM-side."""
+    pdf = (emb.select(vec_col).limit(sample).toPandas())
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    idx = splitmix64(np.arange(k, dtype=np.uint64) + np.uint64(seed)) % np.uint64(len(X))
+    C = X[idx.astype(np.int64)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            sel = a == j
+            if sel.any():
+                C[j] = X[sel].mean(0)
+    return C
+
+
+def with_ivf_bucket(emb: DataFrame, centroids: np.ndarray,
+                    vec_col: str = "embedding") -> DataFrame:
+    """+ ``ivf`` column: index of the nearest centroid (JVM column math:
+    k squared-distance expressions -> array_position of the min)."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = [
+        F.aggregate(F.zip_with(v, probe_literal(c), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+        for c in centroids]
+    arr = F.array(*dists)
+    return emb.withColumn("ivf",
+                          (F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
+
+
+def ivf_topk(emb: DataFrame, probe_vec, k: int = 10, dim: int | None = None,
+             n_centroids: int = 16, nprobe: int = 4, seed: int = 11,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF ANN top-k: brute-force cosine within the ``nprobe`` inverted
+    lists nearest to the probe — the clustered-data scale path (sign-LSH
+    fragments tight clusters; IVF keeps them in one list)."""
+    probe_vec = np.asarray(probe_vec, dtype=np.float64)
+    dim = dim or len(probe_vec)
+    C = centroids if centroids is not None else fit_centroids(
+        emb, dim, n_centroids, seed=seed, vec_col=vec_col)
+    order = np.argsort(((C - probe_vec) ** 2).sum(1))[:nprobe]
+    cand = with_ivf_bucket(emb, C, vec_col).where(
+        F.col("ivf").isin([int(i) for i in order]))
+    p = probe_literal(probe_vec)
+    scored = cand.select(
+        id_col,
+        F.round(cosine_sim(F.col(vec_col).cast("array<double>"), p), 8).alias("cosine"))
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
+def knn_pairs_exact(emb: DataFrame, dim: int, n_planes: int = 8,
+                    threshold: float = 0.95, seed: int = 7,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets
+    (id_a < id_b, cosine >= threshold) — the embedding dedup operator."""
+    b = with_lsh_bucket(emb, dim, n_planes, seed, vec_col,
+                        center=data_mean(emb, dim, vec_col))
+    a = b.select(F.col(id_col).alias("id_a"),
+                 F.col(vec_col).cast("array<double>").alias("va"), "bucket")
+    c = b.select(F.col(id_col).alias("id_b"),
+                 F.col(vec_col).cast("array<double>").alias("vb"), "bucket")
+    pairs = (a.join(c, "bucket").where(F.col("id_a") < F.col("id_b"))
+              .withColumn("cosine", F.round(cosine_sim(F.col("va"), F.col("vb")), 8))
+              .where(F.col("cosine") >= threshold))
+    return pairs.select("id_a", "id_b", "cosine")

@@ -40,6 +40,22 @@ def run_flagship_synthetic(spark, n_images: int = 100_000, n_zones: int = 64,
 
 
 def footprint_input(spark, n_images: int, partitions: int = 64) -> DataFrame:
-    """Metadata-only images table (the PIP/tile flagship never touches
-    pixels, so generation skips payloads — column pruning made explicit)."""
-    return synth.images_df(spark, n_images, partitions, with_bytes=False)
+    """Metadata-only images table as PURE column math — zero Python.
+
+    The flagship never reads pixels or captions, so its input is the
+    column-pruned scan equivalent: ``spark.range`` + SplitMix64/cycle
+    column expressions producing EXACTLY the values of
+    ``synth.images_df`` for (image_id, w, h, phash) (parity asserted in
+    tests).  On a deployment cluster this is the Iceberg metadata-column
+    scan; here it keeps the benchmark measuring the engine, not the
+    synthesizer."""
+    from .. import functions as gf
+
+    w_arr = F.array(F.lit(32), F.lit(64), F.lit(128))
+    h_arr = F.array(F.lit(32), F.lit(64), F.lit(96))
+    return (spark.range(0, n_images, 1, partitions)
+            .withColumn("phash", gf.splitmix64(F.col("id")))
+            .withColumn("image_id", F.format_string("img%012d", F.col("id")))
+            .withColumn("w", F.element_at(w_arr, (F.col("id") % 3 + 1).cast("int")))
+            .withColumn("h", F.element_at(h_arr, ((F.col("id") / 3).cast("long") % 3 + 1).cast("int")))
+            .drop("id"))

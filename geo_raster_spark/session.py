@@ -32,7 +32,7 @@ def get_spark(app_name: str = "geo-raster-spark", cores: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # image payloads are KBs each: cap Arrow batches so decode UDF
         # batches stay memory-bounded (SURVEY.md §7.3.5)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

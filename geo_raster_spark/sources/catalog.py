@@ -1,0 +1,62 @@
+"""Footprint catalog construction (SURVEY.md §2.1 S4-S6, §2.6 R4).
+
+The reference builds its catalog from a shapefile with a FILE column or a
+path list, probing each file's extent [ref: mod/geo_raster_ex_c.pyx:879-988].
+Here the catalog is a DataFrame derived from the images table (footprints
+from metadata) or from an explicit manifest; spatial filtering is a bbox
+predicate that Catalyst pushes into the scan, and the catalog can be
+persisted partitioned by cell prefix for partition-pruned lookups.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dggs import DEFAULT_RES
+from ..operators.footprint import with_footprint
+
+
+def catalog_from_images(images: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """S4 role: images table -> footprint catalog
+    (image_id, minx, miny, maxx, maxy, cell, gt, w, h)."""
+    return with_footprint(images, res=res).select(
+        "image_id", "w", "h", "fmt", "minx", "miny", "maxx", "maxy", "cell", "gt")
+
+
+def catalog_from_list(spark: SparkSession, entries: list[dict]) -> DataFrame:
+    """S5: catalog from an explicit manifest
+    [(image_id, minx, miny, maxx, maxy, crs), ...]."""
+    return spark.createDataFrame(pd.DataFrame(entries))
+
+
+def filter_extent(catalog: DataFrame, ext) -> DataFrame:
+    """S4's optional spatial filter: bbox predicate (pushed to the scan)."""
+    return catalog.where((F.col("minx") <= ext[2]) & (F.col("maxx") >= ext[0])
+                         & (F.col("miny") <= ext[3]) & (F.col("maxy") >= ext[1]))
+
+
+def load(spark: SparkSession, source, ext=None) -> DataFrame:
+    """S6: polymorphic loader — DataFrame | parquet path | manifest list,
+    with optional extent filter [ref: mod/geo_raster_ex_c.pyx:1348-1383]."""
+    if isinstance(source, DataFrame):
+        cat = catalog_from_images(source)
+    elif isinstance(source, str):
+        cat = catalog_from_images(spark.read.parquet(source))
+    elif isinstance(source, list):
+        cat = catalog_from_list(spark, source)
+    else:
+        raise TypeError(f"unsupported catalog source: {type(source)}")
+    return filter_extent(cat, ext) if ext is not None else cat
+
+
+def write_catalog(catalog: DataFrame, path: str, cell_prefix_res: int = 4) -> None:
+    """Persist partitioned by a coarse cell prefix — Iceberg-style partition
+    pruning for spatial lookups (SURVEY.md §4 partition-spec decision)."""
+    from .. import functions as gf
+    out = catalog.withColumn(
+        "cell_prefix",
+        gf.geocell((F.col("minx") + F.col("maxx")) / 2,
+                   (F.col("miny") + F.col("maxy")) / 2, cell_prefix_res))
+    out.write.mode("overwrite").partitionBy("cell_prefix").parquet(path)

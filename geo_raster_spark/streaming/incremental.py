@@ -1,0 +1,62 @@
+"""Incremental flagship: Structured Streaming over the images table.
+
+The reference has no streaming; its closest notion is the skip-if-done
+resumable task queue [ref: util/split_raster_tiles.py:113-115;
+util/run_service.py:12-20].  SURVEY.md §2.10 maps that to
+``Trigger.AvailableNow`` over the images table with the checkpoint table as
+state: each micro-batch processes only newly-arrived image files, runs the
+same flagship operators (footprint -> PIP -> tile assignment), and appends
+per-batch counts + lineage — giving exactly-once incremental tile-grid
+maintenance without a long-running service.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import footprint, pip_join, tile_assign
+
+
+def incremental_flagship(spark: SparkSession, images_path: str,
+                         zones_pdf, out_path: str, checkpoint_path: str,
+                         schema: str = ("image_id string, bytes binary, w int, "
+                                        "h int, fmt string, caption string, "
+                                        "phash long")):
+    """Start an AvailableNow stream: new image parquet files -> per-(zone,
+    tile) counts appended to ``out_path``.  Returns the StreamingQuery.
+
+    Re-running after new files land processes ONLY the new files (file-source
+    offsets in ``checkpoint_path``) — the engine's resume story for ingest.
+    """
+    stream = (spark.readStream.schema(schema).parquet(images_path))
+    fp = footprint.with_footprint(stream)
+
+    def process_batch(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        joined = pip_join.pip_join(batch_df, zones_pdf, keep_zone_name=False)
+        tiled = tile_assign.assign_tiles(joined)
+        counts = (tiled.groupBy("zone_id", "tile_tag")
+                       .agg(F.count("*").alias("n_images"))
+                       .withColumn("batch_id", F.lit(batch_id)))
+        counts.write.mode("append").parquet(out_path)
+
+    return (fp.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_path)
+              .trigger(availableNow=True)
+              .start())
+
+
+def windowed_event_counts(spark: SparkSession, events_path: str,
+                          window: str = "1 hour", watermark: str = "2 hours"):
+    """Batch-table demonstration of the streaming agg shape: event-time
+    windowed counts with a watermark (runs identically under readStream)."""
+    e = spark.read.parquet(events_path)
+    return (e.withWatermark("ts", watermark)
+             .groupBy(F.window("ts", window).alias("w"), "event_type")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum("value"), 4).alias("sum_value"))
+             .select(F.col("w.start").alias("w_start"),
+                     F.col("w.end").alias("w_end"), "event_type", "n", "sum_value"))

@@ -95,7 +95,9 @@ def _caption(i, tag):
 
 
 def images_pandas(n: int, start: int = 0, with_bytes: bool = True) -> pd.DataFrame:
-    """Driver-side batch of ``n`` image rows starting at index ``start``."""
+    """Driver-side batch of ``n`` image rows starting at index ``start``.
+
+    Metadata is fully vectorized; only the payload encode loops per row."""
     from . import grid
 
     idx = np.arange(start, start + n, dtype=np.int64)
@@ -104,25 +106,30 @@ def images_pandas(n: int, start: int = 0, with_bytes: bool = True) -> pd.DataFra
     tcol = np.clip(((m["lon"] + g.p) / g.tile_size).astype(np.int64), 0, g.n_cols - 1)
     trow = np.clip(((g.p / 2 - m["lat"]) / g.tile_size).astype(np.int64), 0, g.n_rows - 1)
 
-    rows = []
-    for k in range(n):
-        i = int(idx[k])
-        fmt = _FMT_CYCLE[int(m["fmt_idx"][k])]
-        tag = "h%03dv%03d" % (tcol[k], trow[k])
-        payload = None
-        if with_bytes:
-            arr = image_pixels(i, int(m["w"][k]), int(m["h"][k]), int(np.uint64(m["phash"][k].astype(np.uint64))))
-            payload = codecs.encode(arr, fmt)
-        rows.append({
-            "image_id": f"img{i:012d}",
-            "bytes": payload,
-            "w": int(m["w"][k]),
-            "h": int(m["h"][k]),
-            "fmt": fmt,
-            "caption": _caption(i, tag),
-            "phash": int(m["phash"][k]),
-        })
-    return pd.DataFrame(rows)
+    image_id = np.char.mod("img%012d", idx)
+    fmt = np.array(_FMT_CYCLE)[m["fmt_idx"]]
+    tags = np.char.add(np.char.mod("h%03d", tcol), np.char.mod("v%03d", trow))
+    caption = np.char.add(
+        np.char.add(np.char.mod("synthetic scene %d", idx), " tile "), tags)
+
+    payload = None
+    if with_bytes:
+        payload = [
+            codecs.encode(
+                image_pixels(int(idx[k]), int(m["w"][k]), int(m["h"][k]),
+                             int(np.uint64(m["phash"][k].astype(np.uint64)))),
+                str(fmt[k]))
+            for k in range(n)
+        ]
+    return pd.DataFrame({
+        "image_id": image_id,
+        "bytes": payload if with_bytes else [None] * n,
+        "w": m["w"].astype(np.int32),
+        "h": m["h"].astype(np.int32),
+        "fmt": fmt,
+        "caption": caption,
+        "phash": m["phash"],
+    })
 
 
 IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, "

@@ -1,0 +1,211 @@
+"""Rows-only queries: operators whose semantics ANSI SQL cannot express
+(pixel kernels, LSH pipelines, k-ring ANN).  The driver records a weaker
+rows-only check here; exact parity for each is enforced by the NumPy-oracle
+pytest suite (tests/test_spark_ops.py, tests/test_kernels_*.py).
+
+Each callable still takes (spark, sf_dir) per the driver contract; pixel
+operators synthesize their deterministic images input (BASELINE.json
+``input_hint`` schema) since the driver tables carry no imagery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _images(spark, n=400):
+    from geo_raster_spark import synth
+    from geo_raster_spark.operators import footprint
+    return footprint.with_footprint(synth.images_df(spark, n, 8, with_bytes=True))
+
+
+def q_g5_tile_cut(spark, sf_dir):
+    """G5/G11/J7: decode -> mosaic -> per-tile PNG tiles (pixel pipeline)."""
+    from geo_raster_spark.operators import mosaic
+    tiles = mosaic.tile_cut(_images(spark), nodata=0.0)
+    return tiles.select("tile_tag", "tile_col", "tile_row", "n_images",
+                        "painted", F.length("data").alias("png_bytes"))
+
+
+def q_g5_tile_cut_agg(spark, sf_dir):
+    """G5 + A1: tile cut with aggregation to a 4x coarser cell."""
+    from geo_raster_spark.operators import mosaic
+    from geo_raster_spark.synth import CELL_SIZE
+    tiles = mosaic.tile_cut(_images(spark, 200), nodata=0.0,
+                            agg_to_cell=CELL_SIZE * 4, agg_func="mean")
+    return tiles.select("tile_tag", "width", "height", "n_images", "painted")
+
+
+def q_z1_zonal(spark, sf_dir):
+    """A11/R1: distributed zonal statistics over decoded pixels."""
+    from geo_raster_spark import synth
+    from geo_raster_spark.operators import zonal
+    zones = synth.zones_pandas(12, hot=True)
+    out = zonal.zonal_stats(_images(spark), zones, nodata=-1.0)
+    return out.select("zone_id", F.round("mean", 6).alias("mean"),
+                      F.round("rng", 6).alias("rng"), "n_pixels", "n_images")
+
+
+def q_k1_knn_kring(spark, sf_dir):
+    """J6: kNN via DGGS k-ring candidate expansion + windowed refine."""
+    import pandas as pd
+    from geo_raster_spark.operators import knn
+    from geo_raster_spark.plans.flagship import footprint_input
+    from geo_raster_spark.operators import footprint
+    qs = spark.createDataFrame(pd.DataFrame({
+        "query_id": list(range(8)),
+        "lon": [-120.0, -60.0, 0.0, 60.0, 120.0, 30.0, -30.0, 90.0],
+        "lat": [40.0, -20.0, 10.0, -40.0, 5.0, 50.0, -50.0, 0.0]}))
+    pts = footprint.with_footprint(footprint_input(spark, 20000, 16))
+    return (knn.knn_join(qs, pts.select("image_id", "lon", "lat"), k=5, ring=3)
+            .select("query_id", "rank", "image_id_nn",
+                    F.round("dist_km", 4).alias("dist_km")))
+
+
+def q_i1_idw(spark, sf_dir):
+    """W7/J6: IDW interpolation at query points via k-ring gather."""
+    import pandas as pd
+    from geo_raster_spark.operators import knn
+    from geo_raster_spark.operators import footprint
+    from geo_raster_spark.plans.flagship import footprint_input
+    qs = spark.createDataFrame(pd.DataFrame({
+        "query_id": list(range(6)),
+        "lon": [10.0, -100.0, 45.0, -45.0, 150.0, 0.0],
+        "lat": [20.0, 30.0, -10.0, 40.0, -30.0, 0.0]}))
+    pts = (footprint.with_footprint(footprint_input(spark, 20000, 16))
+           .withColumn("value", (F.col("phash") % 1000).cast("double")))
+    return (knn.idw_at_points(qs, pts, "value", power=2.0, ring=2)
+            .select("query_id", F.round("idw_value", 6).alias("idw_value"),
+                    "n_neighbors"))
+
+
+def q_d2_minhash(spark, sf_dir):
+    """MinHash-LSH near-duplicate pairs over documents (JVM-side pipeline)."""
+    from geo_raster_spark.operators import dedup
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh(d, jaccard_threshold=0.5)
+
+
+def q_d3_simhash(spark, sf_dir):
+    """SimHash fingerprints: distribution of 16-bit prefixes (stable agg)."""
+    from geo_raster_spark.operators import dedup
+    d = _t(spark, sf_dir, "documents")
+    sig = dedup.simhash_signature(d)
+    return (sig.withColumn("prefix", F.shiftrightunsigned("simhash", 48))
+               .groupBy("prefix").agg(F.count("*").alias("n")))
+
+
+def q_d4_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard on LSH candidate pairs."""
+    from geo_raster_spark.operators import dedup
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh(d, jaccard_threshold=0.3)
+    return dedup.ngram_jaccard(d, cand.select("id_a", "id_b"))
+
+
+def q_e2_lsh_topk(spark, sf_dir):
+    """ANN top-k via random-hyperplane LSH bucket probing."""
+    from geo_raster_spark.operators import similarity
+    import gsr_queries
+    emb = _t(spark, sf_dir, "embeddings")
+    return (similarity.lsh_topk(emb, gsr_queries._probe_vec(), k=10,
+                                n_planes=6, multiprobe_bits=1)
+            .select("vec_id", "rank", F.round("cosine", 4).alias("cosine")))
+
+
+def q_e4_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k (coarse-quantized inverted lists + in-list brute force)."""
+    from geo_raster_spark.operators import similarity
+    import gsr_queries
+    emb = _t(spark, sf_dir, "embeddings")
+    return (similarity.ivf_topk(emb, gsr_queries._probe_vec(), k=10,
+                                n_centroids=16, nprobe=4)
+            .select("vec_id", "rank", F.round("cosine", 4).alias("cosine")))
+
+
+def q_e3_embedding_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within LSH buckets."""
+    from geo_raster_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_pairs_exact(emb, dim=64, n_planes=8, threshold=0.95)
+
+
+def q_w1_focal_pipeline(spark, sf_dir):
+    """W1-W5: per-tile focal ops (median/expand/variety) over decoded tiles."""
+    import numpy as np
+    import pandas as pd
+    from geo_raster_spark import codecs
+    from geo_raster_spark.kernels import focal
+    from geo_raster_spark.operators import mosaic as mz
+
+    tiles = mz.tile_cut(_images(spark, 200), nodata=0.0)
+
+    def run_focal(it):
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                arr = codecs.decode_png(bytes(r["data"]))
+                med, changed = focal.focal_median(arr, 1, 0)
+                var = focal.variety(arr[:32, :32], 2)
+                out.append((r["tile_tag"], int(changed), float(med.mean()),
+                            int(var.max())))
+            yield pd.DataFrame(out, columns=["tile_tag", "n_changed",
+                                             "mean_after", "max_variety"])
+
+    return tiles.mapInPandas(
+        run_focal,
+        schema="tile_tag string, n_changed long, mean_after double, max_variety long") \
+        .withColumn("mean_after", F.round("mean_after", 6))
+
+
+def q_f3_colorize(spark, sf_dir):
+    """F1/F3: linear stretch + palette lookup per tile (visualization path)."""
+    import numpy as np
+    import pandas as pd
+    from geo_raster_spark import codecs
+    from geo_raster_spark.operators import mosaic as mz
+
+    tiles = mz.tile_cut(_images(spark, 200), nodata=0.0)
+
+    def colorize(it):
+        palette = np.arange(256, dtype=np.uint8)[::-1]  # inverted ramp
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                arr = codecs.decode_png(bytes(r["data"]))
+                valid = arr[arr != 0]
+                if len(valid) == 0:
+                    continue
+                lo, hi = np.percentile(valid, [2, 98])
+                stretched = np.clip((arr.astype(np.float64) - lo)
+                                    / max(hi - lo, 1e-9) * 255, 0, 255).astype(np.uint8)
+                colored = palette[stretched]
+                out.append((r["tile_tag"], float(lo), float(hi),
+                            int(colored.sum())))
+            yield pd.DataFrame(out, columns=["tile_tag", "lo", "hi", "checksum"])
+
+    return tiles.mapInPandas(
+        colorize, schema="tile_tag string, lo double, hi double, checksum long") \
+        .select("tile_tag", F.round("lo", 4).alias("lo"),
+                F.round("hi", 4).alias("hi"), "checksum")
+
+
+QUERIES = {
+    "g5_tile_cut": q_g5_tile_cut,
+    "g5_tile_cut_agg": q_g5_tile_cut_agg,
+    "z1_zonal": q_z1_zonal,
+    "k1_knn_kring": q_k1_knn_kring,
+    "i1_idw": q_i1_idw,
+    "d2_minhash": q_d2_minhash,
+    "d3_simhash": q_d3_simhash,
+    "d4_ngram_jaccard": q_d4_ngram_jaccard,
+    "e2_lsh_topk": q_e2_lsh_topk,
+    "e4_ivf_topk": q_e4_ivf_topk,
+    "e3_embedding_dups": q_e3_embedding_dups,
+    "w1_focal_pipeline": q_w1_focal_pipeline,
+    "f3_colorize": q_f3_colorize,
+}

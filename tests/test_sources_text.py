@@ -1,0 +1,183 @@
+"""Sources (scene-id parsers, catalogs) + text/dedup/similarity operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geo_raster_spark.sources import scene_ids
+
+
+# --- scene id parsing (pure python twins) -----------------------------------
+
+def test_parse_landsat_collection1():
+    r = scene_ids.parse_landsat_id("LC08_L1TP_042033_20170616_20170629_01_T1")
+    assert r == ("LC", "p042r033", "20170616", 8)
+
+
+def test_parse_landsat_precollection_yj():
+    r = scene_ids.parse_landsat_id("LT50430331984121XXX02")
+    assert r[0] == "LT" and r[1] == "p043r033" and r[3] == 5
+    assert r[2] == "19840430"  # 1984 day 121
+
+
+def test_parse_landsat_legacy_pr():
+    r = scene_ids.parse_landsat_id("p042r033_7x20010714")
+    assert r == ("", "p042r033", "20010714", 7)
+
+
+def test_parse_hls_and_sentinel():
+    assert scene_ids.parse_hls_id("HLS.S30.T10TEK.2020061.v1.4.hdf") == \
+        ("S30", "T10TEK", "20200301")
+    assert scene_ids.parse_sentinel2_tile(
+        "S2A_MSIL2A_20200601T184921_N0214_R113_T10TEK_20200601T230152") == "10TEK"
+
+
+def test_scene_id_cols_match_python(spark):
+    ids = ["LC08_L1TP_042033_20170616_20170629_01_T1",
+           "LE07_L1TP_042033_20010714_20170202_01_T1",
+           "p042r033_20010714",
+           "LC80420332017167LGN00totally"]
+    df = spark.createDataFrame(pd.DataFrame({"scene_id": ids}))
+    got = scene_ids.with_scene_id_cols(df).orderBy("scene_id").toPandas()
+    for _, row in got.iterrows():
+        py = scene_ids.parse_landsat_id(row["scene_id"])
+        if py is None:
+            assert row["pathrow"] is None
+            continue
+        assert row["pathrow"] == py[1], row["scene_id"]
+        assert row["date_str"] == py[2], row["scene_id"]
+
+
+# --- text operators ---------------------------------------------------------
+
+def test_token_stats_and_quality(spark, sf_dir):
+    from geo_raster_spark.operators import text
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    s = text.with_quality(text.with_token_stats(d)).toPandas()
+    assert (s["n_tokens"] > 0).all()
+    assert s["quality"].between(0, 1).all()
+    # oracle one row
+    row = s.iloc[0]
+    toks = [t for t in __import__("re").split(r"[^a-z0-9']+", row["text"].lower()) if t]
+    assert row["n_tokens"] == len(toks)
+
+
+def test_lang_id_accuracy(spark):
+    # NOTE: the driver's documents.lang labels are synthetic and do NOT
+    # correlate with the text content (all docs share one English-ish
+    # vocabulary) — so accuracy is asserted on real-language samples.
+    from geo_raster_spark.operators import text
+    samples = pd.DataFrame({
+        "doc_id": range(4),
+        "text": [
+            "the cat is in the house and it was good for all of us to see",
+            "der hund ist nicht in dem haus und ich bin mit einem freund auf",
+            "le chien est dans les champs et une maison pour que nous",
+            "el perro es en la casa y los gatos que un dia por aqui",
+        ],
+        "lang": ["en", "de", "fr", "es"]})
+    got = text.with_lang_id(spark.createDataFrame(samples)) \
+        .select("lang", "lang_pred").toPandas()
+    assert (got["lang"] == got["lang_pred"]).all(), got.to_string()
+
+
+def test_lang_id_und_for_gibberish(spark):
+    from geo_raster_spark.operators import text
+    d = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0], "text": ["zxqv wvut 12345 qqq"]}))
+    assert text.with_lang_id(d).toPandas()["lang_pred"].iloc[0] == "und"
+
+
+def test_fingerprint_deterministic(spark, sf_dir):
+    from geo_raster_spark.operators import text
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    a = text.with_fingerprint(d).select("doc_id", "fingerprint").toPandas()
+    b = text.with_fingerprint(d).select("doc_id", "fingerprint").toPandas()
+    assert a.equals(b)
+    assert a["fingerprint"].str.contains("-").all()
+
+
+# --- dedup ------------------------------------------------------------------
+
+def test_exact_dedup_roundtrip(spark):
+    from geo_raster_spark.operators import dedup
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["hello world", "foo bar", "hello world", "unique", "foo bar"]})
+    d = spark.createDataFrame(pdf)
+    groups = dedup.exact_dedup(d).toPandas()
+    assert len(groups) == 2 and set(groups["n_dups"]) == {2}
+    kept = dedup.drop_exact_dups(d).toPandas()
+    assert sorted(kept["doc_id"]) == [1, 2, 4]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    from geo_raster_spark.operators import dedup
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest looking for food and shelter")
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base, base.replace("lazy", "sleepy"),
+                 "completely different content about spark and databases entirely"]})
+    d = spark.createDataFrame(pdf)
+    pairs = dedup.minhash_lsh(d, n_hashes=32, bands=16, jaccard_threshold=0.5).toPandas()
+    assert ((pairs["id_a"] == 1) & (pairs["id_b"] == 2)).any()
+    assert not ((pairs["id_b"] == 3)).any()
+    # exact jaccard verification on the candidate
+    jac = dedup.ngram_jaccard(d, spark.createDataFrame(
+        pd.DataFrame({"id_a": [1], "id_b": [2]}))).toPandas()
+    assert jac["jaccard"].iloc[0] > 0.5
+
+
+def test_simhash_close_for_similar(spark):
+    from geo_raster_spark.operators import dedup
+    base = "spark makes distributed data processing simple and fast for everyone"
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base, base + " truly", "numpy arrays vectorize numeric python code"]})
+    sig = dedup.simhash_signature(spark.createDataFrame(pdf)).toPandas() \
+        .set_index("doc_id")["simhash"]
+    ham12 = bin(np.uint64(sig[1]) ^ np.uint64(sig[2])).count("1")
+    ham13 = bin(np.uint64(sig[1]) ^ np.uint64(sig[3])).count("1")
+    assert ham12 < ham13
+
+
+# --- similarity -------------------------------------------------------------
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    from geo_raster_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = [1.0 if i % 7 == 0 else 0.1 for i in range(64)]
+    got = similarity.cosine_topk(emb, probe, k=5).toPandas()
+
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    p = np.array(probe)
+    cos = mat @ p / (np.linalg.norm(mat, axis=1) * np.linalg.norm(p) + 1e-30)
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -cos))
+    want = pdf["vec_id"].to_numpy()[order[:5]]
+    assert list(got.sort_values("rank")["vec_id"]) == list(want)
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from geo_raster_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = [1.0 if i % 7 == 0 else 0.1 for i in range(64)]
+    exact = set(similarity.cosine_topk(emb, probe, k=10).toPandas()["vec_id"])
+    ann = set(similarity.ivf_topk(emb, probe, k=10, n_centroids=12,
+                                  nprobe=4).toPandas()["vec_id"])
+    assert len(exact & ann) >= 8  # IVF keeps clusters whole -> high recall
+
+
+def test_lsh_topk_runs_and_partial_recall(spark, sf_dir):
+    # sign-LSH fragments tight clusters: documented as the sparse/uniform-
+    # data variant; on this clustered fixture only partial recall is
+    # expected (IVF is the quality path, see test_ivf_topk_recall)
+    from geo_raster_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = [1.0 if i % 7 == 0 else 0.1 for i in range(64)]
+    exact = set(similarity.cosine_topk(emb, probe, k=10).toPandas()["vec_id"])
+    got = similarity.lsh_topk(emb, probe, k=10, n_planes=4,
+                              multiprobe_bits=1).toPandas()
+    assert len(got) > 0 and len(exact & set(got["vec_id"])) >= 2

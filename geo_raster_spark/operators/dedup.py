@@ -49,29 +49,50 @@ def shingles(text_col: str, k: int = 5) -> F.Column:
     return F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
 
 
+def _salted_hash(prefix: str):
+    """ONE-argument lambda factory.  CRITICAL: pyspark higher-order
+    functions dispatch on the Python lambda's ARITY — a two-argument
+    ``lambda s, i=i:`` would be called as (element, index), silently
+    binding ``i`` to the index Column (whose repr then poisons the salt
+    literal).  Capture salts via closure, never via default args."""
+    return lambda s: F.xxhash64(F.concat(F.lit(prefix), s))
+
+
 def minhash_signature(shingle_col, n_hashes: int = 32):
     """Array of ``n_hashes`` min-hash values: min over xxhash64(shingle, seed_i).
 
     xxhash64 has no per-call seed in the function API, so seed variation is
     string-prefix salting — still one JVM-side expression per hash."""
     return F.array(*[
-        F.array_min(F.transform(shingle_col,
-                                lambda s, i=i: F.xxhash64(F.concat(F.lit(f"s{i}|"), s))))
+        F.array_min(F.transform(shingle_col, _salted_hash(f"s{i}|")))
         for i in range(n_hashes)])
 
 
 def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 k: int = 5, n_hashes: int = 32, bands: int = 8,
-                jaccard_threshold: float = 0.6) -> DataFrame:
+                jaccard_threshold: float = 0.6,
+                max_bucket: int = 200) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard) via banded MinHash.
 
     rows_per_band = n_hashes/bands; a pair collides if any band's slice of
     the signature matches exactly.  est_jaccard = fraction of matching
-    minhashes (unbiased estimator); filtered at ``jaccard_threshold``."""
+    minhashes (unbiased estimator); filtered at ``jaccard_threshold``.
+
+    ``max_bucket``: buckets larger than this are dropped before the pair
+    join — the standard skew guard at scale (an over-full bucket means
+    boilerplate shared by thousands of docs and would blow up the join
+    quadratically; its members still pair through their other bands)."""
     r = n_hashes // bands
+    # persist() is load-bearing, not just a speedup: signatures must be
+    # MATERIALIZED before the self-join.  Joining two renamed projections of
+    # the same un-materialized plan trips Spark's ambiguous self-join
+    # attribute resolution, which can bind both sides' columns to one side
+    # NONDETERMINISTICALLY (observed: est_jaccard collapsing to 1.0 on
+    # random runs).  Materialization also avoids recomputing the (expensive)
+    # signatures once per join side — the standard LSH pipeline shape.
     sig = docs.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(shingles(text_col, k), n_hashes).alias("sig"))
+        minhash_signature(shingles(text_col, k), n_hashes).alias("sig")).persist()
 
     bands_df = sig.select(
         "_id", "sig",
@@ -81,16 +102,40 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          F.element_at("sig", b * r + j + 1).cast("string")
                          for j in range(r)])).alias("band_hash"))
             for b in range(bands)])).alias("band")
-    ).select("_id", "sig", "band.band_id", "band.band_hash")
+    ).select("_id", "band.band_id", "band.band_hash").persist()
 
-    a = bands_df.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"),
-                        "band_id", "band_hash")
-    b = bands_df.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"),
-                        "band_id", "band_hash")
-    pairs = (a.join(b, ["band_id", "band_hash"])
-              .where(F.col("id_a") < F.col("id_b"))
-              .dropDuplicates(["id_a", "id_b"]))
-    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+    # force materialization NOW: a lazily-persisted self-join input is
+    # still re-resolved per side at analysis time (observed nondeterminism
+    # persists until the cache actually exists before the join is planned)
+    sig.count()
+    bands_df.count()
+
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band_id", "band_hash")
+        bands_df = (bands_df.withColumn("_bn", F.count("*").over(w))
+                            .where(F.col("_bn") <= max_bucket).drop("_bn"))
+
+    # Self-join via explicit aliases + qualified columns.  NOTE: renaming
+    # columns of the SAME plan and joining (the naive self-join) hits
+    # Spark's ambiguous-attribute resolution — both `sig_a` and `sig_b`
+    # can silently bind to one side, corrupting the estimator
+    # NONDETERMINISTICALLY.  Qualified aliases below are the supported
+    # pattern; ids travel through the bucket join, signatures re-attach by
+    # id afterwards.
+    ba, bb = bands_df.alias("ba"), bands_df.alias("bb")
+    pairs = (ba.join(bb,
+                     (F.col("ba.band_id") == F.col("bb.band_id"))
+                     & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+                     & (F.col("ba._id") < F.col("bb._id")))
+               .select(F.col("ba._id").alias("id_a"),
+                       F.col("bb._id").alias("id_b"))
+               .dropDuplicates(["id_a", "id_b"]))
+    sa = sig.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a")).alias("sa")
+    sb = sig.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b")).alias("sb")
+    pairs = pairs.join(sa, "id_a").join(sb, "id_b")
+    est = (F.size(F.filter(F.zip_with(F.col("sa.sig_a"), F.col("sb.sig_b"),
+                                      lambda x, y: x == y),
                            lambda m: m)).cast("double") / F.lit(float(n_hashes)))
     pairs = pairs.withColumn("est_jaccard", est)
     return (pairs.where(F.col("est_jaccard") >= jaccard_threshold)
@@ -129,7 +174,7 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
                   k: int = 5) -> DataFrame:
     """Exact shingle-Jaccard for candidate (id_a, id_b) pairs."""
     sh = docs.select(F.col(id_col).alias("_id"),
-                     F.array_distinct(shingles(text_col, k)).alias("sh"))
+                     F.array_distinct(shingles(text_col, k)).alias("sh")).persist()
     j = (pairs
          .join(sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
          .join(sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))

@@ -183,8 +183,11 @@ def knn_pairs_exact(emb: DataFrame, dim: int, n_planes: int = 8,
                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-duplicate pairs within LSH buckets
     (id_a < id_b, cosine >= threshold) — the embedding dedup operator."""
+    # persist: same self-join ambiguity hazard as dedup.minhash_lsh —
+    # the bucketed table must be materialized before joining it to itself
     b = with_lsh_bucket(emb, dim, n_planes, seed, vec_col,
-                        center=data_mean(emb, dim, vec_col))
+                        center=data_mean(emb, dim, vec_col)).persist()
+    b.count()  # materialize before the self-join (see dedup.minhash_lsh)
     a = b.select(F.col(id_col).alias("id_a"),
                  F.col(vec_col).cast("array<double>").alias("va"), "bucket")
     c = b.select(F.col(id_col).alias("id_b"),

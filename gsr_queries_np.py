@@ -134,6 +134,73 @@ def q_e3_embedding_dups(spark, sf_dir):
     return similarity.knn_pairs_exact(emb, dim=64, n_planes=8, threshold=0.95)
 
 
+def q_g10_warp(spark, sf_dir):
+    """G10: cross-CRS warp — tiles re-gridded from geographic to sinusoidal
+    meters per batch (exact vectorized transform, NN gather, first-wins)."""
+    import numpy as np
+    import pandas as pd
+    from geo_raster_spark import codecs, crs
+    from geo_raster_spark.grid import RasterInfo
+    from geo_raster_spark.kernels import warp as warp_k
+    from geo_raster_spark.operators import mosaic as mz
+
+    tiles = mz.tile_cut(_images(spark, 200), nodata=0.0)
+
+    def do_warp(it):
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                arr = codecs.decode_png(bytes(r["data"])).astype(np.float64)
+                info = RasterInfo(tuple(r["gt"]), int(r["width"]), int(r["height"]))
+                # target: same area in sinusoidal meters at ~1.1km cells
+                se = crs.transform_extent("EPSG:4326", "SINU", info.extent())
+                cell_m = 1113.0
+                w = max(int((se[2] - se[0]) / cell_m), 1)
+                h = max(int((se[3] - se[1]) / cell_m), 1)
+                dst = RasterInfo((se[0], cell_m, 0.0, se[3], 0.0, -cell_m), w, h, "SINU")
+                wrp = warp_k.warp_band(arr, info, dst, nodata=0.0)
+                out.append((r["tile_tag"], w, h, int((wrp != 0).sum()),
+                            float(wrp[wrp != 0].mean()) if (wrp != 0).any() else 0.0))
+            yield pd.DataFrame(out, columns=["tile_tag", "w", "h", "painted", "mean_val"])
+
+    return tiles.mapInPandas(
+        do_warp, schema="tile_tag string, w int, h int, painted long, mean_val double") \
+        .withColumn("mean_val", F.round("mean_val", 6))
+
+
+def q_x3_parity(spark, sf_dir):
+    """Per-row invariants (input_hint): decoded pixels vs driver-side truth
+    (exact for lossless fmt, PSNR>=40dB for lossy) + caption byte-equality,
+    checked ON EXECUTORS over the Spark-distributed images table."""
+    import numpy as np
+    import pandas as pd
+    from geo_raster_spark import codecs, synth
+
+    imgs = _images(spark, 300)
+
+    def check(it):
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                i = int(r["image_id"][3:])
+                truth = synth.image_pixels(i, int(r["w"]), int(r["h"]),
+                                           int(np.uint64(np.int64(r["phash"]).astype(np.uint64))))
+                dec = codecs.decode(r["bytes"], r["fmt"])
+                ps = codecs.psnr(truth, dec)
+                exact = bool(np.array_equal(truth, dec))
+                cap_ok = bool(r["caption"] == synth.images_pandas(1, start=i, with_bytes=False)["caption"].iloc[0])
+                out.append((r["fmt"], exact, ps >= 40.0 or exact, cap_ok))
+            yield pd.DataFrame(out, columns=["fmt", "exact", "psnr_ok", "caption_ok"])
+
+    res = imgs.mapInPandas(
+        check, schema="fmt string, exact boolean, psnr_ok boolean, caption_ok boolean")
+    return (res.groupBy("fmt")
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.col("exact").cast("int")).alias("n_exact"),
+                    F.sum(F.col("psnr_ok").cast("int")).alias("n_psnr_ok"),
+                    F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok")))
+
+
 def q_w1_focal_pipeline(spark, sf_dir):
     """W1-W5: per-tile focal ops (median/expand/variety) over decoded tiles."""
     import numpy as np
@@ -207,5 +274,7 @@ QUERIES = {
     "e4_ivf_topk": q_e4_ivf_topk,
     "e3_embedding_dups": q_e3_embedding_dups,
     "w1_focal_pipeline": q_w1_focal_pipeline,
+    "g10_warp": q_g10_warp,
+    "x3_parity": q_x3_parity,
     "f3_colorize": q_f3_colorize,
 }

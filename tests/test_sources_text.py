@@ -181,3 +181,19 @@ def test_lsh_topk_runs_and_partial_recall(spark, sf_dir):
     got = similarity.lsh_topk(emb, probe, k=10, n_planes=4,
                               multiprobe_bits=1).toPandas()
     assert len(got) > 0 and len(exact & set(got["vec_id"])) >= 2
+
+
+def test_minhash_cross_build_deterministic(spark, sf_dir):
+    """Regression: rebuilt plans must give identical signatures.
+
+    Guards the HOF lambda-arity footgun (a 2-arg `lambda s, i=i` binds the
+    array INDEX to i, poisoning salts with per-build variable names)."""
+    from geo_raster_spark.operators import dedup
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    runs = []
+    for _ in range(3):
+        p = (d.select("doc_id", dedup.minhash_signature(
+                dedup.shingles("text", 5), 16).alias("sig"))
+             .toPandas().sort_values("doc_id"))
+        runs.append([tuple(np.asarray(s).tolist()) for s in p["sig"]])
+    assert runs[0] == runs[1] == runs[2]

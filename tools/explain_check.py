@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Physical-plan assertions: verify the plans Catalyst actually picks are
+the plans the engine was designed around (SURVEY.md §4), and record them.
+
+Checks:
+  1. flagship: PIP join is a BroadcastHashJoin; no SortMergeJoin anywhere;
+     exactly one shuffle (the final partial agg) on the probe path.
+  2. parquet scan: filters + column pruning reach the scan
+     (PushedFilters / ReadSchema).
+  3. tile assignment: explode(sequence) runs map-side (Generate with no
+     Exchange below it).
+
+Writes the captured plans to PLANS.md.  Exits non-zero on violation.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from geo_raster_spark import synth
+    from geo_raster_spark.operators import footprint, pip_join, tile_assign
+    from geo_raster_spark.plans.flagship import flagship, footprint_input
+    from geo_raster_spark.session import get_spark
+
+    spark = get_spark(app_name="explain-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = []
+    sections = []
+
+    # 1. flagship plan shape
+    zones = synth.zones_pandas(16)
+    fl = flagship(footprint_input(spark, 10_000, 8), zones)
+    p1 = plan_of(fl)
+    sections.append(("Flagship (footprints -> PIP -> tiles -> counts)", p1))
+    if "BroadcastHashJoin" not in p1:
+        failures.append("flagship: PIP join is not a BroadcastHashJoin")
+    if "SortMergeJoin" in p1:
+        failures.append("flagship: unexpected SortMergeJoin")
+    n_exchange = len(re.findall(r"\bExchange\b", p1))
+    # one hashpartitioning exchange for the final agg + broadcast exchanges
+    n_shuffle = len(re.findall(r"Exchange hashpartitioning", p1))
+    if n_shuffle > 1:
+        failures.append(f"flagship: {n_shuffle} shuffles on the probe path (want 1)")
+
+    # 2. scan pushdown
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = (li.where(F.col("l_quantity") > 45)
+           .select("l_orderkey", "l_quantity"))
+    p2 = plan_of(q)
+    sections.append(("Filtered scan (pushdown + pruning)", p2))
+    if "PushedFilters: [" not in p2 or "GreaterThan(l_quantity" not in p2:
+        failures.append("scan: filter not pushed to parquet")
+    m = re.search(r"ReadSchema: ([^\n]+)", p2)
+    if m and ("l_extendedprice" in m.group(1) or "l_comment" in m.group(1)):
+        failures.append("scan: column pruning failed (extra columns read)")
+
+    # 3. tile assignment is map-side
+    ta = tile_assign.assign_tiles(footprint.with_footprint(footprint_input(spark, 10_000, 8)))
+    p3 = plan_of(ta)
+    sections.append(("Tile assignment (explode/sequence, map-side)", p3))
+    if "Generate" not in p3 or "explode(sequence" not in p3:
+        failures.append("tile assignment: no explode(sequence) Generate found")
+    if "Exchange" in p3:
+        failures.append("tile assignment: unexpected shuffle before explode")
+
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("# Physical plans (captured by tools/explain_check.py)\n\n"
+                "Assertions enforced: broadcast PIP join, single probe-side "
+                "shuffle, parquet filter pushdown + column pruning, map-side "
+                "tile explode.\n\n")
+        for title, plan in sections:
+            f.write(f"## {title}\n\n```\n{plan}\n```\n\n")
+
+    if failures:
+        print("PLAN VIOLATIONS:")
+        for x in failures:
+            print(" -", x)
+        sys.exit(1)
+    print("all plan assertions hold; PLANS.md written")
+
+
+if __name__ == "__main__":
+    main()

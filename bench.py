@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "1000000"))
 
 BENCH_QUERIES = ["q1_pricing", "g2_tile_assign", "j1_pip_rect", "j2_bbox_join",
                  "j6_knn", "a9_value_counts", "a15_regression", "d1_exact_dedup"]
@@ -53,12 +53,23 @@ def main():
         n = qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
 
+    # flagship: warm codegen with a small run, then measure
+    run_flagship_synthetic(spark, n_images=50_000, n_zones=64,
+                           partitions=max(CPUS, 8)).count()
     t0 = time.time()
     flag_rows = run_flagship_synthetic(
         spark, n_images=N_IMAGES, n_zones=64, hot=False,
         partitions=max(CPUS, 8)).count()
     flagship_sec = time.time() - t0
     timings["flagship_pip_tile"] = round(flagship_sec, 3)
+
+    # pixel path: decode -> mosaic -> per-tile PNG (G5) over 400 images
+    from geo_raster_spark import synth
+    from geo_raster_spark.operators import footprint as fp_op, mosaic as mz
+    t0 = time.time()
+    imgs = fp_op.with_footprint(synth.images_df(spark, 400, max(CPUS, 8)))
+    tile_rows = mz.tile_cut(imgs, nodata=0.0).count()
+    timings["g5_tile_cut_400"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -70,6 +81,7 @@ def main():
         "cpus": CPUS,
         "flagship_images": N_IMAGES,
         "flagship_result_rows": flag_rows,
+        "tile_cut_rows": tile_rows,
         "images_per_sec": round(N_IMAGES / flagship_sec, 1),
     }
     print(json.dumps(out))

@@ -467,6 +467,91 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured props (events.props is a JSON string)
+# ---------------------------------------------------------------------------
+
+def q_s9_json_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (e.withColumn("k", k)
+             .withColumn("k_band", F.floor(F.col("k") / 10).cast("int"))
+             .groupBy("event_type", "k_band")
+             .agg(F.count("*").alias("n"), F.round(F.avg("k"), 4).alias("avg_k")))
+
+
+SQL_S9 = """
+SELECT event_type,
+       CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INT) / 10.0) AS INT) AS k_band,
+       COUNT(*) AS n,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# P2/P3: extent algebra as column math (intersect/union/buffer/contains)
+# ---------------------------------------------------------------------------
+
+def q_p3_extent_algebra(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    b = (s.withColumn("aminx", F.expr("CAST(((s_suppkey * 7919) % 36000) / 100.0 - 180.0 AS DOUBLE)"))
+          .withColumn("aminy", F.expr("CAST(((s_suppkey * 104729) % 12000) / 100.0 - 60.0 AS DOUBLE)"))
+          .withColumn("amaxx", F.col("aminx") + 8.0).withColumn("amaxy", F.col("aminy") + 6.0)
+          .withColumn("bminx", F.col("aminx") + 4.0).withColumn("bminy", F.col("aminy") + 3.0)
+          .withColumn("bmaxx", F.col("bminx") + 8.0).withColumn("bmaxy", F.col("bminy") + 6.0))
+    inter_w = F.greatest(F.least("amaxx", "bmaxx") - F.greatest("aminx", "bminx"), F.lit(0.0))
+    inter_h = F.greatest(F.least("amaxy", "bmaxy") - F.greatest("aminy", "bminy"), F.lit(0.0))
+    union_w = F.greatest("amaxx", "bmaxx") - F.least("aminx", "bminx")
+    union_h = F.greatest("amaxy", "bmaxy") - F.least("aminy", "bminy")
+    return (b.select("s_suppkey",
+                     F.round(inter_w * inter_h, 6).alias("inter_area"),
+                     F.round(union_w * union_h, 6).alias("union_bbox_area"),
+                     ((F.col("aminx") <= F.col("bminx")) & (F.col("amaxx") >= F.col("bmaxx"))
+                      & (F.col("aminy") <= F.col("bminy")) & (F.col("amaxy") >= F.col("bmaxy"))).alias("contains_b")))
+
+
+SQL_P3 = """
+WITH b AS (
+  SELECT s_suppkey,
+         ((s_suppkey * 7919) % 36000) / 100.0 - 180.0 AS aminx,
+         ((s_suppkey * 104729) % 12000) / 100.0 - 60.0 AS aminy
+  FROM supplier
+), e AS (
+  SELECT s_suppkey, aminx, aminy, aminx + 8.0 AS amaxx, aminy + 6.0 AS amaxy,
+         aminx + 4.0 AS bminx, aminy + 3.0 AS bminy,
+         aminx + 12.0 AS bmaxx, aminy + 9.0 AS bmaxy
+  FROM b
+)
+SELECT s_suppkey,
+       ROUND(GREATEST(LEAST(amaxx, bmaxx) - GREATEST(aminx, bminx), 0.0)
+             * GREATEST(LEAST(amaxy, bmaxy) - GREATEST(aminy, bminy), 0.0), 6) AS inter_area,
+       ROUND((GREATEST(amaxx, bmaxx) - LEAST(aminx, bminx))
+             * (GREATEST(amaxy, bmaxy) - LEAST(aminy, bminy)), 6) AS union_bbox_area,
+       (aminx <= bminx AND amaxx >= bmaxx AND aminy <= bminy AND amaxy >= bmaxy) AS contains_b
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7: mean + coefficient of variation (legacy lc_agg composition)
+# ---------------------------------------------------------------------------
+
+def q_a7_mean_cv(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.expr("CAST(l_orderkey % 60 AS INT)").alias("cell"))
+    return g.agg(F.round(F.avg("l_quantity"), 6).alias("mean_q"),
+                 F.round(F.expr("stddev_pop(l_quantity) / avg(l_quantity)"), 6).alias("cv"))
+
+
+SQL_A7 = """
+SELECT CAST(l_orderkey % 60 AS INT) AS cell,
+       ROUND(AVG(l_quantity), 6) AS mean_q,
+       ROUND(stddev_pop(l_quantity) / AVG(l_quantity), 6) AS cv
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -489,6 +574,9 @@ QUERIES = {
     "t3_quality": q_t3_quality,
     "e1_cosine_topk": q_e1_cosine_topk,
     "w2_windowed_counts": q_w2_windowed_counts,
+    "s9_json_props": q_s9_json_props,
+    "p3_extent_algebra": q_p3_extent_algebra,
+    "a7_mean_cv": q_a7_mean_cv,
 }
 
 ORACLES = {
@@ -510,4 +598,7 @@ ORACLES = {
     "t3_quality": SQL_T3,
     "e1_cosine_topk": _sql_e1(),
     "w2_windowed_counts": SQL_W2,
+    "s9_json_props": SQL_S9,
+    "p3_extent_algebra": SQL_P3,
+    "a7_mean_cv": SQL_A7,
 }

@@ -56,9 +56,17 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def encode_png(arr: np.ndarray) -> bytes:
+    """8-bit grayscale (H, W) or RGBA (4, H, W) / (H, W, 4) PNG."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    h, w = arr.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    if arr.ndim == 3:
+        if arr.shape[0] == 4:  # planes-first (the reference's RGBA layout)
+            arr = np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
+        h, w, _ = arr.shape
+        ctype = 6  # truecolor + alpha
+    else:
+        h, w = arr.shape
+        ctype = 0  # grayscale
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
     return (_PNG_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(raw, 6)) + _chunk(b"IEND", b""))
@@ -77,19 +85,20 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
         if tag == b"IHDR":
             w, h, depth, ctype = struct.unpack_from(">IIBB", payload, 0)
-            if depth != 8 or ctype != 0:
-                raise NotImplementedError("only 8-bit grayscale PNG supported")
+            if depth != 8 or ctype not in (0, 6):
+                raise NotImplementedError("only 8-bit grayscale/RGBA PNG supported")
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
+    nch = 4 if ctype == 6 else 1
     raw = zlib.decompress(idat)
-    stride = w + 1
-    out = np.empty((h, w), dtype=np.uint8)
-    prev = np.zeros(w, dtype=np.uint8)
+    stride = w * nch + 1
+    out = np.empty((h, w * nch), dtype=np.uint8)
+    prev = np.zeros(w * nch, dtype=np.uint8)
     for r in range(h):
         ftype = raw[r * stride]
-        line = np.frombuffer(raw, dtype=np.uint8, count=w, offset=r * stride + 1)
+        line = np.frombuffer(raw, dtype=np.uint8, count=w * nch, offset=r * stride + 1)
         if ftype == 0:
             row = line.copy()
         elif ftype == 2:  # Up
@@ -98,6 +107,8 @@ def decode_png(data: bytes) -> np.ndarray:
             raise NotImplementedError(f"PNG filter {ftype} not supported")
         out[r] = row
         prev = row
+    if nch == 4:
+        return out.reshape(h, w, 4)
     return out
 
 

@@ -180,3 +180,18 @@ def test_footprints_within_bounds():
     m = synth.image_meta(np.arange(500))
     assert (m["minx"] >= -181).all() and (m["maxx"] <= 181).all()
     assert (m["miny"] >= -61).all() and (m["maxy"] <= 61).all()
+
+
+def test_png_rgba_roundtrip():
+    rng = np.random.default_rng(5)
+    rgba = rng.integers(0, 256, (4, 20, 30)).astype(np.uint8)  # planes-first
+    enc = codecs.encode_png(rgba)
+    dec = codecs.decode_png(enc)
+    assert dec.shape == (20, 30, 4)
+    assert np.array_equal(dec, np.transpose(rgba, (1, 2, 0)))
+    # viz pipeline: colorize then encode
+    from geo_raster_spark.kernels import viz
+    arr = synth.image_pixels(1, 32, 32, 42)
+    col = viz.colorize_rgba(arr, [0, 128], [(0, 0, 255, 255), (255, 0, 0, 255)])
+    enc2 = codecs.encode_png(col)
+    assert codecs.decode_png(enc2).shape == (32, 32, 4)

@@ -49,23 +49,44 @@ def shingles(text_col: str, k: int = 5) -> F.Column:
     return F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
 
 
-def _salted_hash(prefix: str):
-    """ONE-argument lambda factory.  CRITICAL: pyspark higher-order
+# SplitMix64 constants (public mix function) as signed-long literals
+_SM_GAMMA = -7046029254386353131    # 0x9E3779B97F4A7C15
+_SM_M1 = -4658895280553007687       # 0xBF58476D1CE4E5B9
+_SM_M2 = -7723592293110705685       # 0x94D049BB133111EB
+
+
+def _sm_mix(z):
+    """SplitMix64 finalizer as wrapping long column math (ANSI off)."""
+    z = z.bitwiseXOR(F.shiftrightunsigned(z, 30)) * F.lit(_SM_M1)
+    z = z.bitwiseXOR(F.shiftrightunsigned(z, 27)) * F.lit(_SM_M2)
+    return z.bitwiseXOR(F.shiftrightunsigned(z, 31))
+
+
+def _salted_min(hash_arr, salt: int):
+    """ONE-argument lambda factory (CRITICAL: pyspark higher-order
     functions dispatch on the Python lambda's ARITY — a two-argument
-    ``lambda s, i=i:`` would be called as (element, index), silently
-    binding ``i`` to the index Column (whose repr then poisons the salt
-    literal).  Capture salts via closure, never via default args."""
-    return lambda s: F.xxhash64(F.concat(F.lit(prefix), s))
+    ``lambda h, i=i:`` would be called as (element, index), silently
+    binding ``i`` to the index Column.  Capture salts via closure)."""
+    # wrap to int64 in Python (Python ints don't overflow; the JVM needs a long)
+    s = F.lit((salt * _SM_GAMMA + 2 ** 63) % 2 ** 64 - 2 ** 63)
+    return F.array_min(F.transform(hash_arr, lambda h: _sm_mix(h.bitwiseXOR(s))))
+
+
+def shingle_hashes(shingle_col):
+    """One xxhash64 pass over the shingles — the only string hashing."""
+    return F.transform(shingle_col, lambda sh: F.xxhash64(sh))
 
 
 def minhash_signature(shingle_col, n_hashes: int = 32):
-    """Array of ``n_hashes`` min-hash values: min over xxhash64(shingle, seed_i).
+    """Array of ``n_hashes`` min-hash values.
 
-    xxhash64 has no per-call seed in the function API, so seed variation is
-    string-prefix salting — still one JVM-side expression per hash."""
-    return F.array(*[
-        F.array_min(F.transform(shingle_col, _salted_hash(f"s{i}|")))
-        for i in range(n_hashes)])
+    Performance shape: higher-order functions evaluate INTERPRETED (no
+    whole-stage codegen), so the expensive string hash runs exactly once
+    per shingle; the ``n_hashes`` salted variants are derived from that
+    base hash with SplitMix64 long arithmetic (a universal-hash family),
+    ~10x cheaper than per-salt string hashing."""
+    hashes = shingle_hashes(shingle_col)
+    return F.array(*[_salted_min(hashes, i + 1) for i in range(n_hashes)])
 
 
 def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -83,16 +104,20 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     boilerplate shared by thousands of docs and would blow up the join
     quadratically; its members still pair through their other bands)."""
     r = n_hashes // bands
-    # persist() is load-bearing, not just a speedup: signatures must be
-    # MATERIALIZED before the self-join.  Joining two renamed projections of
-    # the same un-materialized plan trips Spark's ambiguous self-join
-    # attribute resolution, which can bind both sides' columns to one side
-    # NONDETERMINISTICALLY (observed: est_jaccard collapsing to 1.0 on
-    # random runs).  Materialization also avoids recomputing the (expensive)
-    # signatures once per join side — the standard LSH pipeline shape.
-    sig = docs.select(
+    # Two-step materialization, both load-bearing:
+    # 1. the base shingle-hash array is persisted so the (interpreted,
+    #    expensive) string-hash pass runs ONCE — Catalyst's CollapseProject
+    #    would otherwise inline it into all n_hashes salted variants;
+    # 2. the signature table is persisted before the self-join — signatures
+    #    recomputed per join side are wasteful AND self-joins of renamed
+    #    un-materialized projections have bitten us before (see git log).
+    hashed = docs.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(shingles(text_col, k), n_hashes).alias("sig")).persist()
+        shingle_hashes(shingles(text_col, k)).alias("_h")).persist()
+    sig = hashed.select(
+        "_id",
+        F.array(*[_salted_min(F.col("_h"), i + 1)
+                  for i in range(n_hashes)]).alias("sig")).persist()
 
     bands_df = sig.select(
         "_id", "sig",

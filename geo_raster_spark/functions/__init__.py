@@ -38,8 +38,11 @@ def splitmix64(x: Column) -> Column:
 
 
 def unit_from_hash(h: Column, salt: int) -> Column:
-    """Deterministic uniform [0,1) — twin of ``synth._unit``."""
-    return _u(splitmix64(h.bitwiseXOR(F.lit(salt)))) / F.lit(_TWO64)
+    """Deterministic uniform [0,1) — BIT-IDENTICAL twin of ``synth._unit``:
+    top 53 bits of the mix, so the long->double conversion is exact in
+    both engines (see synth._unit)."""
+    return (F.shiftrightunsigned(splitmix64(h.bitwiseXOR(F.lit(salt))), 11)
+            .cast("double") / F.lit(float(2 ** 53)))
 
 
 def image_lon(phash: Column) -> Column:

@@ -45,8 +45,14 @@ def splitmix64(x):
 
 
 def _unit(h, salt):
-    """Deterministic uniform [0,1) keyed by (h, salt)."""
-    return splitmix64(np.asarray(h, dtype=_U64) ^ _U64(salt)).astype(np.float64) / 2.0 ** 64
+    """Deterministic uniform [0,1) keyed by (h, salt).
+
+    Uses the TOP 53 bits so the int->double conversion is EXACT — this is
+    what makes the NumPy twin and the Spark column twin bit-identical
+    (converting a full uint64 to double rounds, and the SQL path would
+    round a second time when re-adding 2^63, drifting 1 ULP on ~8% of
+    values)."""
+    return (splitmix64(np.asarray(h, dtype=_U64) ^ _U64(salt)) >> _U64(11)).astype(np.float64) / 2.0 ** 53
 
 
 def image_meta(i):

@@ -186,3 +186,18 @@ def test_zonal_stats_matches_kernel(spark):
         np.testing.assert_allclose(got.loc[zid, "rng"], rng, rtol=1e-12)
         assert got.loc[zid, "n_pixels"] == cnt
     assert set(got.index) == set(agg.keys())
+
+
+def test_footprint_pandas_engine_agrees_with_sql(spark):
+    """The Arrow-UDF derivation must equal the column-math derivation
+    bit-for-bit (same SplitMix64, same cell packing)."""
+    imgs = flagship.footprint_input(spark, 500, 4)
+    a = footprint.with_footprint(imgs, engine="sql") \
+        .select("image_id", "lon", "lat", "minx", "maxy", "cell") \
+        .orderBy("image_id").toPandas()
+    b = footprint.with_footprint(imgs, engine="pandas") \
+        .select("image_id", "lon", "lat", "minx", "maxy", "cell") \
+        .orderBy("image_id").toPandas()
+    assert (a["cell"].values == b["cell"].values).all()
+    np.testing.assert_array_equal(a["lon"].values, b["lon"].values)
+    np.testing.assert_array_equal(a["minx"].values, b["minx"].values)

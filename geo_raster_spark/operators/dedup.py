@@ -167,6 +167,17 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")))
 
 
+def _fnv1a64(data: bytes) -> int:
+    """Deterministic 64-bit FNV-1a (public algorithm).  NEVER use Python's
+    builtin ``hash()`` in executor code: string hashing is salted per
+    process (PYTHONHASHSEED), so results would differ across workers."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def simhash_signature(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document (vectorized Arrow batches)."""
@@ -178,8 +189,8 @@ def simhash_signature(docs: DataFrame, text_col: str = "text",
                 toks = t.lower().split()
                 if not toks:
                     continue
-                hs = np.array([np.int64(np.uint64(hash(w) & 0xFFFFFFFFFFFFFFFF))
-                               for w in toks], dtype=np.uint64)
+                hs = np.array([_fnv1a64(w.encode("utf-8")) for w in toks],
+                              dtype=np.uint64)
                 bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                         & np.uint64(1)).astype(np.int64)
                 votes = (2 * bits - 1).sum(axis=0)

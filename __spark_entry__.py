@@ -57,6 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from geo_raster_spark.operators import pip_join, tile_assign
 
     ensure_py_files(spark)
+    _pin_session_confs(spark)
     orders = _t(spark, SF0001, "orders")
     pts = (orders
            .withColumn("lon", F.expr(_lon_expr("o_orderkey")))
@@ -329,12 +330,25 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
+def _pin_session_confs(spark):
+    """Host-session-proofing (runtime-settable confs only):
+    - UTC so timestamp filters agree with DuckDB's naive timestamps;
+    - ANSI off so SplitMix64 wrapping long arithmetic works (Spark 4
+      defaults ANSI on, which throws on the intentional overflow)."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass  # locked-down session: queries that need these may fail loudly
+
+
 def _shipped(fn):
     """Wrap a query so executor workers can import geo_raster_spark even when
     the host SparkSession was created outside this repo (addPyFile)."""
     def wrapper(spark, sf_dir):
         from geo_raster_spark.deploy import ensure_py_files
         ensure_py_files(spark)
+        _pin_session_confs(spark)
         return fn(spark, sf_dir)
     wrapper.__doc__ = fn.__doc__
     wrapper.__name__ = fn.__name__

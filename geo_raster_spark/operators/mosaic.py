@@ -36,17 +36,31 @@ TILE_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
 def tile_cut(images: DataFrame, grid: TileGrid | None = None,
              nodata: float = 0.0, agg_to_cell: float | None = None,
              agg_func: str = "mean", min_rate: float = 0.1,
-             checkpoint=None, stage: str = "tile_cut") -> DataFrame:
+             checkpoint=None, stage: str = "tile_cut",
+             salt_buckets: int | None = None) -> DataFrame:
     """images (with footprint cols + bytes/fmt) -> one row per output tile.
 
     ``agg_to_cell``: optional coarser output cell size (A1/A2 aggregation
     after the mosaic, like the reference's --cell-size).
-    Output ``data`` is a PNG-encoded uint8 band."""
+    Output ``data`` is a PNG-encoded uint8 band.
+
+    ``salt_buckets``: hot-tile skew handling (north rule) — images split
+    into ``pmod(xxhash64(image_id), k)`` sub-groups per tile; partial
+    mosaics build in parallel, then a second first-wins merge combines the
+    k partials per tile.  Identical output to the unsalted path because the
+    global paint order is preserved: within a salt group candidates sort by
+    image_id, and the merge phase re-sorts partials so pixel precedence is
+    decided by the MINIMUM image_id that painted each pixel — asserted
+    equal in tests."""
     grid = grid or TileGrid()
     assigned = assign_tiles(images, grid.image_size, grid.cell_size, grid.edge,
                             p=grid.p)
     if checkpoint is not None:
         assigned = checkpoint.filter_pending(assigned, stage, "tile_tag")
+
+    if salt_buckets is not None and salt_buckets > 1:
+        return _tile_cut_salted(assigned, grid, nodata, salt_buckets,
+                                agg_to_cell, agg_func, min_rate)
 
     g = grid
 
@@ -86,3 +100,78 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
             .repartition("tile_tag")
             .groupBy("tile_tag")
             .applyInPandas(assemble, schema=TILE_SCHEMA))
+
+
+_PARTIAL_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
+                   "n_images int, data binary, winner binary")
+
+
+def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
+                     k: int, agg_to_cell, agg_func, min_rate) -> DataFrame:
+    """Two-phase hot-tile mosaic: per-(tile, salt) partials carry a
+    per-pixel WINNER-id plane so the merge reproduces the global
+    min-image_id first-wins order exactly."""
+    salted = assigned.withColumn(
+        "salt", F.pmod(F.xxhash64("image_id"), F.lit(k)).cast("int"))
+
+    def assemble_partial(key, pdf: pd.DataFrame):
+        tag, _salt = key[0], key[1]
+        tcol = int(pdf["tile_col"].iloc[0])
+        trow = int(pdf["tile_row"].iloc[0])
+        info = g.tile_info(tcol, trow)
+        pdf = pdf.sort_values("image_id", kind="stable")
+        out = np.full((info.height, info.width), nodata, dtype=np.float64)
+        winner = np.full(out.shape, np.iinfo(np.int64).max, dtype=np.int64)
+        for _, r in pdf.iterrows():
+            arr = codecs.decode(r["bytes"], r["fmt"]).astype(np.float64)
+            src = RasterInfo(tuple(r["gt"]), int(r["w"]), int(r["h"]))
+            empty_before = out == nodata
+            warp_k.warp_band(arr, src, info, nodata, out=out)
+            newly = empty_before & (out != nodata)
+            winner[newly] = int(r["image_id"][3:])
+        return pd.DataFrame([{
+            "tile_tag": tag, "tile_col": tcol, "tile_row": trow,
+            "n_images": len(pdf),
+            "data": codecs.encode_npy(out.astype(np.float64)),
+            "winner": codecs.encode_npy(winner),
+        }])
+
+    partials = (salted.repartition("tile_tag", "salt")
+                      .groupBy("tile_tag", "salt")
+                      .applyInPandas(assemble_partial, schema=_PARTIAL_SCHEMA))
+
+    def merge(key, pdf: pd.DataFrame):
+        tag = key[0]
+        tcol = int(pdf["tile_col"].iloc[0])
+        trow = int(pdf["tile_row"].iloc[0])
+        info = g.tile_info(tcol, trow)
+        out = np.full((info.height, info.width), nodata, dtype=np.float64)
+        win = np.full(out.shape, np.iinfo(np.int64).max, dtype=np.int64)
+        for _, r in pdf.iterrows():
+            d = codecs.decode_npy(r["data"])
+            w = codecs.decode_npy(r["winner"])
+            take = w < win  # global min-image_id precedence per pixel
+            out[take] = d[take]
+            win[take] = w[take]
+        out_info = info
+        if agg_to_cell is not None:
+            scaled = info.scale(cell_size=agg_to_cell)
+            off_y = (scaled.gt[3] - info.gt[3]) / info.gt[5]
+            off_x = (scaled.gt[0] - info.gt[0]) / info.gt[1]
+            sc = scaled.gt[1] / info.gt[1]
+            fn = agg_k.mean if agg_func == "mean" else agg_k.median
+            kwargs = {"min_rate": min_rate} if agg_func == "mean" else {}
+            out = fn(out, off_y, off_x, sc, nodata, scaled.height, scaled.width,
+                     **kwargs)
+            out_info = scaled
+        painted = int((out != nodata).sum())
+        return pd.DataFrame([{
+            "tile_tag": tag, "tile_col": tcol, "tile_row": trow,
+            "width": out_info.width, "height": out_info.height,
+            "gt": list(out_info.gt), "n_images": int(pdf["n_images"].sum()),
+            "painted": painted,
+            "data": codecs.encode_png(np.clip(out, 0, 255).astype(np.uint8)),
+        }])
+
+    return (partials.groupBy("tile_tag")
+                    .applyInPandas(merge, schema=TILE_SCHEMA))

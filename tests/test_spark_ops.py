@@ -201,3 +201,17 @@ def test_footprint_pandas_engine_agrees_with_sql(spark):
     assert (a["cell"].values == b["cell"].values).all()
     np.testing.assert_array_equal(a["lon"].values, b["lon"].values)
     np.testing.assert_array_equal(a["minx"].values, b["minx"].values)
+
+
+def test_tile_cut_salted_equals_unsalted(spark):
+    """Hot-tile salting (north rule): the two-phase salted mosaic must be
+    byte-identical to the plain path — winner planes preserve the global
+    min-image_id first-wins precedence."""
+    imgs = footprint.with_footprint(synth.images_df(spark, 80, 4, with_bytes=True))
+    plain = {r["tile_tag"]: (bytes(r["data"]), r["n_images"], r["painted"])
+             for r in mosaic.tile_cut(imgs, nodata=0.0).collect()}
+    salted = {r["tile_tag"]: (bytes(r["data"]), r["n_images"], r["painted"])
+              for r in mosaic.tile_cut(imgs, nodata=0.0, salt_buckets=4).collect()}
+    assert set(plain) == set(salted)
+    for tag in plain:
+        assert plain[tag] == salted[tag], tag

@@ -68,7 +68,8 @@ def _pip_expr(edges_col, lon, lat):
 def pip_join(points: DataFrame, zones_pdf: pd.DataFrame,
              lon_col: str = "lon", lat_col: str = "lat",
              cell_col: str = "cell", res: int = DEFAULT_RES,
-             keep_zone_name: bool = True, engine: str = "sql") -> DataFrame:
+             keep_zone_name: bool = True, engine: str = "sql",
+             broadcast: bool = True) -> DataFrame:
     """points ⋈ zones where the point lies inside the zone polygon.
 
     ``points`` must already carry ``cell_col`` (use
@@ -81,7 +82,12 @@ def pip_join(points: DataFrame, zones_pdf: pd.DataFrame,
     pipeline, whole-stage codegen end to end.  Interior (FULL) cells skip
     even that via the labeled cover.
     ``engine='pandas'``: Arrow-batch NumPy ray cast (the general path for
-    zone sets too large/complex to ship as expression literals)."""
+    zone sets too large/complex to ship as expression literals).
+
+    ``broadcast=False``: for zone sets whose cover no longer fits a
+    broadcast (10^6+ zones) — the cell match becomes a plain shuffle
+    equi-join on the int64 ``cell`` key (bounded, well-distributed; AQE
+    splits hot cells), per SCALE.md."""
     spark = points.sparkSession
     cover_pdf_rows = []
     rings = {}
@@ -104,8 +110,8 @@ def pip_join(points: DataFrame, zones_pdf: pd.DataFrame,
             pd.DataFrame({"zone_id": list(rings),
                           "edges": [_ring_edges_literal(r) for r in rings.values()]}),
             schema=f"zone_id int, edges {edge_type}")
-        cand = (points.join(F.broadcast(cover),
-                            points[cell_col] == cover["cell"], "inner")
+        cov = F.broadcast(cover) if broadcast else cover
+        cand = (points.join(cov, points[cell_col] == cover["cell"], "inner")
                       .drop(cover["cell"])
                       .join(F.broadcast(edges), "zone_id"))
         inside = F.when(F.col("full"), F.lit(True)).otherwise(
@@ -113,8 +119,8 @@ def pip_join(points: DataFrame, zones_pdf: pd.DataFrame,
         refined = cand.where(inside).drop("full", "edges")
     else:
         cover = spark.createDataFrame(cover_pdf)
-        cand = points.join(F.broadcast(cover),
-                           points[cell_col] == cover["cell"], "inner") \
+        cov = F.broadcast(cover) if broadcast else cover
+        cand = points.join(cov, points[cell_col] == cover["cell"], "inner") \
                      .drop(cover["cell"])
         accepted = cand.where(F.col("full")).drop("full")
         boundary = cand.where(~F.col("full")).drop("full")

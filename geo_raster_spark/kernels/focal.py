@@ -47,7 +47,9 @@ def focal_median(dat, dist, nodata, vs=None):
     sel = (dat != nodata) & (n_valid > 0)
     if vs is not None:
         sel &= np.isin(dat, list(vs))
-    med_cast = med.astype(dat.dtype)
+    # all-NaN windows are excluded by sel; fill before cast to avoid the
+    # invalid-cast warning flooding executor logs
+    med_cast = np.nan_to_num(med, nan=float(nodata)).astype(dat.dtype)
     changed = int(np.sum(sel & (med_cast != dat)))
     out[sel] = med_cast[sel]
     return out, changed

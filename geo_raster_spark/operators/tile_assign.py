@@ -25,9 +25,11 @@ from ..synth import CELL_SIZE
 
 def assign_tiles(df: DataFrame, image_size: int = 100,
                  cell_size: float = CELL_SIZE, edge: int = 1,
-                 p: float = 180.0) -> DataFrame:
+                 p: float = 180.0, with_tag: bool = True) -> DataFrame:
     """df(minx,miny,maxx,maxy, ...) -> one row per (row, covering tile):
-    + tile_col, tile_row, tile_tag.
+    + tile_col, tile_row (+ tile_tag unless ``with_tag=False`` — terminal
+    aggregations should group on the int keys and format the tag on the
+    aggregated output instead of per probe row).
 
     Tile-extent semantics include the edge halo, matching the reference's
     ``tiles.list`` intersection test [ref: lib/global_task.py:120-122]."""
@@ -36,7 +38,9 @@ def assign_tiles(df: DataFrame, image_size: int = 100,
                              image_size, cell_size, edge, p)
     df = df.withColumn("tile_col", F.explode(F.sequence(r["tile_col0"], r["tile_col1"])))
     df = df.withColumn("tile_row", F.explode(F.sequence(r["tile_row0"], r["tile_row1"])))
-    return df.withColumn("tile_tag", gf.tile_tag(F.col("tile_col"), F.col("tile_row")))
+    if with_tag:
+        df = df.withColumn("tile_tag", gf.tile_tag(F.col("tile_col"), F.col("tile_row")))
+    return df
 
 
 def tile_grid_df(spark, grid: TileGrid, ext=None) -> DataFrame:

@@ -19,13 +19,21 @@ from ..operators import footprint, pip_join, tile_assign
 def flagship(images: DataFrame, zones_pdf, grid: TileGrid | None = None,
              checkpoint=None) -> DataFrame:
     """-> (zone_id, tile_tag, n_images) counts."""
+    from .. import functions as gf
+
     grid = grid or TileGrid()
     fp = footprint.with_footprint(images)
     joined = pip_join.pip_join(fp, zones_pdf, keep_zone_name=False)
     tiled = tile_assign.assign_tiles(
-        joined, grid.image_size, grid.cell_size, grid.edge, p=grid.p)
-    counts = (tiled.groupBy("zone_id", "tile_tag")
-                   .agg(F.count("*").alias("n_images")))
+        joined, grid.image_size, grid.cell_size, grid.edge, p=grid.p,
+        with_tag=False)
+    # group on the int keys and format the tag AFTER the aggregation:
+    # format_string runs on ~10^4 result rows instead of ~10^8 probe rows
+    counts = (tiled.groupBy("zone_id", "tile_col", "tile_row")
+                   .agg(F.count("*").alias("n_images"))
+                   .withColumn("tile_tag",
+                               gf.tile_tag(F.col("tile_col"), F.col("tile_row")))
+                   .drop("tile_col", "tile_row"))
     if checkpoint is not None:
         checkpoint.record_df(counts, stage="flagship", key_col="tile_tag")
     return counts

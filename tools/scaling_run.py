@@ -36,19 +36,21 @@ from geo_raster_spark.session import get_spark
 from pyspark.sql import functions as F
 
 cores = int(sys.argv[1]); n = int(sys.argv[2]); mode = sys.argv[3]
+# IDENTICAL job config at every cluster size (the real deployment shape:
+# partitioning is fixed by the data, only executor count varies)
 spark = get_spark(app_name=f"scaling-{{cores}}-{{mode}}", cores=cores,
-                  shuffle_partitions=cores)
+                  shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
 
 if mode == "baseline":
     from geo_raster_spark import functions as gf
     nb = n * 16
-    df = spark.range(0, nb, 1, cores).withColumn(
+    df = spark.range(0, nb, 1, 128).withColumn(
         "h", gf.splitmix64(gf.splitmix64(gf.splitmix64(F.col("id")))))
     q = df.groupBy(F.pmod(F.col("h"), F.lit(1000)).alias("k")).count()
     q.count()
     best = None
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.time(); q.count(); dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     print(json.dumps({{"cores": cores, "mode": mode, "n": nb,
@@ -57,12 +59,12 @@ else:
     from geo_raster_spark.plans.flagship import run_flagship_synthetic
     hot = mode == "hot"
     run_flagship_synthetic(spark, n_images=200_000, n_zones=64, hot=hot,
-                           partitions=cores).count()  # codegen warmup
+                           partitions=128).count()  # codegen warmup
     best = rows = None
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.time()
         rows = run_flagship_synthetic(spark, n_images=n, n_zones=64, hot=hot,
-                                      partitions=cores).count()
+                                      partitions=128).count()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     print(json.dumps({{"cores": cores, "mode": mode, "n": n, "rows": rows,
@@ -81,7 +83,7 @@ def run_child(cores: int, n: int, mode: str) -> dict:
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 192_000_000
     cores_levels = [2, 8, 32]
     r = {}
     for mode in ["baseline", "flagship", "hot"]:
@@ -106,7 +108,9 @@ Protocol (BASELINE.md): identical seeded synthetic images table
 flagship = SplitMix64 footprints -> DGGS cell -> broadcast PIP join
 (64 zones, JVM ray-cast refine, FULL-cell index shortcut) -> global-grid
 tile assignment (explode/sequence, map-side) -> (zone, tile) counts.
-Separate JVMs per (cores, job); best of 3 warm runs (JIT settled).
+Separate JVMs per (cores, job); IDENTICAL plan at every level (128 input
+partitions, 64 shuffle partitions — only the core count varies, as on a
+real cluster); best of 2 warm runs (JIT settled).
 
 | job | local[2] | local[8] | local[32] | eff 2->8 | eff 8->32 |
 |---|---|---|---|---|---|

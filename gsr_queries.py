@@ -287,9 +287,16 @@ def q_w_sessionize(spark, sf_dir):
     """Sessionization: 30-min gap -> new session; sessions per user."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
-    s = (e.withColumn("new_sess",
-                      F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)))
+    # events.ts carries microsecond precision; compare integer microseconds so
+    # the session-gap test matches DuckDB's epoch_us() exactly (unix_timestamp
+    # would truncate to whole seconds and misclassify gaps straddling 1800s).
+    # timestampdiff is wall-clock arithmetic on TIMESTAMP_NTZ: no session-TZ
+    # or DST dependence, unlike a cast to TIMESTAMP_LTZ + unix_micros.
+    prev = F.lag("ts").over(w)
+    gap = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    s = (e.withColumn("_prev_ts", prev)
+          .withColumn("new_sess",
+                      F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)))
     return (s.groupBy("user_id")
              .agg(F.sum("new_sess").alias("n_sessions"),
                   F.count("*").alias("n_events")))
@@ -298,11 +305,11 @@ def q_w_sessionize(spark, sf_dir):
 SQL_W_SESSIONIZE = """
 WITH g AS (
   SELECT user_id, ts, event_id,
-         epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
   FROM events
 )
 SELECT user_id,
-       SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM g GROUP BY 1
 """
@@ -334,7 +341,7 @@ WITH toks AS (
                / greatest(len(tok), 1), 6) AS avg_token_len
   FROM toks
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        ROUND(AVG(avg_token_len), 6) AS mean_tok_len
 FROM s GROUP BY 1
 """

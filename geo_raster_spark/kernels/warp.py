@@ -69,12 +69,19 @@ def mosaic(sources, dst_info: RasterInfo, nodata, dtype=None,
 
     [ref: mod/geo_raster_ex_c.pyx:1205-1246] — the reference paints in
     shapefile feature order; our operators sort candidates by (priority,
-    image_id) before calling, fixing the order-dependence (SURVEY.md §4)."""
-    dtype = dtype or (np.asarray(sources[0][0]).dtype if sources else np.float64)
+    image_id) before calling, fixing the order-dependence (SURVEY.md §4).
+
+    ``sources`` may be a lazy iterable (e.g. a decode generator): with an
+    explicit ``dtype`` nothing is buffered — each source is painted and
+    released, so peak memory is ONE decoded source + the output, no matter
+    how many images hit a hot tile."""
+    if dtype is None:
+        sources = list(sources)
+        dtype = np.asarray(sources[0][0]).dtype if sources else np.float64
     out = np.full((dst_info.height, dst_info.width), nodata, dtype=dtype)
+    de = dst_info.extent()
     for data, info in sources:
         # cheap footprint prefilter before the per-pixel gather
-        de = dst_info.extent()
         se = crs_mod.transform_extent(info.crs, dst_info.crs, info.extent())
         if se[0] > de[2] or se[2] < de[0] or se[1] > de[3] or se[3] < de[1]:
             continue

@@ -128,6 +128,8 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          for j in range(r)])).alias("band_hash"))
             for b in range(bands)])).alias("band")
     ).select("_id", "band.band_id", "band.band_hash").persist()
+    bands_cached = bands_df   # keep the persisted handle (bands_df is
+    #                           reassigned by the skew filter below)
 
     # force materialization NOW: a lazily-persisted self-join input is
     # still re-resolved per side at analysis time (observed nondeterminism
@@ -163,8 +165,18 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                                       lambda x, y: x == y),
                            lambda m: m)).cast("double") / F.lit(float(n_hashes)))
     pairs = pairs.withColumn("est_jaccard", est)
-    return (pairs.where(F.col("est_jaccard") >= jaccard_threshold)
-                 .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")))
+    out = (pairs.where(F.col("est_jaccard") >= jaccard_threshold)
+                .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+                .persist())
+    # Materialize the (small) pair result, then release the three heavy
+    # intermediate caches — they otherwise leak executor storage memory
+    # across repeated calls in one session.  Callers owning long sessions
+    # may unpersist() the returned DataFrame when done with it.
+    out.count()
+    hashed.unpersist()
+    sig.unpersist()
+    bands_cached.unpersist()
+    return out
 
 
 def _fnv1a64(data: bytes) -> int:

@@ -4,12 +4,13 @@ The reference pre-materializes halos via the tile grid's ``edge`` parameter
 [ref: lib/global_task.py:120-121] so window ops near tile borders see their
 neighbors.  Spark-first shape:
 
-1. every tile row emits itself to its 3x3 neighborhood
-   (``explode`` over neighbor tags — map-side, x9 amplification of tile
-   METADATA+pixels, bounded by halo width);
+1. a map-side ``mapInPandas`` decodes each tile ONCE and emits its center
+   plus 8 HALO STRIPS (depth ``halo + grid.edge``) addressed to the 3x3
+   neighborhood — shuffle volume ~(1 + 8*(halo+edge)/size) x tile bytes
+   instead of the naive 9x full-tile fan-out;
 2. ``groupBy(center_tag).applyInPandas`` assembles the padded array
-   (center tile + ``halo`` pixels from each neighbor), runs the NumPy focal
-   kernel, and crops back to the tile core;
+   (center tile + neighbor strips), runs the NumPy focal kernel, and crops
+   back to the tile core;
 3. result is a new tiles DataFrame — same schema, so focal ops compose.
 
 Correctness bound (SURVEY.md §7.3.4): for iterated kernels the halo must be
@@ -21,7 +22,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from .. import codecs
 from ..grid import TileGrid
@@ -30,6 +30,18 @@ from ..kernels import focal as focal_k
 TILE_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
                "width int, height int, gt array<double>, "
                "n_images int, painted bigint, data binary")
+
+_TILE_COLS = ["tile_tag", "tile_col", "tile_row", "width", "height", "gt",
+              "n_images", "painted", "data"]
+
+_EMIT_SCHEMA = ("dst_tag string, tile_tag string, tile_col int, tile_row int, "
+                "width int, height int, gt array<double>, n_images int, "
+                "painted bigint, rel_dr int, rel_dc int, r_off int, c_off int, "
+                "data binary")
+
+_EMIT_COLS = ["dst_tag", "tile_tag", "tile_col", "tile_row", "width", "height",
+              "gt", "n_images", "painted", "rel_dr", "rel_dc", "r_off",
+              "c_off", "data"]
 
 
 def _focal_fn(kind: str, **kw):
@@ -54,57 +66,91 @@ def focal_tiles(tiles: DataFrame, kind: str, halo: int = 2,
     """
     grid = grid or TileGrid()
     n_cols = grid.n_cols
-
-    # neighbor fan-out: each tile contributes to its 3x3 block's assembly
-    neigh = tiles.withColumn(
-        "dst", F.explode(F.array(*[
-            F.struct((F.pmod(F.col("tile_col") + dc, F.lit(n_cols))).alias("c"),
-                     (F.col("tile_row") + dr).alias("r"))
-            for dr in (-1, 0, 1) for dc in (-1, 0, 1)])))
-    neigh = (neigh
-             .withColumn("dst_tag", F.format_string("h%03dv%03d", "dst.c", "dst.r"))
-             .drop("dst"))
-
     kernel = _focal_fn(kind, **kernel_kwargs)
+    # the kernel's nodata doubles as the "empty pad pixel" sentinel —
+    # hardcoding 0 here would make nodata != 0 halos never fill
+    nod = kernel_kwargs.get("nodata", 0)
     g = grid
     h = halo
+    # strip depth: the neighbor pixels visible in the padded frame are the
+    # halo ring PLUS the grid's tile-overlap band (tiles are
+    # (size+edge)^2 px on a size-px step)
+    d = halo + grid.edge
+
+    def emit(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = {
+                    "tile_tag": r["tile_tag"], "tile_col": int(r["tile_col"]),
+                    "tile_row": int(r["tile_row"]), "width": int(r["width"]),
+                    "height": int(r["height"]), "gt": list(r["gt"]),
+                    "n_images": int(r["n_images"]), "painted": int(r["painted"]),
+                }
+                arr = None
+                for dr_e in (-1, 0, 1):
+                    for dc_e in (-1, 0, 1):
+                        dst_c = (meta["tile_col"] + dc_e) % n_cols  # ±180° wrap
+                        dst_r = meta["tile_row"] + dr_e
+                        dst_tag = "h%03dv%03d" % (dst_c, dst_r)
+                        rel_dr, rel_dc = -dr_e, -dc_e  # our offset in dst's frame
+                        if (dr_e, dc_e) == (0, 0):
+                            rows.append({**meta, "dst_tag": dst_tag,
+                                         "rel_dr": 0, "rel_dc": 0,
+                                         "r_off": 0, "c_off": 0,
+                                         "data": r["data"]})
+                            continue
+                        if arr is None:
+                            arr = codecs.decode_png(bytes(r["data"]))
+                        ht, wt = arr.shape
+                        rs = (slice(0, ht) if rel_dr == 0
+                              else slice(max(0, ht - d), ht) if rel_dr == -1
+                              else slice(0, min(d, ht)))
+                        cs = (slice(0, wt) if rel_dc == 0
+                              else slice(max(0, wt - d), wt) if rel_dc == -1
+                              else slice(0, min(d, wt)))
+                        sub = arr[rs, cs]
+                        if sub.size == 0:
+                            continue
+                        rows.append({**meta, "dst_tag": dst_tag,
+                                     "rel_dr": rel_dr, "rel_dc": rel_dc,
+                                     "r_off": rs.start, "c_off": cs.start,
+                                     "data": codecs.encode_png(
+                                         np.ascontiguousarray(sub))})
+            yield pd.DataFrame(rows, columns=_EMIT_COLS)
+
+    neigh = tiles.mapInPandas(emit, schema=_EMIT_SCHEMA)
 
     def assemble(key, pdf: pd.DataFrame):
         tag = key[0]
-        center = pdf[pdf["tile_tag"] == tag]
+        center = pdf[(pdf["rel_dr"] == 0) & (pdf["rel_dc"] == 0)]
         if len(center) == 0:
-            return pd.DataFrame([], columns=["tile_tag", "tile_col", "tile_row",
-                                             "width", "height", "gt", "n_images",
-                                             "painted", "data"])
+            return pd.DataFrame([], columns=_TILE_COLS)
         c = center.iloc[0]
         W, H = int(c["width"]), int(c["height"])
-        pad = np.zeros((H + 2 * h, W + 2 * h), dtype=np.uint8)
-        ccol, crow = int(c["tile_col"]), int(c["tile_row"])
         size = g.image_size  # un-haloed tile step in pixels
-        for _, r in pdf.iterrows():
-            arr = codecs.decode_png(bytes(r["data"]))
-            dc = int(r["tile_col"]) - ccol
-            dr = int(r["tile_row"]) - crow
-            if dc > 1:
-                dc -= g.n_cols  # antimeridian wrap
-            if dc < -1:
-                dc += g.n_cols
-            # placement of neighbor tile origin relative to padded center
-            y0 = h + dr * size
-            x0 = h + dc * size
-            ys, xs = slice(max(0, y0), min(pad.shape[0], y0 + arr.shape[0])), \
-                     slice(max(0, x0), min(pad.shape[1], x0 + arr.shape[1]))
+        pad = np.full((H + 2 * h, W + 2 * h), nod, dtype=np.uint8)
+        carr = codecs.decode_png(bytes(c["data"]))
+        pad[h:h + carr.shape[0], h:h + carr.shape[1]] = carr
+        strips = pdf[(pdf["rel_dr"] != 0) | (pdf["rel_dc"] != 0)] \
+            .sort_values(["rel_dr", "rel_dc", "tile_tag"], kind="stable")
+        for _, r in strips.iterrows():
+            sub = codecs.decode_png(bytes(r["data"]))
+            y0 = h + int(r["rel_dr"]) * size + int(r["r_off"])
+            x0 = h + int(r["rel_dc"]) * size + int(r["c_off"])
+            ys = slice(max(0, y0), min(pad.shape[0], y0 + sub.shape[0]))
+            xs = slice(max(0, x0), min(pad.shape[1], x0 + sub.shape[1]))
             if ys.start < ys.stop and xs.start < xs.stop:
-                sub = arr[ys.start - y0:ys.stop - y0, xs.start - x0:xs.stop - x0]
-                if int(r["tile_tag"] == tag):
-                    pad[ys, xs] = sub
-                else:
-                    # neighbors only fill pixels the center left empty
-                    dst = pad[ys, xs]
-                    pad[ys, xs] = np.where(dst == 0, sub, dst)
+                s = sub[ys.start - y0:ys.stop - y0, xs.start - x0:xs.stop - x0]
+                dst = pad[ys, xs]
+                # neighbors only fill pixels still empty (== kernel nodata);
+                # overlap-band values are identical across tiles (same
+                # deterministic mosaic), so fill order cannot change bytes
+                pad[ys, xs] = np.where(dst == nod, s, dst)
         out = kernel(pad)[h:h + H, h:h + W]
         return pd.DataFrame([{
-            "tile_tag": tag, "tile_col": ccol, "tile_row": crow,
+            "tile_tag": tag, "tile_col": int(c["tile_col"]),
+            "tile_row": int(c["tile_row"]),
             "width": W, "height": H, "gt": list(c["gt"]),
             "n_images": int(c["n_images"]), "painted": int((out != 0).sum()),
             "data": codecs.encode_png(out.astype(np.uint8)),

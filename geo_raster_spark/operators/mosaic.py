@@ -70,12 +70,15 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
         trow = int(pdf["tile_row"].iloc[0])
         info = g.tile_info(tcol, trow)
         pdf = pdf.sort_values("image_id", kind="stable")  # deterministic first-wins
-        sources = []
-        for _, r in pdf.iterrows():
-            arr = codecs.decode(r["bytes"], r["fmt"]).astype(np.float64)
-            gt = tuple(r["gt"])
-            sources.append((arr, RasterInfo(gt, int(r["w"]), int(r["h"]))))
-        out = warp_k.mosaic(sources, info, nodata=nodata)
+
+        def decoded():
+            # stream: decode-and-paint one source at a time so a hot tile
+            # with 10^4 candidates holds ONE decoded array, not all of them
+            for _, r in pdf.iterrows():
+                arr = codecs.decode(r["bytes"], r["fmt"]).astype(np.float64)
+                yield arr, RasterInfo(tuple(r["gt"]), int(r["w"]), int(r["h"]))
+
+        out = warp_k.mosaic(decoded(), info, nodata=nodata, dtype=np.float64)
         out_info = info
         if agg_to_cell is not None:
             scaled = info.scale(cell_size=agg_to_cell)
@@ -103,14 +106,21 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
 
 
 _PARTIAL_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
-                   "n_images int, data binary, winner binary")
+                   "n_images int, data binary, winner binary, "
+                   "ids array<string>")
 
 
 def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
                      k: int, agg_to_cell, agg_func, min_rate) -> DataFrame:
     """Two-phase hot-tile mosaic: per-(tile, salt) partials carry a
-    per-pixel WINNER-id plane so the merge reproduces the global
-    min-image_id first-wins order exactly."""
+    per-pixel WINNER plane so the merge reproduces the global
+    min-image_id first-wins order exactly.
+
+    The winner plane stores the LOCAL index into the salt group's sorted
+    id list (shipped alongside, one string per image); the merge factorizes
+    the union of id lists into global lexicographic ranks and compares
+    those — works for arbitrary image_id strings, unlike parsing a numeric
+    suffix, and precedence is exactly the unsalted path's string sort."""
     salted = assigned.withColumn(
         "salt", F.pmod(F.xxhash64("image_id"), F.lit(k)).cast("int"))
 
@@ -121,19 +131,20 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
         info = g.tile_info(tcol, trow)
         pdf = pdf.sort_values("image_id", kind="stable")
         out = np.full((info.height, info.width), nodata, dtype=np.float64)
-        winner = np.full(out.shape, np.iinfo(np.int64).max, dtype=np.int64)
-        for _, r in pdf.iterrows():
+        winner = np.full(out.shape, -1, dtype=np.int32)   # -1 = unpainted
+        for j, (_, r) in enumerate(pdf.iterrows()):
             arr = codecs.decode(r["bytes"], r["fmt"]).astype(np.float64)
             src = RasterInfo(tuple(r["gt"]), int(r["w"]), int(r["h"]))
             empty_before = out == nodata
             warp_k.warp_band(arr, src, info, nodata, out=out)
             newly = empty_before & (out != nodata)
-            winner[newly] = int(r["image_id"][3:])
+            winner[newly] = j
         return pd.DataFrame([{
             "tile_tag": tag, "tile_col": tcol, "tile_row": trow,
             "n_images": len(pdf),
             "data": codecs.encode_npy(out.astype(np.float64)),
             "winner": codecs.encode_npy(winner),
+            "ids": list(pdf["image_id"]),
         }])
 
     partials = (salted.repartition("tile_tag", "salt")
@@ -147,9 +158,14 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
         info = g.tile_info(tcol, trow)
         out = np.full((info.height, info.width), nodata, dtype=np.float64)
         win = np.full(out.shape, np.iinfo(np.int64).max, dtype=np.int64)
+        rank = {s: i for i, s in enumerate(
+            sorted(set(s for ids in pdf["ids"] for s in ids)))}
         for _, r in pdf.iterrows():
             d = codecs.decode_npy(r["data"])
-            w = codecs.decode_npy(r["winner"])
+            wloc = codecs.decode_npy(r["winner"])
+            ranks = np.array([rank[s] for s in r["ids"]] or [0], dtype=np.int64)
+            w = np.where(wloc >= 0, ranks[np.clip(wloc, 0, None)],
+                         np.iinfo(np.int64).max)
             take = w < win  # global min-image_id precedence per pixel
             out[take] = d[take]
             win[take] = w[take]

@@ -41,6 +41,18 @@ def probe_literal(vec) -> F.Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
+def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Parallel top-k: ``orderBy().limit(k)`` plans as TakeOrderedAndProject
+    (per-partition partial top-k + one merge) — a global ``Window.orderBy``
+    would funnel EVERY row through a single task.  ``rank`` is re-derived by
+    a window over only the k surviving rows (bounded, one tiny task).  The
+    (cosine desc, id asc) total order makes both formulations pick the same
+    rows deterministically."""
+    order = [F.col("cosine").desc(), F.col(id_col).asc()]
+    top = scored.orderBy(*order).limit(k)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+
+
 def cosine_topk(emb: DataFrame, probe_vec, k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact brute-force top-k by cosine to ``probe_vec`` (JVM-side math)."""
@@ -48,9 +60,7 @@ def cosine_topk(emb: DataFrame, probe_vec, k: int = 10,
     scored = emb.select(
         id_col,
         F.round(cosine_sim(F.col(vec_col).cast("array<double>"), p), 8).alias("cosine"))
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k))
+    return _topk(scored, k, id_col)
 
 
 def random_planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
@@ -104,10 +114,17 @@ def lsh_topk(emb: DataFrame, probe_vec, k: int = 10, dim: int | None = None,
     planes = random_planes(dim, n_planes, seed)
     mu = data_mean(emb, dim, vec_col)
     b0 = _bucket_of(probe_vec, planes, mu)
+    # all buckets within Hamming distance <= multiprobe_bits of the probe's
+    # bucket (not just single-bit flips, so multiprobe_bits=2 really probes
+    # the full distance-2 shell)
+    import itertools
     cand_buckets = {b0}
-    if multiprobe_bits >= 1:
-        for b in range(n_planes):
-            cand_buckets.add(b0 ^ (1 << b))
+    for d in range(1, min(multiprobe_bits, n_planes) + 1):
+        for bits in itertools.combinations(range(n_planes), d):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            cand_buckets.add(b0 ^ flip)
 
     bucketed = with_lsh_bucket(emb, dim, n_planes, seed, vec_col, center=mu)
     cand = bucketed.where(F.col("bucket").isin(list(cand_buckets)))
@@ -115,9 +132,7 @@ def lsh_topk(emb: DataFrame, probe_vec, k: int = 10, dim: int | None = None,
     scored = cand.select(
         id_col,
         F.round(cosine_sim(F.col(vec_col).cast("array<double>"), p), 8).alias("cosine"))
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k))
+    return _topk(scored, k, id_col)
 
 
 def fit_centroids(emb: DataFrame, dim: int, k: int = 16, iters: int = 8,
@@ -173,21 +188,35 @@ def ivf_topk(emb: DataFrame, probe_vec, k: int = 10, dim: int | None = None,
     scored = cand.select(
         id_col,
         F.round(cosine_sim(F.col(vec_col).cast("array<double>"), p), 8).alias("cosine"))
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k))
+    return _topk(scored, k, id_col)
 
 
 def knn_pairs_exact(emb: DataFrame, dim: int, n_planes: int = 8,
                     threshold: float = 0.95, seed: int = 7,
-                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    max_bucket: int = 200) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within LSH buckets
-    (id_a < id_b, cosine >= threshold) — the embedding dedup operator."""
+    (id_a < id_b, cosine >= threshold) — the embedding dedup operator.
+
+    ``max_bucket``: buckets larger than this are dropped before the pair
+    join — the same skew guard as ``dedup.minhash_lsh``.  Sign-LSH on
+    clustered embeddings concentrates rows into few buckets (that's why
+    ``center=`` exists), and one hot bucket makes the within-bucket
+    all-pairs join quadratic.
+
+    The returned DataFrame is eagerly materialized and persisted (so the
+    intermediate bucketed table can be unpersisted here rather than leak);
+    callers owning long sessions may ``unpersist()`` the result when done."""
     # persist: same self-join ambiguity hazard as dedup.minhash_lsh —
     # the bucketed table must be materialized before joining it to itself
-    b = with_lsh_bucket(emb, dim, n_planes, seed, vec_col,
-                        center=data_mean(emb, dim, vec_col)).persist()
-    b.count()  # materialize before the self-join (see dedup.minhash_lsh)
+    cached = with_lsh_bucket(emb, dim, n_planes, seed, vec_col,
+                             center=data_mean(emb, dim, vec_col)).persist()
+    cached.count()  # materialize before the self-join (see dedup.minhash_lsh)
+    b = cached
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket")
+        b = (b.withColumn("_bn", F.count("*").over(wb))
+              .where(F.col("_bn") <= max_bucket).drop("_bn"))
     a = b.select(F.col(id_col).alias("id_a"),
                  F.col(vec_col).cast("array<double>").alias("va"), "bucket")
     c = b.select(F.col(id_col).alias("id_b"),
@@ -195,4 +224,7 @@ def knn_pairs_exact(emb: DataFrame, dim: int, n_planes: int = 8,
     pairs = (a.join(c, "bucket").where(F.col("id_a") < F.col("id_b"))
               .withColumn("cosine", F.round(cosine_sim(F.col("va"), F.col("vb")), 8))
               .where(F.col("cosine") >= threshold))
-    return pairs.select("id_a", "id_b", "cosine")
+    out = pairs.select("id_a", "id_b", "cosine").persist()
+    out.count()   # materialize the result, then drop the intermediate cache
+    cached.unpersist()
+    return out

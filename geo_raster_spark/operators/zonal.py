@@ -31,14 +31,33 @@ def zonal_stats(images: DataFrame, zones_pdf: pd.DataFrame,
     ``images`` needs footprint cols + bytes/fmt (``with_footprint``)."""
     spark = images.sparkSession
 
-    # candidate pairs: zone cover cells vs image center cell (broadcast)
+    # candidate pairs: zone cover cells vs ALL cells the image footprint
+    # touches — joining on the center cell alone drops images whose center
+    # lies outside the zone cover but whose footprint crosses into the zone
+    # (footprints are up to ~2 cells wide), silently undercounting boundary
+    # pixels [ref: mod/geo_raster_ex_c.pyx:1272-1297 — every pixel whose
+    # center is in the polygon counts, regardless of where the image center
+    # is].  An image spanning k cover cells would match the same zone k
+    # times, so dedupe (image, zone) before the decode kernel.
+    # No pair-dedup is needed (and none would be shuffle-free): instead the
+    # kernel restricts each (image, zone, fcell) row to pixels whose CENTER
+    # CELL equals fcell.  An image spanning k cover cells yields k rows with
+    # DISJOINT pixel subsets whose union is exactly the image's in-polygon
+    # pixels — duplicates become partitioned work, which also spreads a hot
+    # image across tasks.  Everything stays map-side: explode + broadcast
+    # join, the bytes payload never shuffles.
+    from .. import functions as gf
     cover_rows = []
     for _, z in zones_pdf.iterrows():
         ring = geometry.wkb_to_ring(z["geometry"])
         for c in dggs.polygon_cover(ring, res):
             cover_rows.append((int(c), int(z["zone_id"])))
-    cover = spark.createDataFrame(pd.DataFrame(cover_rows, columns=["cell", "zone_id"]))
-    cand = images.join(F.broadcast(cover), "cell")
+    cover = spark.createDataFrame(
+        pd.DataFrame(cover_rows, columns=["fcell", "zone_id"]))
+    fp_cells = images.withColumn(
+        "fcell", F.explode(gf.geocell_cover(
+            F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), res)))
+    cand = fp_cells.join(F.broadcast(cover), "fcell")
 
     rings = {int(z["zone_id"]): geometry.wkb_to_ring(z["geometry"])
              for _, z in zones_pdf.iterrows()}
@@ -56,7 +75,14 @@ def zonal_stats(images: DataFrame, zones_pdf: pd.DataFrame,
                 info = RasterInfo(tuple(r["gt"]), int(r["w"]), int(r["h"]))
                 ring = zr[int(r["zone_id"])]
                 m = rz.rasterize([ring], info)
-                vals = arr[m == 1]
+                # keep only pixels whose center cell == this row's join cell:
+                # the k rows of an image spanning k cover cells partition its
+                # pixels exactly (see candidate-join comment above)
+                gt = info.gt
+                xs = gt[0] + (np.arange(info.width) + 0.5) * gt[1]
+                ys = gt[3] + (np.arange(info.height) + 0.5) * gt[5]
+                pc = dggs.latlng_to_cell(*np.meshgrid(xs, ys), res=res)
+                vals = arr[(m == 1) & (pc == int(r["fcell"]))]
                 vals = vals[vals != nodata]
                 if len(vals) == 0:
                     continue

@@ -128,10 +128,23 @@ def q_e4_ivf_topk(spark, sf_dir):
 
 
 def q_e3_embedding_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs within LSH buckets."""
+    """Embedding-cosine near-dup pairs within LSH buckets.
+
+    The raw embeddings table has NO pair above cosine ~0.51 at small SF
+    (verified by brute force), which made the 0-row result vacuous as a
+    check — so the query plants 5 deterministic near-dups (vec_id + 10M,
+    each component nudged by 1e-6) that the operator must recover:
+    a working operator returns >= 5 rows, a broken one returns 0."""
     from geo_raster_spark.operators import similarity
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.knn_pairs_exact(emb, dim=64, n_planes=8, threshold=0.95)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = emb.orderBy("vec_id").limit(5)
+    planted = seeds.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x + F.lit(1e-6)).alias("embedding"))
+    both = emb.select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("embedding")).unionByName(planted)
+    return similarity.knn_pairs_exact(both, dim=64, n_planes=8, threshold=0.95)
 
 
 def q_g10_warp(spark, sf_dir):

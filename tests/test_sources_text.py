@@ -183,6 +183,35 @@ def test_lsh_topk_runs_and_partial_recall(spark, sf_dir):
     assert len(got) > 0 and len(exact & set(got["vec_id"])) >= 2
 
 
+def test_knn_pairs_exact_finds_planted_dups(spark):
+    """knn_pairs_exact was only ever exercised on data with no near-dup pair
+    (vacuous 0-row result) — plant exact duplicates and require recovery."""
+    from geo_raster_spark.operators import similarity
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(40, 16))
+    ids = list(range(40))
+    # exact copies of vectors 3, 17, 29 under new ids (same LSH bucket by
+    # construction, cosine exactly 1.0)
+    for j, src in enumerate((3, 17, 29)):
+        X = np.vstack([X, X[src]])
+        ids.append(100 + j)
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": [r.tolist() for r in X]})
+    emb = spark.createDataFrame(pdf)
+    pairs = similarity.knn_pairs_exact(emb, dim=16, n_planes=6,
+                                       threshold=0.95).toPandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert {(3, 100), (17, 101), (29, 102)} <= got
+    # brute-force: random gaussians produce no organic pair at 0.95
+    cos = (X @ X.T) / np.outer(np.linalg.norm(X, axis=1), np.linalg.norm(X, axis=1))
+    organic = [(ids[i], ids[j]) for i in range(len(X)) for j in range(i + 1, len(X))
+               if cos[i, j] >= 0.95]
+    assert got == set(organic)
+    # skew guard: a bucket cap of 1 prunes every bucket that could pair
+    capped = similarity.knn_pairs_exact(emb, dim=16, n_planes=6,
+                                        threshold=0.95, max_bucket=1).toPandas()
+    assert len(capped) == 0
+
+
 def test_minhash_cross_build_deterministic(spark, sf_dir):
     """Regression: rebuilt plans must give identical signatures.
 

@@ -151,6 +151,35 @@ def test_tile_cut_matches_kernel_mosaic(spark):
     np.testing.assert_array_equal(got, np.clip(want, 0, 255).astype(np.uint8))
 
 
+def test_zonal_boundary_straddling_image(spark):
+    """An image whose CENTER cell lies outside the zone's cover but whose
+    footprint crosses into the zone must still contribute pixels (the round-1
+    center-cell candidate join silently dropped it)."""
+    res = dggs.DEFAULT_RES
+    cw = 360.0 / ((1 << res) * 2)          # res-8 cell width/height = 0.703125
+    # zone strictly inside the cell spanning lon [0, cw), lat [0, cw)
+    ring = geometry.bbox_to_ring((0.05, 0.05, 0.65, 0.65))
+    zones = pd.DataFrame([{"zone_id": 1, "geometry": geometry.ring_to_wkb(ring)}])
+    # image centered in the NEXT cell east (lon 0.9 > cw) with a footprint
+    # reaching back to minx=0.5 < 0.65 — overlaps the zone
+    arr = (np.arange(20 * 80, dtype=np.float64).reshape(20, 80) % 97.0)
+    row = {"image_id": "imgX", "bytes": bytearray(codecs.encode(arr, "npy")),
+           "fmt": "npy", "w": 80, "h": 20,
+           "minx": 0.5, "miny": 0.25, "maxx": 1.3, "maxy": 0.45,
+           "gt": [0.5, 0.01, 0.0, 0.45, 0.0, -0.01]}
+    imgs = spark.createDataFrame(pd.DataFrame([row]))
+    got = zonal.zonal_stats(imgs, zones, nodata=-1.0).toPandas().set_index("zone_id")
+
+    info = RasterInfo((0.5, 0.01, 0.0, 0.45, 0.0, -0.01), 80, 20)
+    mask = rz_k.rasterize([ring], info)
+    vals = arr[mask == 1]
+    assert len(vals) > 0                    # the fixture genuinely straddles
+    assert 1 in got.index, "boundary image was dropped by the candidate join"
+    assert got.loc[1, "n_pixels"] == len(vals)
+    np.testing.assert_allclose(got.loc[1, "mean"], vals.mean(), rtol=1e-12)
+    np.testing.assert_allclose(got.loc[1, "rng"], vals.max() - vals.min(), rtol=1e-12)
+
+
 def test_zonal_stats_matches_kernel(spark):
     n = 60
     imgs = synth.images_df(spark, n, 4, with_bytes=True)
@@ -208,6 +237,26 @@ def test_tile_cut_salted_equals_unsalted(spark):
     byte-identical to the plain path — winner planes preserve the global
     min-image_id first-wins precedence."""
     imgs = footprint.with_footprint(synth.images_df(spark, 80, 4, with_bytes=True))
+    plain = {r["tile_tag"]: (bytes(r["data"]), r["n_images"], r["painted"])
+             for r in mosaic.tile_cut(imgs, nodata=0.0).collect()}
+    salted = {r["tile_tag"]: (bytes(r["data"]), r["n_images"], r["painted"])
+              for r in mosaic.tile_cut(imgs, nodata=0.0, salt_buckets=4).collect()}
+    assert set(plain) == set(salted)
+    for tag in plain:
+        assert plain[tag] == salted[tag], tag
+
+
+def test_tile_cut_salted_arbitrary_ids(spark):
+    """Salted merge precedence must follow the STRING sort of image_id for
+    arbitrary ids — non-'img<N>' names, and non-zero-padded numeric suffixes
+    where lexicographic order ('s10' < 's2') diverges from numeric order."""
+    imgs = footprint.with_footprint(synth.images_df(spark, 40, 4, with_bytes=True))
+    # 'img000000000007' -> 'scene/7.B1' etc: strips the zero padding so
+    # numeric and lexicographic orders disagree, and adds non-numeric chars
+    imgs = imgs.withColumn(
+        "image_id",
+        F.concat(F.lit("scene/"),
+                 F.regexp_replace("image_id", "^img0*", ""), F.lit(".B1")))
     plain = {r["tile_tag"]: (bytes(r["data"]), r["n_images"], r["painted"])
              for r in mosaic.tile_cut(imgs, nodata=0.0).collect()}
     salted = {r["tile_tag"]: (bytes(r["data"]), r["n_images"], r["painted"])

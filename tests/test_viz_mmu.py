@@ -99,6 +99,44 @@ def test_mmu_area_filter_absorbs_small():
     assert (out2[3, 3] == 2) and (out2[0, 0] == 1)
 
 
+def test_focal_tiles_nodata_sentinel(spark):
+    """With nodata != 0 the pad must initialize to nodata and neighbor
+    strips must fill where pad == nodata (round-1 code hardcoded 0: the
+    un-covered halo ring leaked class-0 values into the kernel)."""
+    import pandas as pd
+    from geo_raster_spark import codecs
+    from geo_raster_spark.grid import TileGrid
+    from geo_raster_spark.kernels import focal
+    from geo_raster_spark.operators import focal_ops
+
+    g = TileGrid(image_size=8, cell_size=0.01, edge=0)
+    rng = np.random.default_rng(3)
+    a = rng.integers(10, 20, size=(8, 8)).astype(np.uint8)
+    b = rng.integers(30, 40, size=(8, 8)).astype(np.uint8)
+    rows = [{"tile_tag": "h%03dv%03d" % (tc, tr), "tile_col": tc,
+             "tile_row": tr, "width": 8, "height": 8, "gt": [0.0] * 6,
+             "n_images": 1, "painted": 64,
+             "data": bytearray(codecs.encode_png(arr))}
+            for (tc, tr), arr in {(10, 5): a, (11, 5): b}.items()]
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    out = focal_ops.focal_tiles(tiles, "median", halo=1, grid=g, dist=1, nodata=7)
+    got = {r["tile_tag"]: codecs.decode_png(bytes(r["data"])) for r in out.collect()}
+
+    # oracle for tile A: ring starts as nodata(7), B's left column fills the
+    # right halo edge, everything else stays nodata and is ignored
+    pad = np.full((10, 10), 7, dtype=np.uint8)
+    pad[1:9, 1:9] = a
+    pad[1:9, 9:10] = b[:, :1]
+    want = focal.focal_median(pad, 1, 7)[0][1:9, 1:9]
+    np.testing.assert_array_equal(got["h010v005"], want)
+    # and the buggy zero-ring oracle must NOT match (proves the test bites)
+    pad0 = np.zeros((10, 10), dtype=np.uint8)
+    pad0[1:9, 1:9] = a
+    pad0[1:9, 9:10] = b[:, :1]
+    bad = focal.focal_median(pad0, 1, 7)[0][1:9, 1:9]
+    assert not np.array_equal(got["h010v005"], bad)
+
+
 def test_focal_tiles_halo_exchange(spark):
     """Distributed focal median equals whole-array kernel on tile interiors,
     INCLUDING pixels adjacent to tile borders (the halo guarantee)."""

@@ -79,11 +79,23 @@ def main():
     if "Exchange" in p3:
         failures.append("tile assignment: unexpected shuffle before explode")
 
+    # 4. cosine top-k is a parallel TakeOrderedAndProject, not a global window
+    from geo_raster_spark.operators import similarity
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tk = similarity.cosine_topk(emb, [0.1] * 64, k=5)
+    p4 = plan_of(tk)
+    sections.append(("Cosine top-k (TakeOrderedAndProject, no global window)", p4))
+    if "TakeOrderedAndProject" not in p4:
+        failures.append("cosine_topk: no TakeOrderedAndProject (global sort?)")
+    if re.search(r"Exchange SinglePartition.*Window", p4, re.S) and \
+            p4.index("TakeOrderedAndProject") > p4.index("Window"):
+        failures.append("cosine_topk: global Window funnels all rows into one task")
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# Physical plans (captured by tools/explain_check.py)\n\n"
                 "Assertions enforced: broadcast PIP join, single probe-side "
                 "shuffle, parquet filter pushdown + column pruning, map-side "
-                "tile explode.\n\n")
+                "tile explode, parallel top-k (TakeOrderedAndProject).\n\n")
         for title, plan in sections:
             f.write(f"## {title}\n\n```\n{plan}\n```\n\n")
 

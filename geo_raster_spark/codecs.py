@@ -7,11 +7,13 @@ in this environment, so the engine ships self-contained codecs:
 - ``npy``  — raw NumPy buffer (lossless).
 - ``png``  — a real, spec-conformant minimal PNG writer/reader (8-bit
   grayscale, zlib/deflate, filter 0) — lossless, readable by any PNG tool.
-- ``jpeg`` — DETERMINISTIC LOSSY STUB: uniform quantization (step q) +
-  zlib.  Real JPEG (DCT/Huffman) decode is stubbed out (raises
-  ``NotImplementedError`` for actual JFIF payloads); the synthetic data
-  generator only emits this stub format under fmt="jpeg".  Quantization step
-  4 gives PSNR ≈ 47 dB, comfortably over the 40 dB parity gate.
+- ``jpg``  — REAL baseline JPEG (JFIF): 8x8 DCT + Annex-K Huffman, pure
+  NumPy (``geo_raster_spark.jpeg``).  Default quality 95 -> PSNR ≈ 42 dB
+  even on noise-heavy bands, over the 40 dB parity gate.
+- ``jpeg`` — the original DETERMINISTIC LOSSY STUB (uniform quantization,
+  step q, + zlib), kept for byte-stable fixtures.  Real JFIF payloads under
+  fmt="jpeg" are now auto-detected by their SOI marker and routed to the
+  real decoder instead of raising.
 
 All functions operate on 2-D uint8 arrays (single band), matching the
 reference's byte-band common case [ref: mod/geo_raster_c.pyx:33-70 pixel
@@ -129,19 +131,40 @@ def encode_jpeg(arr: np.ndarray, q: int = JPEG_Q) -> bytes:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     if data[:4] != _JPGQ_MAGIC:
-        # a real JFIF payload: DCT decode is out of scope in this container
-        raise NotImplementedError("real JPEG decode not available; expected JPGQ stub payload")
+        if data[:2] == b"\xFF\xD8":  # real JFIF payload -> baseline decoder
+            from . import jpeg as _jfif
+            return _jfif.decode(data)
+        raise ValueError("neither JPGQ stub nor JFIF payload")
     w, h, q = struct.unpack_from(">IIB", data, 4)
     quant = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8).reshape(h, w)
     return (quant.astype(np.uint16) * q + q // 2).clip(0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
+# "jpg" — real baseline JFIF (geo_raster_spark.jpeg)
+# ---------------------------------------------------------------------------
+
+JFIF_QUALITY = 95  # PSNR ≈ 42 dB on noise-heavy bands (>= 40 dB parity gate)
+
+
+def encode_jfif(arr: np.ndarray, quality: int = JFIF_QUALITY) -> bytes:
+    from . import jpeg as _jfif
+    return _jfif.encode(np.ascontiguousarray(arr, dtype=np.uint8), quality)
+
+
+def decode_jfif(data: bytes) -> np.ndarray:
+    from . import jpeg as _jfif
+    return _jfif.decode(data)
+
+
+# ---------------------------------------------------------------------------
 # dispatch + metrics
 # ---------------------------------------------------------------------------
 
-_ENCODERS = {"npy": encode_npy, "png": encode_png, "jpeg": encode_jpeg}
-_DECODERS = {"npy": decode_npy, "png": decode_png, "jpeg": decode_jpeg}
+_ENCODERS = {"npy": encode_npy, "png": encode_png, "jpeg": encode_jpeg,
+             "jpg": encode_jfif}
+_DECODERS = {"npy": decode_npy, "png": decode_png, "jpeg": decode_jpeg,
+             "jpg": decode_jfif}
 
 
 def encode(arr: np.ndarray, fmt: str) -> bytes:

@@ -98,15 +98,19 @@ def k_ring(cell: int, k: int):
 
 
 def bbox_cover(ext, res: int = DEFAULT_RES):
-    """All cells intersecting bbox ``(minx, miny, maxx, maxy)`` (degrees)."""
+    """All cells intersecting bbox ``(minx, miny, maxx, maxy)`` (degrees).
+
+    Columns wrap at ±180° (a dateline-crossing bbox covers far-side cells) —
+    the NumPy twin of ``functions.geocell_cover``; rows clamp at the poles."""
     n_cols, n_rows, cw, ch = res_dims(res)
     c0 = int(np.floor((ext[0] + 180.0) / cw))
     c1 = int(np.floor((ext[2] + 180.0) / cw - 1e-12))
+    c1 = min(max(c0, c1), c0 + n_cols - 1)
     r0 = int(np.floor((90.0 - ext[3]) / ch))
     r1 = int(np.floor((90.0 - ext[1]) / ch - 1e-12))
-    c0, c1 = max(0, c0), min(n_cols - 1, max(c0, c1))
     r0, r1 = max(0, r0), min(n_rows - 1, max(r0, r1))
-    cols, rows = np.meshgrid(np.arange(c0, c1 + 1), np.arange(r0, r1 + 1))
+    cols, rows = np.meshgrid(np.arange(c0, c1 + 1) % n_cols,
+                             np.arange(r0, r1 + 1))
     return pack(res, cols.ravel(), rows.ravel())
 
 
@@ -131,8 +135,14 @@ def polygon_cover_labeled(ring, res: int = DEFAULT_RES):
     — a cell truly crossed by an edge is always PARTIAL, so correctness of
     the refine split is preserved."""
     from . import geometry as g
-    ring = g.ring_close(np.asarray(ring, dtype=np.float64))
+    ring = g.unwrap_ring(g.ring_close(np.asarray(ring, dtype=np.float64)))
     ext = g.ring_bbox(ring)
+    if ext[0] < -180.0 or ext[2] > 180.0:
+        # dateline-crossing zone: split at ±180° and union the part covers
+        # (parts are disjoint and cell columns never collide across the seam)
+        parts = g.split_ring_antimeridian(ring)
+        cs, fs = zip(*(polygon_cover_labeled(pr, res) for pr in parts))
+        return np.concatenate(cs), np.concatenate(fs)
     n_cols, n_rows, cw, ch = res_dims(res)
     c0 = max(0, int(np.floor((ext[0] + 180.0) / cw)))
     c1 = min(n_cols - 1, max(c0, int(np.floor((ext[2] + 180.0) / cw - 1e-12))))

@@ -88,16 +88,18 @@ def geocell_cover(minx: Column, miny: Column, maxx: Column, maxy: Column,
     n_rows = 1 << res
     n_cols = n_rows * 2
     cw, ch = 360.0 / n_cols, 180.0 / n_rows
-    c0 = F.greatest(F.floor((minx + F.lit(180.0)) / F.lit(cw)), F.lit(0)).cast("long")
-    c1 = F.least(F.floor((maxx + F.lit(180.0)) / F.lit(cw) - F.lit(1e-12)),
-                 F.lit(n_cols - 1)).cast("long")
-    c1 = F.greatest(c0, c1)
+    # columns unclamped then wrapped with pmod: a bbox reaching past ±180°
+    # (dateline-crossing footprint) covers cells on the far side too;
+    # the span cap keeps a degenerate >360°-wide bbox from duplicating
+    c0 = F.floor((minx + F.lit(180.0)) / F.lit(cw)).cast("long")
+    c1 = F.floor((maxx + F.lit(180.0)) / F.lit(cw) - F.lit(1e-12)).cast("long")
+    c1 = F.least(F.greatest(c0, c1), c0 + F.lit(n_cols - 1))
     r0 = F.greatest(F.floor((F.lit(90.0) - maxy) / F.lit(ch)), F.lit(0)).cast("long")
     r1 = F.least(F.floor((F.lit(90.0) - miny) / F.lit(ch) - F.lit(1e-12)),
                  F.lit(n_rows - 1)).cast("long")
     r1 = F.greatest(r0, r1)
     res_base = F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
-    cols = F.sequence(c0, c1)
+    cols = F.transform(F.sequence(c0, c1), lambda c: F.pmod(c, F.lit(n_cols)))
     rows = F.sequence(r0, r1)
     # cross product of the two small sequences -> flat array of packed ids
     return F.flatten(F.transform(
@@ -117,8 +119,13 @@ def tile_cover_ranges(minx: Column, miny: Column, maxx: Column, maxy: Column,
     halo = edge * cell_size
     n_cols = int(2 * p / ts)
     n_rows = n_cols // 2
-    col0 = F.greatest(F.ceil((minx - F.lit(halo + ts - p)) / F.lit(ts) - F.lit(1e-12)), F.lit(0)).cast("int")
-    col1 = F.least(F.floor((maxx + F.lit(p)) / F.lit(ts) + F.lit(1e-12)), F.lit(n_cols - 1)).cast("int")
+    # columns are UNCLAMPED: raw cols may be -1 or n_cols for a bbox
+    # reaching past ±p (dateline crossing) — callers wrap with
+    # pmod(col, n_cols) after exploding (see tile_assign.assign_tiles);
+    # the span cap keeps a >360°-wide bbox from emitting a tile twice
+    col0 = F.ceil((minx - F.lit(halo + ts - p)) / F.lit(ts) - F.lit(1e-12)).cast("int")
+    col1 = F.floor((maxx + F.lit(p)) / F.lit(ts) + F.lit(1e-12)).cast("int")
+    col1 = F.least(col1, col0 + F.lit(n_cols - 1))
     row0 = F.greatest(F.ceil((F.lit(p / 2 - halo - ts) - maxy) / F.lit(ts) - F.lit(1e-12)), F.lit(0)).cast("int")
     row1 = F.least(F.floor((F.lit(p / 2) - miny) / F.lit(ts) + F.lit(1e-12)), F.lit(n_rows - 1)).cast("int")
     return {"tile_col0": col0, "tile_col1": F.greatest(col0, col1),

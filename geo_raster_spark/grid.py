@@ -250,11 +250,24 @@ class TileGrid:
                 for col in range(self.n_cols):
                     yield col, row
             return
-        c0, c1, r0, r1 = self.tile_cols_rows_for_extent(ext)
+        # columns are NOT clamped: an extent reaching past ±p (dateline-
+        # crossing footprint) matches out-of-range raw cols that wrap onto
+        # the far side via modulo — the exact NumPy twin of the Spark path's
+        # unclamped range + pmod [ref: util/raster_extent2shp.py:83-123]
+        ts, halo = self.tile_size, self.edge * self.cell_size
+        c0 = int(math.ceil((ext[0] - halo - ts + self.p) / ts - 1e-12))
+        c1 = int(math.floor((ext[2] + self.p) / ts + 1e-12))
+        c1 = min(c1, c0 + self.n_cols - 1)  # never emit a tile twice
+        _, _, r0, r1 = self.tile_cols_rows_for_extent(ext)
+        seen = set()
         for row in range(r0, r1 + 1):
-            for col in range(c0, c1 + 1):
-                te = self.tile_extent(col, row)
-                if te[0] <= ext[2] and te[2] >= ext[0] and te[1] <= ext[3] and te[3] >= ext[1]:
+            for col_raw in range(c0, c1 + 1):
+                te = self.tile_extent(col_raw, row)  # raw frame, may exceed ±p
+                col = col_raw % self.n_cols
+                if (te[0] <= ext[2] and te[2] >= ext[0]
+                        and te[1] <= ext[3] and te[3] >= ext[1]
+                        and (col, row) not in seen):
+                    seen.add((col, row))
                     yield col, row
 
 

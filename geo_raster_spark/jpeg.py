@@ -1,0 +1,371 @@
+"""Baseline JPEG (JFIF) codec — pure NumPy, no imaging library.
+
+Implements the ITU-T T.81 baseline sequential process for 8-bit GRAYSCALE:
+SOI/APP0/DQT/SOF0/DHT/SOS/EOI, 8x8 forward/inverse DCT (orthonormal matrix
+form), Annex-K luminance quantization table with libjpeg-style quality
+scaling, Annex-K Huffman tables, DC prediction, zigzag, and 0xFF byte
+stuffing.  Everything here is from the public JPEG spec.
+
+Role: the reference reads real lossy imagery through GDAL
+[ref: mod/geo_raster_c.pyx:1149-1174]; this closes the "lossy fmt" gap so
+the x3 parity contract (decoded-pixel PSNR >= 40 dB) runs on genuinely
+DCT-coded bytes instead of the JPGQ quantize stub.
+
+Scope: encoder emits single-component (grayscale) baseline; decoder handles
+baseline sequential grayscale without restart markers — i.e. at least
+everything the encoder emits, plus other tools' grayscale baseline output.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- 8x8 DCT (orthonormal) --------------------------------------------------
+
+_K = np.arange(8, dtype=np.float64)
+_DCT_M = np.sqrt(2.0 / 8.0) * np.cos((2 * _K[None, :] + 1) * _K[:, None] * np.pi / 16.0)
+_DCT_M[0] = np.sqrt(1.0 / 8.0)
+
+# --- Annex K luminance quantization table ------------------------------------
+
+_Q_LUM = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.float64)
+
+# --- zigzag ------------------------------------------------------------------
+
+def _zigzag_order():
+    idx = np.arange(64).reshape(8, 8)
+    out = []
+    for s in range(15):
+        d = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        if s % 2 == 0:
+            d = d[::-1]
+        out.extend(idx[i, j] for i, j in d)
+    return np.array(out)
+
+_ZZ = _zigzag_order()          # flat-block index for each zigzag position
+_UNZZ = np.argsort(_ZZ)        # zigzag position for each flat-block index
+
+# --- Annex K Huffman tables (luminance DC / AC) -------------------------------
+
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _build_codes(bits, vals):
+    """Canonical Huffman: symbol -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+_DC_ENC = _build_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _build_codes(_AC_BITS, _AC_VALS)
+
+
+def quant_table(quality: int) -> np.ndarray:
+    """Annex-K luminance table under libjpeg's quality scaling."""
+    q = int(np.clip(quality, 1, 100))
+    s = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    return np.clip(np.floor((_Q_LUM * s + 50.0) / 100.0), 1, 255)
+
+
+def _category(v: np.ndarray) -> np.ndarray:
+    """Bit-size category of each coefficient (0 for 0)."""
+    av = np.abs(v)
+    out = np.zeros(v.shape, dtype=np.int32)
+    nz = av > 0
+    out[nz] = np.floor(np.log2(av[nz])).astype(np.int32) + 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def encode(arr: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W) uint8 grayscale -> baseline JFIF bytes."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError("grayscale (H, W) only")
+    h, w = arr.shape
+    qt = quant_table(quality)
+
+    # pad to 8x8 multiples by edge replication
+    ph, pw = -h % 8, -w % 8
+    a = np.pad(arr.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
+    bh, bw = a.shape[0] // 8, a.shape[1] // 8
+    blocks = a.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)      # (bh, bw, 8, 8)
+    coef = np.einsum("ij,xyjk,lk->xyil", _DCT_M, blocks, _DCT_M)
+    q = np.round(coef / qt).astype(np.int32)
+    zz = q.reshape(bh * bw, 64)[:, _ZZ]                          # zigzag per block
+
+    dc = zz[:, 0].copy()
+    dc[1:] -= zz[:-1, 0]                                         # DC prediction
+    sizes_dc = _category(dc)
+    sizes_ac = _category(zz[:, 1:])
+
+    bw_ = _BitWriter()
+    n_blocks = bh * bw
+    for i in range(n_blocks):
+        s = int(sizes_dc[i])
+        c, ln = _DC_ENC[s]
+        bw_.write(c, ln)
+        if s:
+            v = int(dc[i])
+            bw_.write(v if v > 0 else v + (1 << s) - 1, s)
+        row = zz[i, 1:]
+        nz = np.nonzero(row)[0]
+        pos = 0
+        for j in nz:
+            run = int(j) - pos
+            while run >= 16:
+                c, ln = _AC_ENC[0xF0]                            # ZRL
+                bw_.write(c, ln)
+                run -= 16
+            s = int(sizes_ac[i, j])
+            c, ln = _AC_ENC[(run << 4) | s]
+            bw_.write(c, ln)
+            v = int(row[j])
+            bw_.write(v if v > 0 else v + (1 << s) - 1, s)
+            pos = int(j) + 1
+        if pos < 63:
+            c, ln = _AC_ENC[0x00]                                # EOB
+            bw_.write(c, ln)
+    bw_.flush()
+
+    qt_zz = qt.reshape(64)[_ZZ].astype(np.uint8)
+    out = bytearray()
+    out += b"\xFF\xD8"                                           # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) + qt_zz.tobytes()
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xFF\xC4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00) \
+        + bytes(_DC_BITS) + bytes(_DC_VALS)
+    out += b"\xFF\xC4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10) \
+        + bytes(_AC_BITS) + bytes(_AC_VALS)
+    out += b"\xFF\xDA" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    out += bw_.buf
+    out += b"\xFF\xD9"                                           # EOI
+    return bytes(out)
+
+
+# --- decoder ------------------------------------------------------------------
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1                                # stuffed
+                else:
+                    self.pos -= 1                                # marker: stop
+                    b = None
+                    break
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        if self.nbits < n:                                       # pad past EOI
+            self.acc = (self.acc << (n - self.nbits))
+            self.nbits = n
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _build_decode(bits, vals):
+    """(code, length) -> symbol lookup dict."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_read(br: _BitReader, table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Baseline sequential GRAYSCALE JFIF -> (H, W) uint8."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qts = {}
+    huff_dc, huff_ac = {}, {}
+    h = w = None
+    qt_id = 0
+    dc_id = ac_id = 0
+    scan_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2:pos + seg_len]
+        if marker == 0xDB:                                       # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                off += 1
+                if pq == 0:
+                    tab = np.frombuffer(seg, np.uint8, 64, off).astype(np.float64)
+                    off += 64
+                else:
+                    tab = np.frombuffer(seg, ">u2", 64, off).astype(np.float64)
+                    off += 128
+                full = np.empty(64)
+                full[_ZZ] = tab                                  # de-zigzag
+                qts[tq] = full.reshape(8, 8)
+        elif marker == 0xC0:                                     # SOF0
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if ncomp != 1:
+                raise NotImplementedError("grayscale baseline only")
+            qt_id = seg[8]   # seg: prec(1) h(2) w(2) ncomp(1) cid(1) sampling(1) tq(1)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("baseline sequential (SOF0) only")
+        elif marker == 0xC4:                                     # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1:off + 17])
+                n = sum(bits)
+                vals = list(seg[off + 17:off + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode(bits, vals)
+                off += 17 + n
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:                                     # SOS
+            ns = seg[0]
+            if ns != 1:
+                raise NotImplementedError("grayscale baseline only")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            scan_start = pos + seg_len
+            break
+        pos += seg_len
+    if scan_start is None or h is None:
+        raise ValueError("truncated JPEG")
+
+    qt = qts[qt_id]
+    dct, act = huff_dc[dc_id], huff_ac[ac_id]
+    br = _BitReader(data[scan_start:])
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    zz = np.zeros((bh * bw, 64), dtype=np.float64)
+    pred = 0
+    for i in range(bh * bw):
+        s = _huff_read(br, dct)
+        diff = _extend(br.read(s), s) if s else 0
+        pred += diff
+        zz[i, 0] = pred
+        k = 1
+        while k < 64:
+            rs = _huff_read(br, act)
+            r, s = rs >> 4, rs & 0x0F
+            if rs == 0x00:                                       # EOB
+                break
+            if rs == 0xF0:                                       # ZRL
+                k += 16
+                continue
+            k += r
+            if k > 63:
+                break
+            zz[i, k] = _extend(br.read(s), s)
+            k += 1
+
+    blocks = np.zeros((bh * bw, 64), dtype=np.float64)
+    blocks[:, _ZZ] = zz                                          # de-zigzag
+    blocks = blocks.reshape(bh, bw, 8, 8) * qt
+    pix = np.einsum("ji,xyjk,kl->xyil", _DCT_M, blocks, _DCT_M)  # inverse DCT
+    img = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]

@@ -45,12 +45,19 @@ def zone_cover_df(spark, zones_pdf: pd.DataFrame, res: int = DEFAULT_RES) -> Dat
         pd.DataFrame(rows, columns=["cell", "zone_id", "full"]))
 
 
-def _ring_edges_literal(ring) -> list:
-    """Ring -> list of edge dicts for an array<struct> literal column."""
-    r = geometry.ring_close(np.asarray(ring, dtype=np.float64))
-    return [{"x0": float(r[i, 0]), "y0": float(r[i, 1]),
-             "x1": float(r[i + 1, 0]), "y1": float(r[i + 1, 1])}
-            for i in range(len(r) - 1)]
+def _ring_edges_literal(rings) -> list:
+    """Ring part(s) -> flat list of edge dicts for an array<struct> literal.
+
+    Multiple disjoint parts (an antimeridian-split zone) concatenate into
+    ONE edge array: the even-odd crossing count over the union of closed
+    rings is odd exactly when the point is inside some part."""
+    out = []
+    for ring in rings:
+        r = geometry.ring_close(np.asarray(ring, dtype=np.float64))
+        out.extend({"x0": float(r[i, 0]), "y0": float(r[i, 1]),
+                    "x1": float(r[i + 1, 0]), "y1": float(r[i + 1, 1])}
+                   for i in range(len(r) - 1))
+    return out
 
 
 def _pip_expr(edges_col, lon, lat):
@@ -93,7 +100,9 @@ def pip_join(points: DataFrame, zones_pdf: pd.DataFrame,
     rings = {}
     for _, z in zones_pdf.iterrows():
         ring = geometry.wkb_to_ring(z["geometry"])
-        rings[int(z["zone_id"])] = ring
+        # dateline-crossing zones become a list of in-range parts; the
+        # cover (split-aware itself) and both refine engines handle parts
+        rings[int(z["zone_id"])] = geometry.split_ring_antimeridian(ring)
         cells, full = dggs.polygon_cover_labeled(ring, res)
         for c, f in zip(cells, full):
             cover_pdf_rows.append((int(c), int(z["zone_id"]), bool(f)))
@@ -138,7 +147,10 @@ def pip_join(points: DataFrame, zones_pdf: pd.DataFrame,
                 keep = np.zeros(len(pdf), dtype=bool)
                 for zid in np.unique(zids):
                     sel = zids == zid
-                    keep[sel] = geometry.points_in_ring(zr[int(zid)], lons[sel], lats[sel])
+                    hit = np.zeros(int(sel.sum()), dtype=bool)
+                    for part in zr[int(zid)]:
+                        hit |= geometry.points_in_ring(part, lons[sel], lats[sel])
+                    keep[sel] = hit
                 yield pdf[keep]
 
         refined = accepted.unionByName(boundary.mapInPandas(refine, schema=out_schema))

@@ -33,10 +33,15 @@ def assign_tiles(df: DataFrame, image_size: int = 100,
 
     Tile-extent semantics include the edge halo, matching the reference's
     ``tiles.list`` intersection test [ref: lib/global_task.py:120-122]."""
+    n_cols = int(2 * p / (image_size * cell_size))
     r = gf.tile_cover_ranges(F.col("minx"), F.col("miny"),
                              F.col("maxx"), F.col("maxy"),
                              image_size, cell_size, edge, p)
+    # raw cols are unclamped (a dateline-crossing bbox yields -1 / n_cols);
+    # pmod wraps them onto the far side of the grid (a separate projection:
+    # generators must be top-level expressions)
     df = df.withColumn("tile_col", F.explode(F.sequence(r["tile_col0"], r["tile_col1"])))
+    df = df.withColumn("tile_col", F.pmod(F.col("tile_col"), F.lit(n_cols)).cast("int"))
     df = df.withColumn("tile_row", F.explode(F.sequence(r["tile_row0"], r["tile_row1"])))
     if with_tag:
         df = df.withColumn("tile_tag", gf.tile_tag(F.col("tile_col"), F.col("tile_row")))

@@ -59,8 +59,21 @@ def zonal_stats(images: DataFrame, zones_pdf: pd.DataFrame,
             F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), res)))
     cand = fp_cells.join(F.broadcast(cover), "fcell")
 
-    rings = {int(z["zone_id"]): geometry.wkb_to_ring(z["geometry"])
-             for _, z in zones_pdf.iterrows()}
+    # zone rings as PART LISTS: dateline-crossing zones split at ±180°, and
+    # near-dateline zones additionally carry ±360°-shifted copies so images
+    # whose unwrapped pixel frame extends past ±180° still rasterize them
+    rings = {}
+    for _, z in zones_pdf.iterrows():
+        parts = geometry.split_ring_antimeridian(geometry.wkb_to_ring(z["geometry"]))
+        allp = list(parts)
+        for p_ in parts:
+            bx = geometry.ring_bbox(p_)
+            if len(parts) > 1 or bx[0] < -178.0 or bx[2] > 178.0:
+                for s in (360.0, -360.0):
+                    q = p_.copy()
+                    q[:, 0] += s
+                    allp.append(q)
+        rings[int(z["zone_id"])] = allp
     bc = spark.sparkContext.broadcast(rings)
 
     partial_schema = ("zone_id int, image_id string, psum double, pcount long, "
@@ -73,8 +86,8 @@ def zonal_stats(images: DataFrame, zones_pdf: pd.DataFrame,
             for _, r in pdf.iterrows():
                 arr = codecs.decode(r["bytes"], r["fmt"]).astype(np.float64)
                 info = RasterInfo(tuple(r["gt"]), int(r["w"]), int(r["h"]))
-                ring = zr[int(r["zone_id"])]
-                m = rz.rasterize([ring], info)
+                parts = zr[int(r["zone_id"])]
+                m = rz.rasterize(parts, info)
                 # keep only pixels whose center cell == this row's join cell:
                 # the k rows of an image spanning k cover cells partition its
                 # pixels exactly (see candidate-join comment above)

@@ -13,12 +13,18 @@ from .. import geometry
 
 
 def feature(ring_or_point, props: dict) -> dict:
+    """Rings crossing ±180° are split into a MultiPolygon
+    [ref: util/raster_extent2shp.py:83-123 _split_polygons]."""
     arr = np.asarray(ring_or_point, dtype=np.float64)
     if arr.ndim == 1:
         geom = {"type": "Point", "coordinates": [float(arr[0]), float(arr[1])]}
     else:
-        ring = geometry.ring_close(arr)
-        geom = {"type": "Polygon", "coordinates": [ring.tolist()]}
+        parts = geometry.split_ring_antimeridian(geometry.ring_close(arr))
+        if len(parts) == 1:
+            geom = {"type": "Polygon", "coordinates": [parts[0].tolist()]}
+        else:
+            geom = {"type": "MultiPolygon",
+                    "coordinates": [[p.tolist()] for p in parts]}
     return {"type": "Feature", "geometry": geom, "properties": props}
 
 

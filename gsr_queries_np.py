@@ -191,6 +191,27 @@ def q_x3_parity(spark, sf_dir):
 
     imgs = _images(spark, 300)
 
+    # the stub-lossy third of the table is re-encoded as REAL baseline JFIF
+    # (geo_raster_spark.jpeg) on executors, so the PSNR gate below runs on
+    # genuinely DCT+Huffman-coded bytes, not the JPGQ quantize stub
+    schema_str = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in imgs.schema.fields)
+
+    def to_jfif(it):
+        for pdf in it:
+            out = pdf.copy()
+            for idx, r in pdf.iterrows():
+                if r["fmt"] == "jpeg":
+                    i = int(r["image_id"][3:])
+                    truth = synth.image_pixels(
+                        i, int(r["w"]), int(r["h"]),
+                        int(np.uint64(np.int64(r["phash"]).astype(np.uint64))))
+                    out.at[idx, "bytes"] = codecs.encode(truth, "jpg")
+                    out.at[idx, "fmt"] = "jpg"
+            yield out
+
+    imgs = imgs.mapInPandas(to_jfif, schema=schema_str)
+
     def check(it):
         for pdf in it:
             out = []

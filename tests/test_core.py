@@ -58,6 +58,49 @@ def test_list_tiles_matches_bruteforce():
     assert fast == brute
 
 
+def test_split_ring_antimeridian():
+    from geo_raster_spark import geometry as g
+    # unwrapped crossing ring: 178..183 -> [178, 180] + [-180, -177]
+    ring = g.bbox_to_ring((178.0, 10.0, 183.0, 20.0))
+    parts = g.split_ring_antimeridian(ring)
+    assert len(parts) == 2
+    for p in parts:
+        bb = g.ring_bbox(p)
+        assert -180.0 <= bb[0] and bb[2] <= 180.0
+    areas = sorted(abs(g.ring_area(p)) for p in parts)
+    np.testing.assert_allclose(sum(areas), 5.0 * 10.0, rtol=1e-12)
+    np.testing.assert_allclose(areas, [2.0 * 10.0, 3.0 * 10.0], rtol=1e-12)
+    # wrapped input (vertex x jumps +178 -> -177) unwraps then splits
+    wrapped = np.array([[178.0, 10.0], [-177.0, 10.0], [-177.0, 20.0],
+                        [178.0, 20.0], [178.0, 10.0]])
+    parts2 = g.split_ring_antimeridian(wrapped)
+    assert len(parts2) == 2
+    np.testing.assert_allclose(sum(abs(g.ring_area(p)) for p in parts2),
+                               5.0 * 10.0, rtol=1e-12)
+    # non-crossing ring passes through untouched
+    plain = g.bbox_to_ring((-10.0, 0.0, 10.0, 5.0))
+    assert len(g.split_ring_antimeridian(plain)) == 1
+
+
+def test_list_tiles_wraps_at_dateline():
+    g = grid.TileGrid()  # 1-degree tiles, n_cols=360
+    ext = (179.4, 0.2, 180.6, 0.8)  # crosses +180: wraps onto col 0
+    tiles = set(g.list_tiles(ext))
+    cols = {c for c, _ in tiles}
+    assert 359 in cols and 0 in cols
+    # and the wrapped rep of the same extent agrees
+    ext2 = (-180.6, 0.2, -179.4, 0.8)
+    assert set(g.list_tiles(ext2)) == tiles
+
+
+def test_bbox_cover_wraps_at_dateline():
+    from geo_raster_spark import dggs
+    cells = dggs.bbox_cover((179.3, 0.0, 180.7, 0.6), res=8)
+    _, cols, _ = dggs.unpack(cells)
+    n_cols = (1 << 8) * 2
+    assert cols.max() == n_cols - 1 and cols.min() == 0
+
+
 def test_tile_output_path():
     assert grid.tile_output_path("/out", 12, 34, "tcc") == \
         "/out/data/h012/v034/h012v034/h012v034_tcc"
@@ -73,6 +116,75 @@ def test_crs_roundtrips():
         lo, la = crs.transform(c, "EPSG:4326", x, y)
         np.testing.assert_allclose(lo, lon, atol=1e-9)
         np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+def test_utm_roundtrip_and_invariants():
+    # roundtrip across the zone, both hemispheres
+    lon = np.linspace(0.5, 5.5, 9)
+    lat = np.linspace(-79.0, 79.0, 9)
+    for z in ("EPSG:32631", "EPSG:32731", "UTM:31N"):
+        E, N = crs.transform("EPSG:4326", z, lon, lat)
+        lo, la = crs.transform(z, "EPSG:4326", E, N)
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+    # central-meridian invariants: E=500000 exactly; equator N=0 (north)
+    E, N = crs.transform("EPSG:4326", "EPSG:32631",
+                         np.array([3.0, 3.0]), np.array([0.0, 45.0]))
+    np.testing.assert_allclose(E, [500000.0, 500000.0], atol=1e-6)
+    np.testing.assert_allclose(N[0], 0.0, atol=1e-6)
+    # south false northing
+    _, Ns = crs.transform("EPSG:4326", "EPSG:32731",
+                          np.array([3.0]), np.array([0.0]))
+    np.testing.assert_allclose(Ns, [10_000_000.0], atol=1e-6)
+
+
+def test_utm_meridian_arc_oracle():
+    """Northing along the central meridian must equal k0 x the ellipsoidal
+    meridian arc — computed here by INDEPENDENT numerical quadrature of the
+    meridian radius of curvature (no shared code with the Krüger series)."""
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    for lat_deg in (30.0, 45.0, 60.0):
+        phi = np.linspace(0.0, np.radians(lat_deg), 400_001)
+        m = np.trapz(a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5, phi)
+        _, N = crs.transform("EPSG:4326", "EPSG:32631",
+                             np.array([3.0]), np.array([lat_deg]))
+        np.testing.assert_allclose(N[0], 0.9996 * m, atol=1e-4)
+
+
+def test_parse_utm():
+    assert crs.parse_utm("EPSG:32618") == (18, True)
+    assert crs.parse_utm("EPSG:32702") == (2, False)
+    assert crs.parse_utm("UTM:7S") == (7, False)
+    assert crs.parse_utm("EPSG:4326") is None
+
+
+def test_warp_4326_to_utm():
+    """G10 across 4326<->UTM: warp a geographic source into a UTM-meter grid
+    and verify each output pixel equals the source pixel its center maps to."""
+    from geo_raster_spark.grid import RasterInfo
+    from geo_raster_spark.kernels import warp as warp_k
+    src_info = RasterInfo((2.0, 0.01, 0.0, 46.0, 0.0, -0.01), 200, 200, "EPSG:4326")
+    rng = np.random.default_rng(5)
+    src = rng.integers(1, 255, size=(200, 200)).astype(np.float64)
+    # 100m UTM grid around the center of the source footprint
+    E0, N0 = crs.transform("EPSG:4326", "EPSG:32631",
+                           np.array([2.5]), np.array([45.5]))
+    dst_info = RasterInfo((float(E0[0]) - 5000, 100.0, 0.0,
+                           float(N0[0]) + 5000, 0.0, -100.0),
+                          100, 100, "EPSG:32631")
+    out = warp_k.warp_band(src, src_info, dst_info, nodata=0.0)
+    cols, rows = np.meshgrid(np.arange(100), np.arange(100))
+    tx = dst_info.gt[0] + 100.0 * (cols + 0.5)
+    ty = dst_info.gt[3] - 100.0 * (rows + 0.5)
+    lo, la = crs.transform("EPSG:32631", "EPSG:4326", tx.ravel(), ty.ravel())
+    sc = np.trunc((lo - 2.0) / 0.01).astype(int)
+    sr = np.trunc((la - 46.0) / -0.01).astype(int)
+    ok = (sc >= 0) & (sc < 200) & (sr >= 0) & (sr < 200)
+    want = np.zeros(100 * 100)
+    want[ok] = src[sr[ok], sc[ok]]
+    assert ok.sum() > 5000  # grid genuinely overlaps
+    np.testing.assert_array_equal(out.ravel(), want)
 
 
 def test_transform_extent_contains_corners():
@@ -154,8 +266,10 @@ def test_codec_roundtrip(fmt):
 
 
 def test_codec_error_paths():
-    with pytest.raises(NotImplementedError):
-        codecs.decode(b"\xff\xd8\xff\xe0 jfif", "jpeg")
+    with pytest.raises(ValueError):  # SOI routes to the real decoder, which
+        codecs.decode(b"\xff\xd8\xff\xe0 jfif", "jpeg")  # rejects truncation
+    with pytest.raises(ValueError):
+        codecs.decode(b"NOTJ" + b"\x00" * 16, "jpeg")
     with pytest.raises(ValueError):
         codecs.decode(b"nope", "png")
 

@@ -1,0 +1,92 @@
+"""Baseline JFIF codec tests (geo_raster_spark.jpeg) — real DCT+Huffman.
+
+The encoder and decoder are independent implementations of the public spec
+(forward vs inverse DCT, table build vs canonical decode), so a roundtrip is
+a meaningful cross-check, reinforced by structural checks on the bitstream.
+"""
+
+import numpy as np
+import pytest
+
+from geo_raster_spark import codecs, jpeg
+
+
+def _noisy(h, w, seed):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 5, w)
+    y = np.linspace(0, 3, h)
+    base = 110 + 90 * np.sin(y)[:, None] * np.cos(x)[None, :]
+    return np.clip(base + rng.normal(0, 14, (h, w)), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (100, 100), (37, 53), (8, 8), (1, 1)])
+def test_roundtrip_psnr_and_shape(shape):
+    img = _noisy(*shape, seed=shape[0] * 100 + shape[1])
+    data = jpeg.encode(img, quality=95)
+    dec = jpeg.decode(data)
+    assert dec.shape == img.shape
+    assert codecs.psnr(img, dec) >= 40.0
+
+
+def test_flat_blocks_roundtrip_exactly():
+    for v in (0, 77, 128, 255):
+        img = np.full((24, 40), v, np.uint8)
+        assert (jpeg.decode(jpeg.encode(img, 90)) == v).all()
+
+
+def test_bitstream_structure():
+    data = jpeg.encode(_noisy(32, 32, 1), quality=85)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in data[:32]
+    assert b"\xff\xc0" in data          # SOF0, baseline
+    assert data.count(b"\xff\xc4") >= 2  # DC + AC Huffman tables
+    # entropy-coded segment must have every 0xFF stuffed (no stray markers)
+    sos = data.index(b"\xff\xda")
+    scan = data[sos + 2 + int.from_bytes(data[sos + 2:sos + 4], "big"):-2]
+    i = 0
+    while i < len(scan) - 1:
+        if scan[i] == 0xFF:
+            assert scan[i + 1] == 0x00, f"unstuffed 0xFF at {i}"
+            i += 2
+        else:
+            i += 1
+
+
+def test_quality_monotonic():
+    img = _noisy(80, 80, 7)
+    p = [codecs.psnr(img, jpeg.decode(jpeg.encode(img, q))) for q in (50, 75, 95)]
+    assert p[0] < p[1] < p[2]
+    s = [len(jpeg.encode(img, q)) for q in (50, 75, 95)]
+    assert s[0] < s[1] < s[2]
+
+
+def test_codecs_dispatch_jpg():
+    img = _noisy(50, 60, 3)
+    data = codecs.encode(img, "jpg")
+    assert data[:2] == b"\xff\xd8"
+    dec = codecs.decode(data, "jpg")
+    assert codecs.psnr(img, dec) >= 40.0
+    # fmt='jpeg' auto-detects a real JFIF payload by its SOI marker
+    dec2 = codecs.decode(data, "jpeg")
+    np.testing.assert_array_equal(dec, dec2)
+    assert not codecs.is_lossless("jpg")
+
+
+def test_decode_rejects_unsupported():
+    img = _noisy(16, 16, 2)
+    data = bytearray(jpeg.encode(img, 90))
+    sof = data.index(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        jpeg.decode(bytes(data))
+    with pytest.raises(ValueError):
+        jpeg.decode(b"not a jpeg")
+
+
+def test_dc_prediction_across_blocks():
+    """A horizontal gradient exercises non-zero DC diffs in every block."""
+    img = np.tile(np.linspace(10, 240, 128).astype(np.uint8), (16, 1))
+    dec = jpeg.decode(jpeg.encode(img, 95))
+    assert codecs.psnr(img, dec) >= 40.0
+    # gradient direction preserved
+    assert dec[:, -8:].mean() - dec[:, :8].mean() > 200

@@ -38,7 +38,13 @@ def test_pip_join_exact_vs_oracle(spark, images_fp):
     m = synth.image_meta(np.arange(N))
     for _, z in zones.iterrows():
         ring = geometry.wkb_to_ring(z["geometry"])
-        want = int(geometry.points_in_ring(ring, m["lon"], m["lat"]).sum())
+        # physical membership: zones whose stored ring extends past ±180°
+        # (e.g. the hot fixture's eastern zones) wrap onto the far side —
+        # a point is inside iff inside any antimeridian-split part
+        inside = np.zeros(N, dtype=bool)
+        for part in geometry.split_ring_antimeridian(ring):
+            inside |= geometry.points_in_ring(part, m["lon"], m["lat"])
+        want = int(inside.sum())
         assert got.get(z["zone_id"], 0) == want, z["zone_id"]
 
 
@@ -149,6 +155,46 @@ def test_tile_cut_matches_kernel_mosaic(spark):
     want = warp_k.mosaic([(a, inf) for _, a, inf in srcs], info, nodata=0.0)
     got = codecs.decode_png(bytes(t["data"]))
     np.testing.assert_array_equal(got, np.clip(want, 0, 255).astype(np.uint8))
+
+
+def test_tile_assign_dateline_wrap(spark):
+    """A footprint reaching past +180° must assign to the wrapped first tile
+    column too (and symmetric past -180°)."""
+    pdf = pd.DataFrame([
+        {"image_id": "a", "minx": 179.4, "miny": 0.2, "maxx": 180.6, "maxy": 0.8},
+        {"image_id": "b", "minx": -180.6, "miny": 0.2, "maxx": -179.4, "maxy": 0.8},
+        {"image_id": "c", "minx": 10.0, "miny": 0.2, "maxx": 11.0, "maxy": 0.8},
+    ])
+    got = (tile_assign.assign_tiles(spark.createDataFrame(pdf))
+           .select("image_id", "tile_col", "tile_row").toPandas())
+    g = TileGrid()
+    for iid in ["a", "b", "c"]:
+        r = pdf[pdf["image_id"] == iid].iloc[0]
+        want = set(g.list_tiles((r["minx"], r["miny"], r["maxx"], r["maxy"])))
+        have = set(zip(got[got["image_id"] == iid]["tile_col"],
+                       got[got["image_id"] == iid]["tile_row"]))
+        assert have == want, iid
+    cols_a = set(got[got["image_id"] == "a"]["tile_col"])
+    assert 359 in cols_a and 0 in cols_a
+
+
+def test_pip_join_dateline_zone(spark):
+    """A zone polygon crossing ±180° matches points on BOTH sides of the
+    dateline, in both refine engines."""
+    ring = geometry.bbox_to_ring((178.0, -5.0, 183.0, 5.0))  # crosses +180
+    zones = pd.DataFrame([{"zone_id": 7, "name": "dateline",
+                           "geometry": geometry.ring_to_wkb(ring)}])
+    pts = pd.DataFrame({
+        "pt_id": [1, 2, 3, 4],
+        "lon": [179.5, -179.5, -176.0, 170.0],   # in, in (wrapped), out, out
+        "lat": [0.0, 0.0, 0.0, 0.0]})
+    df = spark.createDataFrame(pts)
+    df = df.withColumn("cell", __import__("geo_raster_spark.functions", fromlist=["geocell"])
+                       .geocell(F.col("lon"), F.col("lat")))
+    for eng in ("sql", "pandas"):
+        got = pip_join.pip_join(df, zones, engine=eng, keep_zone_name=False) \
+            .select("pt_id").toPandas()
+        assert sorted(got["pt_id"]) == [1, 2], eng
 
 
 def test_zonal_boundary_straddling_image(spark):

@@ -78,15 +78,31 @@ def shingle_hashes(shingle_col):
 
 
 def minhash_signature(shingle_col, n_hashes: int = 32):
-    """Array of ``n_hashes`` min-hash values.
+    """Array of ``n_hashes`` min-hash values in ONE pass over the hashes.
 
     Performance shape: higher-order functions evaluate INTERPRETED (no
     whole-stage codegen), so the expensive string hash runs exactly once
     per shingle; the ``n_hashes`` salted variants are derived from that
     base hash with SplitMix64 long arithmetic (a universal-hash family),
-    ~10x cheaper than per-salt string hashing."""
+    ~10x cheaper than per-salt string hashing.
+
+    Formulation: a single ``aggregate`` whose accumulator is the length-n
+    running-minimum array, merged per element via ``zip_with(least)`` over
+    a literal salt array — instead of n separate ``array_min(transform(...))``
+    expressions.  Same values, but the plan holds ONE aggregate node rather
+    than n transforms: first-run analysis/codegen drops from ~13 s to
+    sub-second and the hash array is traversed once, not n times."""
     hashes = shingle_hashes(shingle_col)
-    return F.array(*[_salted_min(hashes, i + 1) for i in range(n_hashes)])
+    salts = F.array(*[
+        F.lit(((i + 1) * _SM_GAMMA + 2 ** 63) % 2 ** 64 - 2 ** 63)
+        for i in range(n_hashes)])
+    init = F.array_repeat(F.lit(2 ** 63 - 1), n_hashes)
+    return F.aggregate(
+        hashes, init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(salts, lambda s: _sm_mix(h.bitwiseXOR(s))),
+            lambda a, b: F.least(a, b)))
 
 
 def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -45,3 +45,34 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              lower_bound=None, upper_bound=None, num_partitions: int = 8,
+              **options) -> DataFrame:
+    """S11: relational source [ref: lib/libpg.py:22-80 — the reference's
+    psycopg2 wrapper; here the engine-agnostic Spark JDBC reader].
+
+    At scale ALWAYS pass ``partition_column`` + bounds: without them the
+    whole table funnels through one task; with them Spark issues
+    ``num_partitions`` bounded range queries in parallel."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        r = (r.option("partitionColumn", partition_column)
+              .option("lowerBound", str(lower_bound))
+              .option("upperBound", str(upper_bound))
+              .option("numPartitions", str(num_partitions)))
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
+               **options) -> None:
+    """S11 sink: idempotence at scale comes from keyed overwrite semantics
+    upstream (checkpoint filtering), not from the DB write itself."""
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.mode(mode).save()

@@ -98,6 +98,25 @@ def test_fingerprint_deterministic(spark, sf_dir):
     assert a["fingerprint"].str.contains("-").all()
 
 
+# --- jdbc (S11) ---------------------------------------------------------------
+
+def test_jdbc_roundtrip_partitioned(spark):
+    """S11: write -> partitioned parallel read against the in-JVM Derby DB
+    (the only JDBC engine in this sandbox; same reader path as Postgres)."""
+    from geo_raster_spark.sources import tabular
+    url = "jdbc:derby:memory:gsr_s11;create=true"
+    pdf = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                        "v": [f"row{i}" for i in range(100)]})
+    tabular.write_jdbc(spark.createDataFrame(pdf), url, "t_s11",
+                       mode="overwrite")
+    got = tabular.read_jdbc(spark, url, "t_s11", partition_column="k",
+                            lower_bound=0, upper_bound=100, num_partitions=4)
+    assert got.rdd.getNumPartitions() == 4  # bounded range queries, parallel
+    out = got.toPandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == list(range(100))
+    assert out["v"].tolist() == pdf["v"].tolist()
+
+
 # --- dedup ------------------------------------------------------------------
 
 def test_exact_dedup_roundtrip(spark):

@@ -59,23 +59,10 @@ def _focal_fn(kind: str, **kw):
     raise ValueError(f"unknown focal kind {kind}")
 
 
-def focal_tiles(tiles: DataFrame, kind: str, halo: int = 2,
-                grid: TileGrid | None = None, **kernel_kwargs) -> DataFrame:
-    """Apply a focal kernel to every tile with ``halo``-pixel neighbor
-    context.  ``tiles`` is the output of ``mosaic.tile_cut`` (PNG payloads).
-    """
-    grid = grid or TileGrid()
-    n_cols = grid.n_cols
-    kernel = _focal_fn(kind, **kernel_kwargs)
-    # the kernel's nodata doubles as the "empty pad pixel" sentinel —
-    # hardcoding 0 here would make nodata != 0 halos never fill
-    nod = kernel_kwargs.get("nodata", 0)
-    g = grid
-    h = halo
-    # strip depth: the neighbor pixels visible in the padded frame are the
-    # halo ring PLUS the grid's tile-overlap band (tiles are
-    # (size+edge)^2 px on a size-px step)
-    d = halo + grid.edge
+def _strip_emitter(n_cols: int, d: int):
+    """mapInPandas fn: tile rows -> center row + 8 halo strips (depth ``d``)
+    addressed to the 3x3 neighborhood.  Exposed for shuffle-volume
+    measurement (tools/focal_shuffle_bytes.py) as well as ``focal_tiles``."""
 
     def emit(batches):
         for pdf in batches:
@@ -119,7 +106,28 @@ def focal_tiles(tiles: DataFrame, kind: str, halo: int = 2,
                                          np.ascontiguousarray(sub))})
             yield pd.DataFrame(rows, columns=_EMIT_COLS)
 
-    neigh = tiles.mapInPandas(emit, schema=_EMIT_SCHEMA)
+    return emit
+
+
+def focal_tiles(tiles: DataFrame, kind: str, halo: int = 2,
+                grid: TileGrid | None = None, **kernel_kwargs) -> DataFrame:
+    """Apply a focal kernel to every tile with ``halo``-pixel neighbor
+    context.  ``tiles`` is the output of ``mosaic.tile_cut`` (PNG payloads).
+    """
+    grid = grid or TileGrid()
+    n_cols = grid.n_cols
+    kernel = _focal_fn(kind, **kernel_kwargs)
+    # the kernel's nodata doubles as the "empty pad pixel" sentinel —
+    # hardcoding 0 here would make nodata != 0 halos never fill
+    nod = kernel_kwargs.get("nodata", 0)
+    g = grid
+    h = halo
+    # strip depth: the neighbor pixels visible in the padded frame are the
+    # halo ring PLUS the grid's tile-overlap band (tiles are
+    # (size+edge)^2 px on a size-px step)
+    d = halo + grid.edge
+
+    neigh = tiles.mapInPandas(_strip_emitter(n_cols, d), schema=_EMIT_SCHEMA)
 
     def assemble(key, pdf: pd.DataFrame):
         tag = key[0]

@@ -151,6 +151,10 @@ the 2->8 figure is the representative one.
   cells, so no single task inherits the zone; AQE handles residual skew.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    imp = os.path.join(REPO, "BENCH", "IMPROVEMENTS.md")
+    if os.path.exists(imp):  # per-round measured-improvement appendix
+        with open(imp) as f:
+            report += "\n" + f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(report)
     print(report)

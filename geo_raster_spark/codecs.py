@@ -103,8 +103,26 @@ def decode_png(data: bytes) -> np.ndarray:
         line = np.frombuffer(raw, dtype=np.uint8, count=w * nch, offset=r * stride + 1)
         if ftype == 0:
             row = line.copy()
+        elif ftype == 1:  # Sub: recurrence collapses to per-channel cumsum mod 256
+            row = line.reshape(w, nch).astype(np.uint8)
+            row = np.cumsum(row, axis=0, dtype=np.uint64).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up
             row = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average (sequential in x)
+            row = np.zeros(w * nch, dtype=np.uint8)
+            for x in range(w * nch):
+                a = int(row[x - nch]) if x >= nch else 0
+                row[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth (sequential in x)
+            row = np.zeros(w * nch, dtype=np.uint8)
+            for x in range(w * nch):
+                a = int(row[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(line[x]) + pr) & 0xFF
         else:
             raise NotImplementedError(f"PNG filter {ftype} not supported")
         out[r] = row

@@ -233,6 +233,63 @@ def simhash_signature(docs: DataFrame, text_col: str = "text",
         batch, schema=f"{id_col} long, simhash long")
 
 
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  max_bucket: int = 200) -> DataFrame:
+    """Near-duplicate pairs by SimHash: (id_a < id_b, hamming <= max_hamming).
+
+    Pigeonhole bucketing: the 64-bit signature splits into
+    ``max_hamming + 1`` blocks — any pair within ``max_hamming`` flipped
+    bits matches EXACTLY on at least one block, so candidates form only
+    inside (block_id, block_value) buckets (never all-pairs) with 100%
+    recall at the stated radius.  Verification is a JVM ``bit_count(xor)``.
+    ``max_bucket`` is the same hot-bucket skew guard as ``minhash_lsh``."""
+    n_tables = max_hamming + 1
+    widths = [64 // n_tables + (1 if i < 64 % n_tables else 0)
+              for i in range(n_tables)]
+    offs = [sum(widths[:i]) for i in range(n_tables)]
+
+    sig = simhash_signature(docs, text_col, id_col) \
+        .withColumnRenamed(id_col, "_id").persist()
+    sig.count()  # materialize before the self-join (see minhash_lsh)
+
+    blocks = sig.select(
+        "_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("block_id"),
+                F.shiftrightunsigned(F.col("simhash"), offs[b])
+                 .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("block_val"))
+            for b in range(n_tables)])).alias("blk")
+    ).select("_id", "simhash", "blk.block_id", "blk.block_val").persist()
+    blocks.count()
+
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("block_id", "block_val")
+        blocks_f = (blocks.withColumn("_bn", F.count("*").over(w))
+                          .where(F.col("_bn") <= max_bucket).drop("_bn"))
+    else:
+        blocks_f = blocks
+
+    ba, bb = blocks_f.alias("ba"), blocks_f.alias("bb")
+    pairs = (ba.join(bb,
+                     (F.col("ba.block_id") == F.col("bb.block_id"))
+                     & (F.col("ba.block_val") == F.col("bb.block_val"))
+                     & (F.col("ba._id") < F.col("bb._id")))
+               .select(F.col("ba._id").alias("id_a"),
+                       F.col("bb._id").alias("id_b"),
+                       F.bit_count(F.col("ba.simhash")
+                                   .bitwiseXOR(F.col("bb.simhash"))).alias("hamming"))
+               .where(F.col("hamming") <= max_hamming)
+               .dropDuplicates(["id_a", "id_b"]))
+    out = pairs.persist()
+    out.count()   # materialize the (small) result, release intermediates
+    sig.unpersist()
+    blocks.unpersist()
+    return out
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 5) -> DataFrame:

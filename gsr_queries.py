@@ -315,6 +315,59 @@ FROM g GROUP BY 1
 """
 
 
+def q_w3_stateful_sessions(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    sessionization run as an AvailableNow stream over the events table;
+    result = every CLOSED session (the open trailing session per user stays
+    in the state store).  The DuckDB oracle expresses the same thing in
+    window SQL: gap-split sessions minus each user's last."""
+    import shutil
+    import tempfile
+
+    from geo_raster_spark.streaming import stateful
+
+    work = tempfile.mkdtemp(prefix="gsr_w3_")
+    try:
+        src = f"{work}/events"
+        out = f"{work}/sessions"
+        ckpt = f"{work}/ckpt"
+        # stage the table as the stream source (files ARE the sf table)
+        spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .write.mode("overwrite").parquet(src)
+        q = stateful.streaming_sessionize(spark, src, ckpt, out, gap_sec=1800)
+        q.awaitTermination(300)
+        res = spark.read.parquet(out)
+        # materialize before the temp dir disappears
+        pdf = res.toPandas()
+        return spark.createDataFrame(pdf, schema=res.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SQL_W3_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), agg AS (
+  SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         CAST(COUNT(*) AS INT) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg a
+WHERE sid < (SELECT MAX(sid) FROM agg b WHERE b.user_id = a.user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis over documents
 # ---------------------------------------------------------------------------
@@ -576,6 +629,7 @@ QUERIES = {
     "f9_dates": q_f9_dates,
     "w_topk": q_w_topk,
     "w_sessionize": q_w_sessionize,
+    "w3_stateful_sessions": q_w3_stateful_sessions,
     "t1_token_stats": q_t1_token_stats,
     "t2_lang_id": q_t2_lang_id,
     "t3_quality": q_t3_quality,
@@ -600,6 +654,7 @@ ORACLES = {
     "f9_dates": SQL_F9,
     "w_topk": SQL_W_TOPK,
     "w_sessionize": SQL_W_SESSIONIZE,
+    "w3_stateful_sessions": SQL_W3_SESSIONS,
     "t1_token_stats": SQL_T1,
     "t2_lang_id": SQL_T2,
     "t3_quality": SQL_T3,

@@ -99,6 +99,22 @@ def q_d3_simhash(spark, sf_dir):
                .groupBy("prefix").agg(F.count("*").alias("n")))
 
 
+def q_d5_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming near-dup pairs via pigeonhole block buckets.
+
+    Plants 5 deterministic near-dups (doc_id + 10M, one token appended —
+    a handful of flipped signature bits) so a working operator returns
+    >= 5 rows and a broken one returns 0 (non-vacuous rows check)."""
+    from geo_raster_spark.operators import dedup
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (d.orderBy("doc_id").limit(5)
+                .select((F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" almostidentical"))
+                        .alias("text")))
+    both = d.unionByName(planted)
+    return dedup.simhash_pairs(both, max_hamming=6)
+
+
 def q_d4_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard on LSH candidate pairs."""
     from geo_raster_spark.operators import dedup
@@ -304,6 +320,7 @@ QUERIES = {
     "d2_minhash": q_d2_minhash,
     "d3_simhash": q_d3_simhash,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
+    "d5_simhash_pairs": q_d5_simhash_pairs,
     "e2_lsh_topk": q_e2_lsh_topk,
     "e4_ivf_topk": q_e4_ivf_topk,
     "e3_embedding_dups": q_e3_embedding_dups,

@@ -296,6 +296,49 @@ def test_footprints_within_bounds():
     assert (m["miny"] >= -61).all() and (m["maxy"] <= 61).all()
 
 
+def test_png_decode_filters_1_3_4():
+    """Foreign-tool PNGs use Sub/Average/Paeth row filters; decode must
+    invert them.  The test forward-filters a known image per the PNG spec
+    (independent direction) and asserts decode recovers it."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (23, 31)).astype(np.uint8)
+    h, w = arr.shape
+
+    def forward(ftype):
+        raw = b""
+        prev = np.zeros(w, np.int32)
+        for r in range(h):
+            line = arr[r].astype(np.int32)
+            left = np.concatenate([[0], line[:-1]])
+            if ftype == 1:
+                f = line - left
+            elif ftype == 3:
+                f = line - ((left + prev) >> 1)
+            else:  # 4 = Paeth
+                f = np.empty(w, np.int32)
+                for x in range(w):
+                    a = int(line[x - 1]) if x else 0
+                    b = int(prev[x])
+                    c = int(prev[x - 1]) if x else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    f[x] = line[x] - pr
+            raw += bytes([ftype]) + (f % 256).astype(np.uint8).tobytes()
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (codecs._PNG_SIG + codecs._chunk(b"IHDR", ihdr)
+                + codecs._chunk(b"IDAT", zlib.compress(raw))
+                + codecs._chunk(b"IEND", b""))
+
+    for ftype in (1, 3, 4):
+        got = codecs.decode_png(forward(ftype))
+        np.testing.assert_array_equal(got, arr, err_msg=f"filter {ftype}")
+
+
 def test_png_rgba_roundtrip():
     rng = np.random.default_rng(5)
     rgba = rng.integers(0, 256, (4, 20, 30)).astype(np.uint8)  # planes-first

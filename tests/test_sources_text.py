@@ -202,6 +202,38 @@ def test_lsh_topk_runs_and_partial_recall(spark, sf_dir):
     assert len(got) > 0 and len(exact & set(got["vec_id"])) >= 2
 
 
+def test_simhash_pairs_exact_vs_bruteforce(spark, sf_dir):
+    """Hamming-join pairs must equal the brute-force all-pairs set (the
+    pigeonhole bucketing guarantees 100% recall at the stated radius), on
+    real docs plus planted near-dups so the check is non-vacuous."""
+    from geo_raster_spark.operators import dedup
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").orderBy("doc_id").limit(40)
+    planted = (d.limit(3)
+                .select((F.col("doc_id") + 1000).alias("doc_id"),
+                        F.concat("text", F.lit(" nearly the same text"))
+                        .alias("text")))
+    both = d.unionByName(planted).cache()
+    t = 8
+    got = dedup.simhash_pairs(both, max_hamming=t).toPandas()
+    gotset = {(a, b) for a, b in zip(got["id_a"], got["id_b"])}
+
+    sigs = dedup.simhash_signature(both).toPandas().set_index("doc_id")["simhash"]
+    ids = sorted(sigs.index)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ham = bin(np.uint64(sigs[ids[i]]) ^ np.uint64(sigs[ids[j]])).count("1")
+            if ham <= t:
+                want.add((ids[i], ids[j]))
+    assert gotset == want
+    assert len(want) >= 1  # the planted dups make the check non-vacuous
+    # hamming column values are correct
+    for _, r in got.iterrows():
+        ham = bin(np.uint64(sigs[r["id_a"]]) ^ np.uint64(sigs[r["id_b"]])).count("1")
+        assert r["hamming"] == ham
+
+
 def test_knn_pairs_exact_finds_planted_dups(spark):
     """knn_pairs_exact was only ever exercised on data with no near-dup pair
     (vacuous 0-row result) — plant exact duplicates and require recovery."""

@@ -51,3 +51,53 @@ def test_windowed_event_counts(spark, sf_dir):
     # totals preserved
     total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert pdf["n"].sum() == total
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path, sf_dir):
+    """applyInPandasWithState sessionization: the open session must persist
+    in the state store across micro-batches (a session split over two files
+    closes exactly once), and closed sessions must equal the NumPy oracle."""
+    from geo_raster_spark.streaming import stateful
+
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt_sess")
+
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .where(F.col("user_id") < 40).orderBy("ts"))
+    pdf = e.toPandas()
+    # split IN TIME ORDER: first file = first half, second = rest — sessions
+    # straddling the cut exercise cross-batch state
+    cut = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:cut]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = stateful.streaming_sessionize(spark, src, ckpt, out, gap_sec=1800)
+    q.awaitTermination(120)
+    spark.createDataFrame(pdf.iloc[cut:]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = stateful.streaming_sessionize(spark, src, ckpt, out, gap_sec=1800)
+    q2.awaitTermination(120)
+
+    got = (spark.read.parquet(out).toPandas()
+           .sort_values(["user_id", "session_start"]).reset_index(drop=True))
+    want = (stateful.sessionize_oracle(pdf, gap_sec=1800)
+            .sort_values(["user_id", "session_start"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got["user_id"].values == want["user_id"].values).all()
+    assert (got["n_events"].values == want["n_events"].values).all()
+    assert (got["session_start"].values == want["session_start"].values).all()
+    assert (got["session_end"].values == want["session_end"].values).all()
+    # sanity: some sessions could only be emitted via cross-batch state —
+    # the session's events all sit in file 1 (end <= cut) but the gap that
+    # CLOSES it (the user's next event) arrives in file 2 (> cut), so
+    # without carried state the session would never be emitted
+    cut_ts = pdf.iloc[:cut]["ts"].max()
+    by_user = {u: np.sort(g["ts"].to_numpy("datetime64[us]"))
+               for u, g in pdf.groupby("user_id")}
+    cross = 0
+    for _, r in got.iterrows():
+        ts = by_user[r["user_id"]]
+        later = ts[ts > np.datetime64(r["session_end"], "us")]
+        if len(later) and r["session_end"] <= cut_ts and later[0] > np.datetime64(cut_ts, "us"):
+            cross += 1
+    assert cross > 0

@@ -130,9 +130,11 @@ This sandbox is a single virtualized 32-vCPU box: a TRIVIALLY parallel
 JVM-codegen job (range -> hash -> agg, zero shuffles, zero Python) only
 achieves {b32:.2f}x from local[8] -> local[32] — the vCPUs share clock
 headroom and memory bandwidth, so 4x threads does not buy 4x cycles.
-The flagship achieves {ratio32:.2f}x over the same step — {'matching' if abs(ratio32 - b32) < 0.35 else 'close to'}
-the hardware ceiling — i.e. the pipeline itself introduces no serial
-bottleneck; it scales as well as anything can on this host.  At 2 -> 8
+The flagship achieves {ratio32:.2f}x (uniform) / {r['hot@32']['per_sec'] / r['hot@8']['per_sec']:.2f}x (hot-zone)
+over the same step, against the {b32:.2f}x hardware ceiling ({ratio32 / b32:.0%} /
+{r['hot@32']['per_sec'] / r['hot@8']['per_sec'] / b32:.0%} of it; run-to-run JIT variance on this box is large,
+see the per-level numbers) — the pipeline introduces no serial bottleneck
+beyond what the shared-VM host imposes on every job.  At 2 -> 8
 cores, below the box's saturation knee, the flagship shows the true plan
 scaling ({ratio8:.2f}x for 4x cores).  On a real N -> 4N EXECUTOR cluster
 (the deployment target), each executor brings its own clock/bandwidth, so

@@ -69,9 +69,11 @@ def encode_png(arr: np.ndarray) -> bytes:
         h, w = arr.shape
         ctype = 0  # grayscale
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    # filter byte column prepended in one buffer (no per-row Python join)
+    buf = np.zeros((h, arr.reshape(h, -1).shape[1] + 1), dtype=np.uint8)
+    buf[:, 1:] = arr.reshape(h, -1)
     return (_PNG_SIG + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(raw, 6)) + _chunk(b"IEND", b""))
+            + _chunk(b"IDAT", zlib.compress(buf.tobytes(), 6)) + _chunk(b"IEND", b""))
 
 
 def decode_png(data: bytes) -> np.ndarray:
@@ -96,6 +98,25 @@ def decode_png(data: bytes) -> np.ndarray:
     nch = 4 if ctype == 6 else 1
     raw = zlib.decompress(idat)
     stride = w * nch + 1
+    flat = np.frombuffer(raw, dtype=np.uint8)
+    ftypes = flat[::stride]
+    if not ftypes.any():  # all filter-0 rows (our own encoder's output):
+        # one strided slice instead of a per-row Python loop
+        body = flat.reshape(h, stride)[:, 1:]
+        return body.reshape(h, w, 4).copy() if nch == 4 else body.copy()
+    if not (ftypes > 2).any():  # only None/Sub/Up: cumulative forms, no loop
+        body = flat.reshape(h, stride)[:, 1:].copy()
+        sub_rows = ftypes == 1
+        if sub_rows.any():  # Sub inverts to per-channel cumsum mod 256
+            b3 = body.reshape(h, w, nch)
+            b3[sub_rows] = np.cumsum(b3[sub_rows], axis=1, dtype=np.uint64) \
+                .astype(np.uint8)
+        if (ftypes == 2).any():  # Up inverts to cumsum over maximal runs
+            run_id = np.cumsum(ftypes != 2)
+            body = np.concatenate([
+                np.cumsum(g, axis=0, dtype=np.uint64).astype(np.uint8)
+                for g in np.split(body, np.unique(run_id, return_index=True)[1][1:])])
+        return body.reshape(h, w, 4) if nch == 4 else body
     out = np.empty((h, w * nch), dtype=np.uint8)
     prev = np.zeros(w * nch, dtype=np.uint8)
     for r in range(h):

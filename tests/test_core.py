@@ -339,6 +339,32 @@ def test_png_decode_filters_1_3_4():
         np.testing.assert_array_equal(got, arr, err_msg=f"filter {ftype}")
 
 
+def test_png_decode_mixed_filters_0_1_2():
+    """Exercises the vectorized None/Sub/Up path (cumsum reconstruction over
+    maximal Up-runs) with per-row filter choice cycling 0,1,2,2,0,1,..."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (29, 17)).astype(np.uint8)
+    h, w = arr.shape
+    raw = b""
+    prev = np.zeros(w, np.int32)
+    cycle = [0, 1, 2, 2]
+    for r in range(h):
+        line = arr[r].astype(np.int32)
+        ftype = cycle[r % len(cycle)] if r else 2  # first row Up (prev=0)
+        left = np.concatenate([[0], line[:-1]])
+        f = {0: line, 1: line - left, 2: line - prev}[ftype]
+        raw += bytes([ftype]) + (f % 256).astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    data = (codecs._PNG_SIG + codecs._chunk(b"IHDR", ihdr)
+            + codecs._chunk(b"IDAT", zlib.compress(raw))
+            + codecs._chunk(b"IEND", b""))
+    np.testing.assert_array_equal(codecs.decode_png(data), arr)
+
+
 def test_png_rgba_roundtrip():
     rng = np.random.default_rng(5)
     rgba = rng.integers(0, 256, (4, 20, 30)).astype(np.uint8)  # planes-first

@@ -51,6 +51,25 @@ def load(spark: SparkSession, source, ext=None) -> DataFrame:
     return filter_extent(cat, ext) if ext is not None else cat
 
 
+def write_bucketed(df: DataFrame, table: str, path: str,
+                   key: str = "cell", buckets: int = 64) -> None:
+    """Persist a catalog/table BUCKETED by the spatial cell key.
+
+    The 100 TB story: tables that are repeatedly joined on ``cell``
+    (catalog x zone cover, catalog x catalog temporal stacking, kNN
+    candidates) pay the hash-partition shuffle ONCE at write; every later
+    equi-join on the key is co-located — Spark plans a sort-merge join with
+    NO Exchange on either pre-bucketed side (asserted in
+    test_bucketed_join_has_no_shuffle).  The Iceberg equivalent is a
+    ``bucket(N, cell)`` partition transform."""
+    (df.repartition(buckets, F.col(key))
+       .write.mode("overwrite")
+       .bucketBy(buckets, key).sortBy(key)
+       .option("path", path)
+       .format("parquet")
+       .saveAsTable(table))
+
+
 def write_catalog(catalog: DataFrame, path: str, cell_prefix_res: int = 4) -> None:
     """Persist partitioned by a coarse cell prefix — Iceberg-style partition
     pruning for spatial lookups (SURVEY.md §4 partition-spec decision)."""

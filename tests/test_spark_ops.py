@@ -310,3 +310,36 @@ def test_tile_cut_salted_arbitrary_ids(spark):
     assert set(plain) == set(salted)
     for tag in plain:
         assert plain[tag] == salted[tag], tag
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Catalogs bucketed on `cell` must join WITHOUT an Exchange on either
+    side (the pay-the-shuffle-once-at-write scale story), and produce the
+    same rows as the plain join."""
+    from geo_raster_spark.sources import catalog as cat
+
+    imgs = cat.catalog_from_images(synth.images_df(spark, 400, 8, with_bytes=False))
+    cover = (imgs.select("cell").distinct()
+             .withColumn("zone_id", (F.col("cell") % 7).cast("int")))
+
+    cat.write_bucketed(imgs, "t_cat_a", str(tmp_path / "a"), buckets=8)
+    cat.write_bucketed(cover, "t_cat_b", str(tmp_path / "b"), buckets=8)
+    want = imgs.join(cover, "cell").count()
+
+    # disable auto-broadcast so the plan shows the bucketed SMB shape (at
+    # 100 TB neither catalog side is broadcastable — that's the point)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_cat_a").join(spark.table("t_cat_b"), "cell")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted")
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_cat_a")
+        spark.sql("DROP TABLE IF EXISTS t_cat_b")

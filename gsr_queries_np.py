@@ -99,6 +99,40 @@ def q_d3_simhash(spark, sf_dir):
                .groupBy("prefix").agg(F.count("*").alias("n")))
 
 
+def q_m1_image_features(spark, sf_dir):
+    """Multimodal feature-extract: per-image pixel statistics (moments,
+    percentiles, gradient energy, entropy) over decoded payloads, grouped
+    by fmt for a stable small result.  Pixel decode is not SQL-expressible
+    -> rows-only; the per-image values are pinned by
+    tests/test_multimodal.py::test_image_features_match_local."""
+    from geo_raster_spark.operators import multimodal as mm
+    feats = mm.image_features(_images(spark, 200))
+    imgs = _images(spark, 200).select("image_id", "fmt")
+    return (feats.join(imgs, "image_id")
+                 .groupBy("fmt")
+                 .agg(F.count("*").alias("n"),
+                      F.round(F.avg("mean"), 6).alias("avg_mean"),
+                      F.round(F.avg("std"), 6).alias("avg_std"),
+                      F.round(F.avg("entropy"), 6).alias("avg_entropy")))
+
+
+def q_m2_frame_sample(spark, sf_dir):
+    """Multimodal frame-sample plumbing: synthetic video rows -> sampled
+    frames (stubbed decoder, real Spark shape).  Rows-only."""
+    import pandas as pd
+    from geo_raster_spark.operators import multimodal as mm
+    vids = spark.createDataFrame(pd.DataFrame({
+        "video_id": [f"v{i:04d}" for i in range(40)],
+        "bytes": [bytearray(f"payload-{i}".encode()) for i in range(40)],
+        "n_frames": [30 + (i * 13) % 240 for i in range(40)],
+        "w": [32] * 40, "h": [24] * 40}))
+    frames = mm.frame_sample(vids, every_n=12)
+    return (frames.groupBy("video_id")
+                  .agg(F.count("*").alias("n_frames_sampled"),
+                       F.round(F.max("t_sec"), 4).alias("last_t"),
+                       F.sum(F.length("frame")).alias("bytes_total")))
+
+
 def q_d5_simhash_pairs(spark, sf_dir):
     """SimHash Hamming near-dup pairs via pigeonhole block buckets.
 
@@ -321,6 +355,8 @@ QUERIES = {
     "d3_simhash": q_d3_simhash,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
     "d5_simhash_pairs": q_d5_simhash_pairs,
+    "m1_image_features": q_m1_image_features,
+    "m2_frame_sample": q_m2_frame_sample,
     "e2_lsh_topk": q_e2_lsh_topk,
     "e4_ivf_topk": q_e4_ivf_topk,
     "e3_embedding_dups": q_e3_embedding_dups,

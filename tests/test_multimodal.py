@@ -1,0 +1,84 @@
+"""Multimodal operators: resize / feature-extract / frame-sample."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geo_raster_spark import codecs, synth
+from geo_raster_spark.operators import multimodal as mm
+
+
+def test_resize_nn_kernel():
+    a = np.arange(16, dtype=np.float64).reshape(4, 4)
+    up = mm.resize_nn(a, 8, 8)
+    assert up.shape == (8, 8)
+    # each source pixel becomes a 2x2 block
+    np.testing.assert_array_equal(up[0:2, 0:2], np.full((2, 2), a[0, 0]))
+    np.testing.assert_array_equal(up[6:8, 6:8], np.full((2, 2), a[3, 3]))
+    down = mm.resize_nn(up, 4, 4)
+    np.testing.assert_array_equal(down, a)
+
+
+def test_resize_bilinear_kernel():
+    const = np.full((10, 10), 37.0)
+    np.testing.assert_allclose(mm.resize_bilinear(const, 7, 13), 37.0)
+    # a linear ramp is reproduced exactly by bilinear interpolation
+    ramp = np.tile(np.linspace(0, 99, 100), (10, 1))
+    out = mm.resize_bilinear(ramp, 10, 50)
+    # interior columns follow the same ramp at the new pixel centers
+    fx = (np.arange(50) + 0.5) * 2 - 0.5
+    want = np.clip(fx, 0, 99)
+    np.testing.assert_allclose(out[5, 5:45], want[5:45], rtol=1e-12)
+
+
+def test_resize_images_spark(spark):
+    imgs = synth.images_df(spark, 12, 4, with_bytes=True)
+    out = mm.resize_images(imgs, 32, 24, method="nearest").collect()
+    assert len(out) == 12
+    for r in out:
+        assert (r["w"], r["h"], r["fmt"]) == (32, 24, "png")
+        dec = codecs.decode(bytes(r["bytes"]), "png")
+        assert dec.shape == (24, 32)
+    # parity with the local kernel for one image
+    src = imgs.orderBy("image_id").first()
+    arr = codecs.decode(bytes(src["bytes"]), src["fmt"]).astype(np.float64)
+    want = np.clip(np.round(mm.resize_nn(arr, 24, 32)), 0, 255).astype(np.uint8)
+    got = [r for r in out if r["image_id"] == src["image_id"]][0]
+    np.testing.assert_array_equal(codecs.decode(bytes(got["bytes"]), "png"), want)
+
+
+def test_image_features_match_local(spark):
+    imgs = synth.images_df(spark, 10, 4, with_bytes=True)
+    got = mm.image_features(imgs).toPandas().set_index("image_id")
+    for r in imgs.collect():
+        a = codecs.decode(bytes(r["bytes"]), r["fmt"]).astype(np.float64)
+        row = got.loc[r["image_id"]]
+        np.testing.assert_allclose(row["mean"], a.mean(), rtol=1e-12)
+        np.testing.assert_allclose(row["std"], a.std(), rtol=1e-12)
+        np.testing.assert_allclose(row["p90"], np.percentile(a, 90), rtol=1e-12)
+        assert 0.0 <= row["entropy"] <= 8.0
+
+
+def test_frame_sample_deterministic_and_decodable(spark):
+    vids = spark.createDataFrame(pd.DataFrame({
+        "video_id": ["v0", "v1"],
+        "bytes": [bytearray(b"fake-mp4-payload-0"), bytearray(b"fake-mp4-payload-1")],
+        "n_frames": [95, 30],
+        "w": [16, 8], "h": [12, 8]}))
+    a = mm.frame_sample(vids, every_n=10).toPandas() \
+        .sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
+    b = mm.frame_sample(vids, every_n=10).toPandas() \
+        .sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
+    assert len(a) == 10 + 3          # ceil(95/10), ceil(30/10)
+    assert list(a[a["video_id"] == "v0"]["frame_idx"]) == list(range(0, 95, 10))
+    np.testing.assert_allclose(
+        a[a["video_id"] == "v0"]["t_sec"].values,
+        np.arange(0, 95, 10) / 30.0)
+    # deterministic bytes (PYTHONHASHSEED-proof stub) and decodable frames
+    assert [bytes(x) for x in a["frame"]] == [bytes(x) for x in b["frame"]]
+    fr = codecs.decode_png(bytes(a.iloc[0]["frame"]))
+    assert fr.shape == (12, 16)
+    # different videos -> different frame content
+    f0 = codecs.decode_png(bytes(a[a["video_id"] == "v0"].iloc[0]["frame"]))
+    f1 = codecs.decode_png(bytes(a[a["video_id"] == "v1"].iloc[0]["frame"]))
+    assert f0.shape != f1.shape or not np.array_equal(f0, f1)

@@ -191,6 +191,50 @@ def ivf_topk(emb: DataFrame, probe_vec, k: int = 10, dim: int | None = None,
     return _topk(scored, k, id_col)
 
 
+def build_ivf_index(emb: DataFrame, dim: int, path: str,
+                    n_centroids: int = 16, iters: int = 8, seed: int = 11,
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Persist an IVF index: assignments parquet PARTITIONED BY the inverted
+    list id + a centroids sidecar.  Build once (one full pass), then every
+    ``ivf_topk_indexed`` query reads ONLY its ``nprobe`` list partitions —
+    Spark's partition pruning turns the coarse quantizer into an I/O filter,
+    the on-disk analogue of an inverted-list scan."""
+    import pandas as pd
+    C = fit_centroids(emb, dim, n_centroids, iters=iters, seed=seed,
+                      vec_col=vec_col)
+    (with_ivf_bucket(emb, C, vec_col)
+        .write.mode("overwrite").partitionBy("ivf")
+        .parquet(f"{path}/assignments"))
+    spark = emb.sparkSession
+    spark.createDataFrame(pd.DataFrame({
+        "centroid_id": range(len(C)),
+        "vec": [c.tolist() for c in C],
+    })).write.mode("overwrite").parquet(f"{path}/centroids")
+    return C
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    pdf = spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").toPandas()
+    return np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+
+
+def ivf_topk_indexed(spark, path: str, probe_vec, k: int = 10,
+                     nprobe: int = 4, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN over a persisted index: the ``ivf IN (...)`` predicate is a
+    PARTITION filter — only nprobe/n_centroids of the table is read."""
+    probe_vec = np.asarray(probe_vec, dtype=np.float64)
+    C = load_ivf_centroids(spark, path)
+    order = np.argsort(((C - probe_vec) ** 2).sum(1))[:nprobe]
+    cand = (spark.read.parquet(f"{path}/assignments")
+                 .where(F.col("ivf").isin([int(i) for i in order])))
+    p = probe_literal(probe_vec)
+    scored = cand.select(
+        id_col,
+        F.round(cosine_sim(F.col(vec_col).cast("array<double>"), p), 8).alias("cosine"))
+    return _topk(scored, k, id_col)
+
+
 def knn_pairs_exact(emb: DataFrame, dim: int, n_planes: int = 8,
                     threshold: float = 0.95, seed: int = 7,
                     vec_col: str = "embedding", id_col: str = "vec_id",

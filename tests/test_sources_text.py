@@ -263,6 +263,30 @@ def test_knn_pairs_exact_finds_planted_dups(spark):
     assert len(capped) == 0
 
 
+def test_ivf_index_persisted_pruned_and_equal(spark, sf_dir, tmp_path):
+    """A persisted IVF index must (a) answer identically to the in-session
+    ivf_topk with the same centroids, and (b) read only the probed list
+    partitions (ivf appears as a partition filter, not a data filter)."""
+    from geo_raster_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = [1.0 if i % 7 == 0 else 0.1 for i in range(64)]
+    path = str(tmp_path / "ivf")
+    C = similarity.build_ivf_index(emb, 64, path, n_centroids=12)
+
+    got = similarity.ivf_topk_indexed(spark, path, probe, k=10, nprobe=4) \
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    want = similarity.ivf_topk(emb, probe, k=10, nprobe=4, centroids=C) \
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    np.testing.assert_allclose(got["cosine"], want["cosine"], atol=1e-8)
+
+    cand = spark.read.parquet(f"{path}/assignments") \
+        .where(F.col("ivf").isin([0, 1]))
+    plan = cand._sc._jvm.PythonSQLUtils.explainString(
+        cand._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "ivf" in plan.split("PartitionFilters")[1].split("\n")[0]
+
+
 def test_minhash_cross_build_deterministic(spark, sf_dir):
     """Regression: rebuilt plans must give identical signatures.
 

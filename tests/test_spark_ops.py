@@ -48,6 +48,23 @@ def test_pip_join_exact_vs_oracle(spark, images_fp):
         assert got.get(z["zone_id"], 0) == want, z["zone_id"]
 
 
+def test_pip_join_shuffle_path_matches_broadcast(spark, images_fp):
+    """pip_join(broadcast=False) — the 10^6+-zone variant where the cover no
+    longer fits a broadcast — must return identical rows via the shuffle
+    equi-join, in both refine engines."""
+    zones = synth.zones_pandas(12, hot=True)
+
+    def counts(df):
+        pdf = df.groupBy("zone_id").count().toPandas()
+        return {int(z): int(n) for z, n in zip(pdf["zone_id"], pdf["count"])}
+
+    want = counts(pip_join.pip_join(images_fp, zones, keep_zone_name=False))
+    for eng in ("sql", "pandas"):
+        got = counts(pip_join.pip_join(images_fp, zones, keep_zone_name=False,
+                                       engine=eng, broadcast=False))
+        assert got == want, eng
+
+
 def test_tile_assign_matches_grid_enumeration(spark, images_fp):
     g = TileGrid()
     got = (tile_assign.assign_tiles(images_fp)

@@ -121,6 +121,40 @@ def polygon_cover(ring, res: int = DEFAULT_RES):
     return cells
 
 
+def polygon_cover_adaptive(ring, res: int = DEFAULT_RES, levels: int = 3):
+    """Multi-resolution labeled cover: FULL cells whose 4 siblings are all
+    FULL coalesce into their parent, repeated up to ``levels`` times.
+
+    -> (cells, full, res_min).  Cells are a DISJOINT region cover spanning
+    resolutions [res-levels, res]; boundary (partial) cells stay at ``res``
+    so the exact-refine split is unchanged.  A hot zone's cover shrinks
+    ~4x per coalesced level — this is what keeps the broadcast cover small
+    at 10^4+ zones (the probe side joins on its cell id at EACH level; a
+    point matches at most one cover row per zone because the regions are
+    disjoint)."""
+    cells, full = polygon_cover_labeled(ring, res)
+    res_min = max(res - levels, 1)
+    out_cells = [cells[~full]]
+    out_full = [np.zeros(int((~full).sum()), dtype=bool)]
+    cur = cells[full]
+    r = res
+    while r > res_min and len(cur):
+        _, col, row = unpack(cur)
+        parent = pack(r - 1, col // 2, row // 2)
+        uniq, counts = np.unique(parent, return_counts=True)
+        complete = uniq[counts == 4]
+        promote = np.isin(parent, complete)
+        keep = cur[~promote]
+        out_cells.append(keep)
+        out_full.append(np.ones(len(keep), dtype=bool))
+        cur = complete
+        r -= 1
+    out_cells.append(cur)
+    out_full.append(np.ones(len(cur), dtype=bool))
+    return (np.concatenate(out_cells).astype(np.int64),
+            np.concatenate(out_full), res_min)
+
+
 def polygon_cover_labeled(ring, res: int = DEFAULT_RES):
     """(cells, full) cover where ``full[i]`` marks cells wholly inside the
     polygon — candidates in FULL cells need no exact point-in-polygon

@@ -81,6 +81,18 @@ def geocell(lon: Column, lat: Column, res: int = DEFAULT_RES) -> Column:
             + col * F.lit(1 << 29).cast("long") + row)
 
 
+def geocell_parent(cell: Column, res_from: int, res_to: int) -> Column:
+    """Packed cell id at ``res_from`` -> ancestor id at ``res_to`` (pure
+    column math; JVM twin of ``dggs.parent``)."""
+    shift = res_from - res_to
+    low = cell.bitwiseAND(F.lit((1 << 58) - 1))
+    col = F.shiftrightunsigned(low, 29)
+    row = low.bitwiseAND(F.lit((1 << 29) - 1))
+    return (F.lit(res_to).cast("long") * F.lit(1 << 58).cast("long")
+            + F.shiftrightunsigned(col, shift) * F.lit(1 << 29).cast("long")
+            + F.shiftrightunsigned(row, shift))
+
+
 def geocell_cover(minx: Column, miny: Column, maxx: Column, maxy: Column,
                   res: int = DEFAULT_RES) -> Column:
     """Array of cell ids whose grid rectangle intersects the bbox —

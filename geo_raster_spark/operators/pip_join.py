@@ -76,7 +76,7 @@ def pip_join(points: DataFrame, zones_pdf: pd.DataFrame,
              lon_col: str = "lon", lat_col: str = "lat",
              cell_col: str = "cell", res: int = DEFAULT_RES,
              keep_zone_name: bool = True, engine: str = "sql",
-             broadcast: bool = True) -> DataFrame:
+             broadcast: bool = True, adaptive_levels: int = 0) -> DataFrame:
     """points ⋈ zones where the point lies inside the zone polygon.
 
     ``points`` must already carry ``cell_col`` (use
@@ -94,19 +94,44 @@ def pip_join(points: DataFrame, zones_pdf: pd.DataFrame,
     ``broadcast=False``: for zone sets whose cover no longer fits a
     broadcast (10^6+ zones) — the cell match becomes a plain shuffle
     equi-join on the int64 ``cell`` key (bounded, well-distributed; AQE
-    splits hot cells), per SCALE.md."""
+    splits hot cells), per SCALE.md.
+
+    ``adaptive_levels > 0``: multi-resolution cover — FULL interior cells
+    coalesce up to ``adaptive_levels`` parent levels
+    (``dggs.polygon_cover_adaptive``), shrinking a hot zone's broadcast
+    rows ~4x per level; the probe joins on its ancestor id at each level
+    (map-side explode, ``levels+1`` hash probes per point against a much
+    smaller table).  Results identical — asserted in tests."""
     spark = points.sparkSession
     cover_pdf_rows = []
     rings = {}
+    res_min = res
     for _, z in zones_pdf.iterrows():
         ring = geometry.wkb_to_ring(z["geometry"])
         # dateline-crossing zones become a list of in-range parts; the
         # cover (split-aware itself) and both refine engines handle parts
         rings[int(z["zone_id"])] = geometry.split_ring_antimeridian(ring)
-        cells, full = dggs.polygon_cover_labeled(ring, res)
+        if adaptive_levels:
+            cells, full, rm = dggs.polygon_cover_adaptive(ring, res,
+                                                          adaptive_levels)
+            res_min = min(res_min, rm)
+        else:
+            cells, full = dggs.polygon_cover_labeled(ring, res)
         for c, f in zip(cells, full):
             cover_pdf_rows.append((int(c), int(z["zone_id"]), bool(f)))
     cover_pdf = pd.DataFrame(cover_pdf_rows, columns=["cell", "zone_id", "full"])
+
+    if adaptive_levels:
+        from .. import functions as gf
+        # probe key = the point's ancestor cell at every cover level; the
+        # per-zone cover regions are disjoint, so a point still matches at
+        # most one cover row per zone
+        points = points.withColumn("_jcell", F.explode(F.array(*[
+            gf.geocell_parent(F.col(cell_col), res, r)
+            for r in range(res_min, res + 1)])))
+        join_key = "_jcell"
+    else:
+        join_key = cell_col
 
     if engine == "sql":
         # two tiny broadcasts: (cell -> zone, full) + (zone -> edge array);
@@ -120,17 +145,21 @@ def pip_join(points: DataFrame, zones_pdf: pd.DataFrame,
                           "edges": [_ring_edges_literal(r) for r in rings.values()]}),
             schema=f"zone_id int, edges {edge_type}")
         cov = F.broadcast(cover) if broadcast else cover
-        cand = (points.join(cov, points[cell_col] == cover["cell"], "inner")
+        cand = (points.join(cov, points[join_key] == cover["cell"], "inner")
                       .drop(cover["cell"])
                       .join(F.broadcast(edges), "zone_id"))
+        if adaptive_levels:
+            cand = cand.drop("_jcell")
         inside = F.when(F.col("full"), F.lit(True)).otherwise(
             _pip_expr(F.col("edges"), F.col(lon_col), F.col(lat_col)))
         refined = cand.where(inside).drop("full", "edges")
     else:
         cover = spark.createDataFrame(cover_pdf)
         cov = F.broadcast(cover) if broadcast else cover
-        cand = points.join(cov, points[cell_col] == cover["cell"], "inner") \
+        cand = points.join(cov, points[join_key] == cover["cell"], "inner") \
                      .drop(cover["cell"])
+        if adaptive_levels:
+            cand = cand.drop("_jcell")
         accepted = cand.where(F.col("full")).drop("full")
         boundary = cand.where(~F.col("full")).drop("full")
         bc = spark.sparkContext.broadcast(rings)

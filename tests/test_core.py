@@ -101,6 +101,30 @@ def test_bbox_cover_wraps_at_dateline():
     assert cols.max() == n_cols - 1 and cols.min() == 0
 
 
+def test_polygon_cover_adaptive_partitions_same_region():
+    """The adaptive multi-res cover must tile EXACTLY the same region as the
+    flat cover (every flat cell has exactly one adaptive ancestor/self), be
+    much smaller for a hot zone, and keep boundary cells at full res."""
+    from geo_raster_spark import dggs
+    ring = geometry.bbox_to_ring((-40.0, -25.0, 35.0, 30.0))  # ~large zone
+    flat, flat_full = dggs.polygon_cover_labeled(ring, 8)
+    ad, ad_full, res_min = dggs.polygon_cover_adaptive(ring, 8, levels=3)
+    assert res_min == 5
+    assert len(ad) < len(flat) / 3  # hot zones shrink a lot
+    ad_set = set(int(c) for c in ad)
+    # map every flat cell to its ancestor at each level; exactly one hit
+    for cells, full in ((flat[flat_full], True), (flat[~flat_full], False)):
+        for c in cells[:: max(1, len(cells) // 500)]:  # sample for speed
+            hits = [r for r in range(res_min, 9)
+                    if int(dggs.parent(np.int64(c), r)) in ad_set]
+            assert len(hits) == 1, int(c)
+    # boundary (partial) cells stay at res 8 and stay partial
+    ad_res = dggs.unpack(ad)[0]
+    assert (ad_res[~ad_full] == 8).all()
+    # full flags: coarse cells are always full
+    assert (ad_full[ad_res < 8]).all()
+
+
 def test_tile_output_path():
     assert grid.tile_output_path("/out", 12, 34, "tcc") == \
         "/out/data/h012/v034/h012v034/h012v034_tcc"

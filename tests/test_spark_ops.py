@@ -65,6 +65,22 @@ def test_pip_join_shuffle_path_matches_broadcast(spark, images_fp):
         assert got == want, eng
 
 
+def test_pip_join_adaptive_cover_matches_flat(spark, images_fp):
+    """adaptive_levels shrinks the broadcast cover (multi-res FULL
+    coalescing) without changing a single result row, in both engines."""
+    zones = synth.zones_pandas(12, hot=True)
+
+    def counts(df):
+        pdf = df.groupBy("zone_id").count().toPandas()
+        return {int(z): int(n) for z, n in zip(pdf["zone_id"], pdf["count"])}
+
+    want = counts(pip_join.pip_join(images_fp, zones, keep_zone_name=False))
+    for eng in ("sql", "pandas"):
+        got = counts(pip_join.pip_join(images_fp, zones, keep_zone_name=False,
+                                       engine=eng, adaptive_levels=3))
+        assert got == want, eng
+
+
 def test_tile_assign_matches_grid_enumeration(spark, images_fp):
     g = TileGrid()
     got = (tile_assign.assign_tiles(images_fp)

@@ -301,3 +301,31 @@ def test_minhash_cross_build_deterministic(spark, sf_dir):
              .toPandas().sort_values("doc_id"))
         runs.append([tuple(np.asarray(s).tolist()) for s in p["sig"]])
     assert runs[0] == runs[1] == runs[2]
+
+
+def test_dbf_roundtrip(spark, tmp_path):
+    """S10: dBase III attribute table write -> read (pandas + Spark paths),
+    covering C/N(int)/N(dec)/L/D field types."""
+    from geo_raster_spark.sources import dbf
+    pdf = pd.DataFrame({
+        "NAME": ["alpha", "beta", "gamma"],
+        "ZONE_ID": np.array([1, 22, 333], dtype=np.int64),
+        "AREA": np.array([1.5, 0.25, 1234.125], dtype=np.float64),
+        "ACTIVE": np.array([True, False, True]),
+        "ACQUIRED": pd.to_datetime(["2020-01-31", "1999-12-01", "2024-06-15"]),
+    })
+    path = str(tmp_path / "attrs.dbf")
+    dbf.write_dbf(pdf, path)
+
+    back = dbf.read_dbf_pandas(path)
+    assert list(back.columns) == list(pdf.columns)
+    assert list(back["NAME"]) == list(pdf["NAME"])
+    assert list(back["ZONE_ID"]) == [1, 22, 333]
+    np.testing.assert_allclose(back["AREA"], pdf["AREA"], rtol=1e-12)
+    assert list(back["ACTIVE"]) == [True, False, True]
+    assert [d.isoformat() for d in back["ACQUIRED"]] == \
+        ["2020-01-31", "1999-12-01", "2024-06-15"]
+
+    sdf = dbf.read_dbf(spark, path)
+    assert sdf.count() == 3
+    assert {r["NAME"] for r in sdf.collect()} == {"alpha", "beta", "gamma"}

@@ -138,31 +138,15 @@ class _BitWriter:
             self.nbits = 0
 
 
-def encode(arr: np.ndarray, quality: int = 90) -> bytes:
-    """(H, W) uint8 grayscale -> baseline JFIF bytes."""
-    arr = np.asarray(arr)
-    if arr.ndim != 2:
-        raise ValueError("grayscale (H, W) only")
-    h, w = arr.shape
-    qt = quant_table(quality)
-
-    # pad to 8x8 multiples by edge replication
-    ph, pw = -h % 8, -w % 8
-    a = np.pad(arr.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
-    bh, bw = a.shape[0] // 8, a.shape[1] // 8
-    blocks = a.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)      # (bh, bw, 8, 8)
-    coef = np.einsum("ij,xyjk,lk->xyil", _DCT_M, blocks, _DCT_M)
-    q = np.round(coef / qt).astype(np.int32)
-    zz = q.reshape(bh * bw, 64)[:, _ZZ]                          # zigzag per block
-
+def _entropy_scalar(zz: np.ndarray) -> bytes:
+    """Reference (scalar) entropy coder — kept as the parity oracle for the
+    vectorized coder below."""
     dc = zz[:, 0].copy()
     dc[1:] -= zz[:-1, 0]                                         # DC prediction
     sizes_dc = _category(dc)
     sizes_ac = _category(zz[:, 1:])
-
     bw_ = _BitWriter()
-    n_blocks = bh * bw
-    for i in range(n_blocks):
+    for i in range(zz.shape[0]):
         s = int(sizes_dc[i])
         c, ln = _DC_ENC[s]
         bw_.write(c, ln)
@@ -188,6 +172,125 @@ def encode(arr: np.ndarray, quality: int = 90) -> bytes:
             c, ln = _AC_ENC[0x00]                                # EOB
             bw_.write(c, ln)
     bw_.flush()
+    return bytes(bw_.buf)
+
+
+# symbol -> (code, length) as flat arrays for the vectorized coder
+_DC_CODE = np.zeros(12, np.int64)
+_DC_LEN = np.zeros(12, np.int64)
+for _s, (_c, _l) in _DC_ENC.items():
+    _DC_CODE[_s], _DC_LEN[_s] = _c, _l
+_AC_CODE = np.zeros(256, np.int64)
+_AC_LEN = np.zeros(256, np.int64)
+for _s, (_c, _l) in _AC_ENC.items():
+    _AC_CODE[_s], _AC_LEN[_s] = _c, _l
+
+
+def _pack_bits(vals: np.ndarray, nbits: np.ndarray) -> np.ndarray:
+    """MSB-first bit packing of (value, bit-length) pairs + 1-padding to a
+    byte boundary + 0xFF byte stuffing — all vectorized."""
+    keep = nbits > 0
+    vals, nbits = vals[keep], nbits[keep]
+    total = int(nbits.sum())
+    item = np.repeat(np.arange(len(vals)), nbits)
+    start = np.repeat(np.cumsum(nbits) - nbits, nbits)
+    j = np.arange(total) - start                     # bit index within item
+    bits = ((vals[item] >> (nbits[item] - 1 - j)) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, np.uint8)])  # spec: pad w/ 1s
+    by = np.packbits(bits)
+    counts = np.where(by == 0xFF, 2, 1)              # stuff 0x00 after 0xFF
+    out = np.zeros(int(counts.sum()), np.uint8)
+    out[np.cumsum(counts) - counts] = by
+    return out
+
+
+def _entropy_vector(zz: np.ndarray) -> bytes:
+    """Vectorized entropy coder: build the full emission sequence (DC, ZRLs,
+    AC run/size symbols, EOBs) as flat arrays, then one bit-packing pass.
+    Byte-identical to ``_entropy_scalar`` (asserted in tests)."""
+    nb = zz.shape[0]
+    dc = zz[:, 0].astype(np.int64).copy()
+    dc[1:] -= zz[:-1, 0]
+    s_dc = _category(dc).astype(np.int64)
+
+    ac = zz[:, 1:]
+    bi, pos = np.nonzero(ac)                         # block-major, pos ascending
+    av = ac[bi, pos].astype(np.int64)
+    s_ac = _category(av).astype(np.int64)
+    first = np.ones(len(bi), bool)
+    first[1:] = bi[1:] != bi[:-1]
+    prev = np.empty_like(pos)
+    if len(pos):
+        prev[1:] = pos[:-1]
+    prev[first] = -1
+    run = pos - prev - 1
+    n_zrl = run // 16
+    rs = ((run % 16) << 4) | s_ac
+
+    last_pos = np.full(nb, -1, np.int64)
+    if len(bi):
+        last_pos[bi] = pos                           # pos ascending per block
+    eob_blocks = np.nonzero(last_pos < 62)[0]
+
+    # records in stream order: key = (block, slot); DC slot 0, AC slot pos+1,
+    # EOB slot 65
+    r_block = np.concatenate([np.arange(nb), bi, eob_blocks])
+    r_slot = np.concatenate([np.zeros(nb, np.int64), pos + 1,
+                             np.full(len(eob_blocks), 65, np.int64)])
+    r_kind = np.concatenate([np.zeros(nb, np.int64),                 # 0 = DC
+                             np.ones(len(bi), np.int64),             # 1 = AC
+                             np.full(len(eob_blocks), 2, np.int64)])  # 2 = EOB
+    r_zrl = np.concatenate([np.zeros(nb, np.int64), n_zrl,
+                            np.zeros(len(eob_blocks), np.int64)])
+    r_sym = np.concatenate([s_dc, rs, np.zeros(len(eob_blocks), np.int64)])
+    r_val = np.concatenate([dc, av, np.zeros(len(eob_blocks), np.int64)])
+    r_sz = np.concatenate([s_dc, s_ac, np.zeros(len(eob_blocks), np.int64)])
+    order = np.lexsort((r_slot, r_block))
+    r_kind, r_zrl, r_sym = r_kind[order], r_zrl[order], r_sym[order]
+    r_val, r_sz = r_val[order], r_sz[order]
+
+    # expand ZRL prefixes: record -> n_zrl ZRL emissions + 1 final emission
+    reps = r_zrl + 1
+    em = np.repeat(np.arange(len(reps)), reps)
+    starts = np.repeat(np.cumsum(reps) - reps, reps)
+    is_final = (np.arange(len(em)) - starts) == (reps[em] - 1)
+
+    kind = r_kind[em]
+    code = np.where(kind == 0, _DC_CODE[np.clip(r_sym[em], 0, 11)],
+                    _AC_CODE[r_sym[em]])
+    clen = np.where(kind == 0, _DC_LEN[np.clip(r_sym[em], 0, 11)],
+                    _AC_LEN[r_sym[em]])
+    code = np.where(is_final, code, _AC_CODE[0xF0])  # ZRL prefix emissions
+    clen = np.where(is_final, clen, _AC_LEN[0xF0])
+    ev = r_val[em]
+    extra = np.where(ev > 0, ev, ev + (1 << r_sz[em]) - 1)
+    elen = np.where(is_final & (kind != 2), r_sz[em], 0)
+
+    vals = np.stack([code, extra], axis=1).ravel()
+    lens = np.stack([clen, elen], axis=1).ravel()
+    return _pack_bits(vals, lens).tobytes()
+
+
+def encode(arr: np.ndarray, quality: int = 90, _scalar: bool = False) -> bytes:
+    """(H, W) uint8 grayscale -> baseline JFIF bytes."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError("grayscale (H, W) only")
+    h, w = arr.shape
+    qt = quant_table(quality)
+
+    # pad to 8x8 multiples by edge replication
+    ph, pw = -h % 8, -w % 8
+    a = np.pad(arr.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
+    bh, bw = a.shape[0] // 8, a.shape[1] // 8
+    blocks = a.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)      # (bh, bw, 8, 8)
+    coef = np.einsum("ij,xyjk,lk->xyil", _DCT_M, blocks, _DCT_M)
+    q = np.round(coef / qt).astype(np.int32)
+    zz = q.reshape(bh * bw, 64)[:, _ZZ]                          # zigzag per block
+
+    scan = _entropy_scalar(zz) if _scalar else _entropy_vector(zz)
 
     qt_zz = qt.reshape(64)[_ZZ].astype(np.uint8)
     out = bytearray()
@@ -200,7 +303,7 @@ def encode(arr: np.ndarray, quality: int = 90) -> bytes:
     out += b"\xFF\xC4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10) \
         + bytes(_AC_BITS) + bytes(_AC_VALS)
     out += b"\xFF\xDA" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
-    out += bw_.buf
+    out += scan
     out += b"\xFF\xD9"                                           # EOI
     return bytes(out)
 
@@ -270,8 +373,67 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode(data: bytes) -> np.ndarray:
-    """Baseline sequential GRAYSCALE JFIF -> (H, W) uint8."""
+def _build_lut(bits, vals):
+    """Canonical codes -> 16-bit-peek LUT: lut_len[idx] = code length (0 =
+    invalid), lut_sym[idx] = symbol, for every 16-bit window starting with
+    that code."""
+    lut_len = np.zeros(65536, np.uint8)
+    lut_sym = np.zeros(65536, np.int16)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            base = code << (16 - ln)
+            lut_len[base:base + (1 << (16 - ln))] = ln
+            lut_sym[base:base + (1 << (16 - ln))] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut_len, lut_sym
+
+
+_LUT_CACHE: dict = {}
+
+
+def _lut_cached(table):
+    """LUTs as plain Python LISTS (scalar indexing is ~5x faster than numpy
+    element access in the per-symbol loop), cached per Huffman table."""
+    bits, vals = table
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is None:
+        ln, sym = _build_lut(bits, vals)
+        hit = (ln.tolist(), sym.tolist())
+        _LUT_CACHE[key] = hit
+    return hit
+
+
+def _scan_windows(scan: bytes) -> np.ndarray:
+    """Entropy-coded segment -> uint16 array W where W[i] = the 16 bits
+    starting at BIT offset i (stuffed 0x00 removed, stream cut at the first
+    marker, zero-padded past the end like the scalar reader)."""
+    raw = np.frombuffer(scan, np.uint8)
+    is_ff = raw[:-1] == 0xFF
+    marker = np.nonzero(is_ff & (raw[1:] != 0))[0]
+    end = int(marker[0]) if len(marker) else len(raw)
+    raw = raw[:end]
+    keep = np.ones(len(raw), bool)
+    keep[1:][(raw[:-1] == 0xFF) & (raw[1:] == 0)] = False   # unstuff
+    bits = np.unpackbits(raw[keep])
+    bits = np.concatenate([bits, np.zeros(32, np.uint8)])   # pad past EOI
+    n = len(bits) - 16
+    W = np.zeros(n, np.uint16)
+    for k in range(16):
+        W |= bits[k:k + n].astype(np.uint16) << (15 - k)
+    return W
+
+
+def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
+    """Baseline sequential GRAYSCALE JFIF -> (H, W) uint8.
+
+    Entropy decode uses a 16-bit-peek LUT over a precomputed bit-window
+    array (one O(1) lookup per symbol); ``_scalar=True`` selects the
+    reference per-bit reader kept as the parity oracle."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -322,7 +484,7 @@ def decode(data: bytes) -> np.ndarray:
                 bits = list(seg[off + 1:off + 17])
                 n = sum(bits)
                 vals = list(seg[off + 17:off + 17 + n])
-                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = (bits, vals)
                 off += 17 + n
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals not supported")
@@ -338,30 +500,79 @@ def decode(data: bytes) -> np.ndarray:
         raise ValueError("truncated JPEG")
 
     qt = qts[qt_id]
-    dct, act = huff_dc[dc_id], huff_ac[ac_id]
-    br = _BitReader(data[scan_start:])
     bh, bw = (h + 7) // 8, (w + 7) // 8
     zz = np.zeros((bh * bw, 64), dtype=np.float64)
     pred = 0
-    for i in range(bh * bw):
-        s = _huff_read(br, dct)
-        diff = _extend(br.read(s), s) if s else 0
-        pred += diff
-        zz[i, 0] = pred
-        k = 1
-        while k < 64:
-            rs = _huff_read(br, act)
-            r, s = rs >> 4, rs & 0x0F
-            if rs == 0x00:                                       # EOB
-                break
-            if rs == 0xF0:                                       # ZRL
-                k += 16
-                continue
-            k += r
-            if k > 63:
-                break
-            zz[i, k] = _extend(br.read(s), s)
-            k += 1
+    if _scalar:
+        dct = _build_decode(*huff_dc[dc_id])
+        act = _build_decode(*huff_ac[ac_id])
+        br = _BitReader(data[scan_start:])
+        for i in range(bh * bw):
+            s = _huff_read(br, dct)
+            diff = _extend(br.read(s), s) if s else 0
+            pred += diff
+            zz[i, 0] = pred
+            k = 1
+            while k < 64:
+                rs = _huff_read(br, act)
+                r, s = rs >> 4, rs & 0x0F
+                if rs == 0x00:                                       # EOB
+                    break
+                if rs == 0xF0:                                       # ZRL
+                    k += 16
+                    continue
+                k += r
+                if k > 63:
+                    break
+                zz[i, k] = _extend(br.read(s), s)
+                k += 1
+    else:
+        dlen, dsym = _lut_cached(huff_dc[dc_id])
+        alen, asym = _lut_cached(huff_ac[ac_id])
+        Wl = _scan_windows(data[scan_start:]).tolist()  # plain-int indexing
+        nW = len(Wl)
+        cur = 0
+        oi = []  # flat zz indices of nonzero coefficients
+        ov = []
+        for i in range(bh * bw):
+            if cur >= nW:
+                break  # truncated stream: remaining blocks stay zero
+            idx = Wl[cur]
+            ln = dlen[idx]
+            if ln == 0:
+                raise ValueError("invalid Huffman code")
+            s = dsym[idx]
+            cur += ln
+            if s:
+                v = Wl[cur] >> (16 - s) if cur < nW else 0
+                cur += s
+                pred += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+            base = i << 6
+            oi.append(base)
+            ov.append(pred)
+            k = 1
+            while k < 64 and cur < nW:
+                idx = Wl[cur]
+                ln = alen[idx]
+                if ln == 0:
+                    raise ValueError("invalid Huffman code")
+                rs = asym[idx]
+                cur += ln
+                if rs == 0x00:                                       # EOB
+                    break
+                if rs == 0xF0:                                       # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                s = rs & 0x0F
+                v = Wl[cur] >> (16 - s) if cur < nW else 0
+                cur += s
+                if k > 63:
+                    break
+                oi.append(base + k)
+                ov.append(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
+                k += 1
+        zz.ravel()[oi] = ov
 
     blocks = np.zeros((bh * bw, 64), dtype=np.float64)
     blocks[:, _ZZ] = zz                                          # de-zigzag

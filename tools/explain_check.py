@@ -91,11 +91,32 @@ def main():
             p4.index("TakeOrderedAndProject") > p4.index("Window"):
         failures.append("cosine_topk: global Window funnels all rows into one task")
 
+    # 5. zonal stats: candidate join is broadcast; the bytes payload never
+    # shuffles (no Exchange below the partials mapInPandas; the only
+    # exchange is the terminal 4-doubles-per-pair aggregation)
+    from geo_raster_spark.operators import footprint as fp_op, zonal
+    imgs5 = fp_op.with_footprint(synth.images_df(spark, 200, 8, with_bytes=True))
+    zs = synth.zones_pandas(6, hot=True)
+    zq = zonal.zonal_stats(imgs5, zs, nodata=-1.0)
+    p5 = plan_of(zq)
+    sections.append(("Zonal stats (broadcast candidates, pixels stay put)", p5))
+    if "BroadcastHashJoin" not in p5:
+        failures.append("zonal: candidate join is not broadcast")
+    # the tree prints sink-first: everything after the decode-kernel
+    # MapInPandas line is its input subtree, which must hold no shuffle
+    tree5 = p5.split("\n\n")[0].splitlines()
+    k5 = next((i for i, ln in enumerate(tree5) if "MapInPandas" in ln), None)
+    if k5 is None or any("Exchange hashpartitioning" in ln or
+                         re.search(r"\bExchange \(", ln)
+                         for ln in tree5[k5 + 1:] if "Broadcast" not in ln):
+        failures.append("zonal: bytes payload shuffles before the decode kernel")
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# Physical plans (captured by tools/explain_check.py)\n\n"
                 "Assertions enforced: broadcast PIP join, single probe-side "
                 "shuffle, parquet filter pushdown + column pruning, map-side "
-                "tile explode, parallel top-k (TakeOrderedAndProject).\n\n")
+                "tile explode, parallel top-k (TakeOrderedAndProject), "
+                "broadcast zonal candidates (no pixel shuffle).\n\n")
         for title, plan in sections:
             f.write(f"## {title}\n\n```\n{plan}\n```\n\n")
 

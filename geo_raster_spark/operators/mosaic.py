@@ -37,21 +37,27 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
              nodata: float = 0.0, agg_to_cell: float | None = None,
              agg_func: str = "mean", min_rate: float = 0.1,
              checkpoint=None, stage: str = "tile_cut",
-             salt_buckets: int | None = None) -> DataFrame:
+             salt_buckets: int | None = None,
+             priority_col: str | None = None) -> DataFrame:
     """images (with footprint cols + bytes/fmt) -> one row per output tile.
 
     ``agg_to_cell``: optional coarser output cell size (A1/A2 aggregation
     after the mosaic, like the reference's --cell-size).
     Output ``data`` is a PNG-encoded uint8 band.
 
+    ``priority_col``: optional NUMERIC compositing order — candidates paint
+    in ascending (priority, image_id), so the lowest priority value wins
+    each pixel (e.g. days-since-acquisition for a freshest-pixel composite;
+    the reference composites in file-list order, util/split_raster_tiles.py).
+
     ``salt_buckets``: hot-tile skew handling (north rule) — images split
     into ``pmod(xxhash64(image_id), k)`` sub-groups per tile; partial
     mosaics build in parallel, then a second first-wins merge combines the
     k partials per tile.  Identical output to the unsalted path because the
     global paint order is preserved: within a salt group candidates sort by
-    image_id, and the merge phase re-sorts partials so pixel precedence is
-    decided by the MINIMUM image_id that painted each pixel — asserted
-    equal in tests."""
+    (priority, image_id), and the merge phase re-sorts partials so pixel
+    precedence is decided by the MINIMUM (priority, image_id) that painted
+    each pixel — asserted equal in tests."""
     grid = grid or TileGrid()
     assigned = assign_tiles(images, grid.image_size, grid.cell_size, grid.edge,
                             p=grid.p)
@@ -60,16 +66,17 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
 
     if salt_buckets is not None and salt_buckets > 1:
         return _tile_cut_salted(assigned, grid, nodata, salt_buckets,
-                                agg_to_cell, agg_func, min_rate)
+                                agg_to_cell, agg_func, min_rate, priority_col)
 
     g = grid
+    sort_cols = ([priority_col, "image_id"] if priority_col else ["image_id"])
 
     def assemble(key, pdf: pd.DataFrame):
         tag = key[0]
         tcol = int(pdf["tile_col"].iloc[0])
         trow = int(pdf["tile_row"].iloc[0])
         info = g.tile_info(tcol, trow)
-        pdf = pdf.sort_values("image_id", kind="stable")  # deterministic first-wins
+        pdf = pdf.sort_values(sort_cols, kind="stable")  # deterministic first-wins
 
         def decoded():
             # stream: decode-and-paint one source at a time so a hot tile
@@ -107,29 +114,31 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
 
 _PARTIAL_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
                    "n_images int, data binary, winner binary, "
-                   "ids array<string>")
+                   "ids array<string>, prios array<double>")
 
 
 def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
-                     k: int, agg_to_cell, agg_func, min_rate) -> DataFrame:
+                     k: int, agg_to_cell, agg_func, min_rate,
+                     priority_col: str | None = None) -> DataFrame:
     """Two-phase hot-tile mosaic: per-(tile, salt) partials carry a
     per-pixel WINNER plane so the merge reproduces the global
-    min-image_id first-wins order exactly.
+    min-(priority, image_id) first-wins order exactly.
 
     The winner plane stores the LOCAL index into the salt group's sorted
-    id list (shipped alongside, one string per image); the merge factorizes
-    the union of id lists into global lexicographic ranks and compares
-    those — works for arbitrary image_id strings, unlike parsing a numeric
-    suffix, and precedence is exactly the unsalted path's string sort."""
+    key list (shipped alongside: one (priority, id) pair per image); the
+    merge factorizes the union of key lists into global lexicographic
+    ranks and compares those — works for arbitrary image_id strings, and
+    precedence is exactly the unsalted path's (priority, image_id) sort."""
     salted = assigned.withColumn(
         "salt", F.pmod(F.xxhash64("image_id"), F.lit(k)).cast("int"))
+    sort_cols = ([priority_col, "image_id"] if priority_col else ["image_id"])
 
     def assemble_partial(key, pdf: pd.DataFrame):
         tag, _salt = key[0], key[1]
         tcol = int(pdf["tile_col"].iloc[0])
         trow = int(pdf["tile_row"].iloc[0])
         info = g.tile_info(tcol, trow)
-        pdf = pdf.sort_values("image_id", kind="stable")
+        pdf = pdf.sort_values(sort_cols, kind="stable")
         out = np.full((info.height, info.width), nodata, dtype=np.float64)
         winner = np.full(out.shape, -1, dtype=np.int32)   # -1 = unpainted
         for j, (_, r) in enumerate(pdf.iterrows()):
@@ -139,12 +148,15 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
             warp_k.warp_band(arr, src, info, nodata, out=out)
             newly = empty_before & (out != nodata)
             winner[newly] = j
+        prios = (pdf[priority_col].astype(float).tolist() if priority_col
+                 else [0.0] * len(pdf))
         return pd.DataFrame([{
             "tile_tag": tag, "tile_col": tcol, "tile_row": trow,
             "n_images": len(pdf),
             "data": codecs.encode_npy(out.astype(np.float64)),
             "winner": codecs.encode_npy(winner),
             "ids": list(pdf["image_id"]),
+            "prios": prios,
         }])
 
     partials = (salted.repartition("tile_tag", "salt")
@@ -158,15 +170,18 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
         info = g.tile_info(tcol, trow)
         out = np.full((info.height, info.width), nodata, dtype=np.float64)
         win = np.full(out.shape, np.iinfo(np.int64).max, dtype=np.int64)
-        rank = {s: i for i, s in enumerate(
-            sorted(set(s for ids in pdf["ids"] for s in ids)))}
+        rank = {ps: i for i, ps in enumerate(sorted(
+            set((float(p), s) for _, r in pdf.iterrows()
+                for p, s in zip(r["prios"], r["ids"]))))}
         for _, r in pdf.iterrows():
             d = codecs.decode_npy(r["data"])
             wloc = codecs.decode_npy(r["winner"])
-            ranks = np.array([rank[s] for s in r["ids"]] or [0], dtype=np.int64)
+            ranks = np.array(
+                [rank[(float(p), s)] for p, s in zip(r["prios"], r["ids"])]
+                or [0], dtype=np.int64)
             w = np.where(wloc >= 0, ranks[np.clip(wloc, 0, None)],
                          np.iinfo(np.int64).max)
-            take = w < win  # global min-image_id precedence per pixel
+            take = w < win  # global min-(priority, id) precedence per pixel
             out[take] = d[take]
             win[take] = w[take]
         out_info = info

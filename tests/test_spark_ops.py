@@ -162,14 +162,15 @@ def test_checkpoint_resume(spark, tmp_path):
 
 def test_tile_cut_matches_kernel_mosaic(spark):
     """G5 pipeline vs direct kernel composition on one tile."""
-    n = 40
-    imgs = synth.images_df(spark, n, 4, with_bytes=True)
+    n = 400  # at 40 images no tile stacked 2 images — the mosaic was vacuous
+    imgs = synth.images_df(spark, n, 8, with_bytes=True)
     fp = footprint.with_footprint(imgs)
     tiles = mosaic.tile_cut(fp, nodata=0.0).collect()
     assert len(tiles) > 0
 
     # oracle for the densest tile
     t = max(tiles, key=lambda r: r["n_images"])
+    assert t["n_images"] >= 2  # the oracle exercises a REAL multi-image mosaic
     g = TileGrid()
     info = g.tile_info(t["tile_col"], t["tile_row"])
     m = synth.image_meta(np.arange(n))
@@ -314,35 +315,102 @@ def test_footprint_pandas_engine_agrees_with_sql(spark):
 def test_tile_cut_salted_equals_unsalted(spark):
     """Hot-tile salting (north rule): the two-phase salted mosaic must be
     byte-identical to the plain path — winner planes preserve the global
-    min-image_id first-wins precedence."""
-    imgs = footprint.with_footprint(synth.images_df(spark, 80, 4, with_bytes=True))
+    min-image_id first-wins precedence.  400 images so tiles genuinely
+    stack (at 80 images no tile held two images and the check was vacuous)."""
+    imgs = footprint.with_footprint(synth.images_df(spark, 400, 8, with_bytes=True))
     plain = {r["tile_tag"]: (bytes(r["data"]), r["n_images"], r["painted"])
              for r in mosaic.tile_cut(imgs, nodata=0.0).collect()}
     salted = {r["tile_tag"]: (bytes(r["data"]), r["n_images"], r["painted"])
               for r in mosaic.tile_cut(imgs, nodata=0.0, salt_buckets=4).collect()}
     assert set(plain) == set(salted)
+    assert any(v[1] > 1 for v in plain.values())  # overlapping tiles exist
     for tag in plain:
         assert plain[tag] == salted[tag], tag
+
+
+def _overlap_fixture(spark):
+    """5 images with constant pixel values stacked on ONE 1° tile, ids and
+    priorities chosen so the (priority, image_id) order REVERSES the plain
+    image_id order."""
+    rows = []
+    for j in range(5):
+        v = 50 + 10 * j  # img a->50 ... img e->90
+        arr = np.full((60, 60), v, dtype=np.uint8)
+        minx, maxy = 10.2 + 0.05 * j, 0.8 - 0.05 * j
+        rows.append({
+            "image_id": f"img_{chr(ord('a') + j)}",
+            "bytes": bytearray(codecs.encode(arr, "png")), "fmt": "png",
+            "w": 60, "h": 60, "prio": float(5 - j),      # reverses id order
+            "minx": minx, "miny": maxy - 0.6, "maxx": minx + 0.6, "maxy": maxy,
+            "gt": [minx, 0.01, 0.0, maxy, 0.0, -0.01]})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_tile_cut_priority_composite(spark):
+    """priority_col composites in ascending (priority, image_id): the lowest
+    priority value wins overlapped pixels, salted and unsalted stay
+    byte-identical, and the overlap region provably changes vs default."""
+    imgs = _overlap_fixture(spark)
+
+    def tiles(**kw):
+        return {r["tile_tag"]: (bytes(r["data"]), r["n_images"])
+                for r in mosaic.tile_cut(imgs, nodata=0.0, **kw).collect()}
+
+    plain = tiles(priority_col="prio")
+    salted = tiles(priority_col="prio", salt_buckets=4)
+    assert plain == salted
+    default = tiles()
+    assert set(plain) == set(default)
+    assert any(n > 1 for _, n in plain.values())  # genuinely stacked
+    assert any(plain[t] != default[t] for t in plain)
+
+    # semantics: in the fully-overlapped region the LAST id (img_e, value 90)
+    # has the LOWEST priority (1.0) and must win under priority_col, while
+    # the default min-id order gives img_a (value 50)
+    tag = max(plain, key=lambda t: plain[t][1])
+    got_p = codecs.decode_png(plain[tag][0])
+    got_d = codecs.decode_png(default[tag][0])
+    assert (got_p == 90).any() and not (got_d == 90).sum() > (got_p == 90).sum()
+    # the region covered by ALL five images: priority winner is img_e
+    g = TileGrid()
+    info = g.tile_info(*[int(x) for x in (tag[1:4], tag[5:8])])
+    xs = info.gt[0] + (np.arange(info.width) + 0.5) * info.gt[1]
+    ys = info.gt[3] + (np.arange(info.height) + 0.5) * info.gt[5]
+    X, Y = np.meshgrid(xs, ys)
+    common = np.ones_like(X, dtype=bool)
+    for j in range(5):
+        minx, maxy = 10.2 + 0.05 * j, 0.8 - 0.05 * j
+        common &= (X > minx) & (X < minx + 0.6) & (Y < maxy) & (Y > maxy - 0.6)
+    assert common.any()
+    assert (got_p[common] == 90).all()
+    assert (got_d[common] == 50).all()
 
 
 def test_tile_cut_salted_arbitrary_ids(spark):
     """Salted merge precedence must follow the STRING sort of image_id for
-    arbitrary ids — non-'img<N>' names, and non-zero-padded numeric suffixes
-    where lexicographic order ('s10' < 's2') diverges from numeric order."""
-    imgs = footprint.with_footprint(synth.images_df(spark, 40, 4, with_bytes=True))
-    # 'img000000000007' -> 'scene/7.B1' etc: strips the zero padding so
-    # numeric and lexicographic orders disagree, and adds non-numeric chars
-    imgs = imgs.withColumn(
-        "image_id",
-        F.concat(F.lit("scene/"),
-                 F.regexp_replace("image_id", "^img0*", ""), F.lit(".B1")))
+    arbitrary ids — non-'img<N>' names with non-zero-padded numeric suffixes
+    where lexicographic order ('s10' < 's2') diverges from numeric order —
+    on a fixture whose images genuinely OVERLAP on one tile."""
+    from pyspark.sql import functions as SF
+    imgs = _overlap_fixture(spark)
+    remap = {"img_a": "scene/10.B1", "img_b": "scene/2.B1",
+             "img_c": "scene/9.B1", "img_d": "scene/1.B1",
+             "img_e": "scene/5.B1"}
+    mapping = SF.create_map(*[SF.lit(x) for kv in remap.items() for x in kv])
+    imgs = imgs.withColumn("image_id", mapping[SF.col("image_id")])
     plain = {r["tile_tag"]: (bytes(r["data"]), r["n_images"], r["painted"])
              for r in mosaic.tile_cut(imgs, nodata=0.0).collect()}
     salted = {r["tile_tag"]: (bytes(r["data"]), r["n_images"], r["painted"])
               for r in mosaic.tile_cut(imgs, nodata=0.0, salt_buckets=4).collect()}
     assert set(plain) == set(salted)
+    assert any(v[1] > 1 for v in plain.values())
     for tag in plain:
         assert plain[tag] == salted[tag], tag
+    # winner in the all-overlap region is min STRING id 'scene/1.B1'
+    # (= img_d, value 80), not min numeric suffix (scene/1 vs scene/10)
+    tag = max(plain, key=lambda t: plain[t][1])
+    got = codecs.decode_png(plain[tag][0])
+    assert (got == 80).any()
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):

@@ -99,6 +99,17 @@ def q_d3_simhash(spark, sf_dir):
                .groupBy("prefix").agg(F.count("*").alias("n")))
 
 
+def q_g11_composite(spark, sf_dir):
+    """G11/J7 priority composite: freshest-pixel mosaic — candidates paint
+    in ascending (priority, image_id); per-tile stats.  Rows-only (pixel
+    semantics pinned by test_tile_cut_priority_composite)."""
+    from geo_raster_spark.operators import mosaic as mz
+    imgs = _images(spark, 400).withColumn(
+        "prio", F.pmod(F.xxhash64("image_id"), F.lit(7)).cast("double"))
+    t = mz.tile_cut(imgs, nodata=0.0, priority_col="prio")
+    return t.select("tile_tag", "n_images", "painted", F.length("data").alias("nbytes"))
+
+
 def q_m1_image_features(spark, sf_dir):
     """Multimodal feature-extract: per-image pixel statistics (moments,
     percentiles, gradient energy, entropy) over decoded payloads, grouped
@@ -357,6 +368,7 @@ QUERIES = {
     "d5_simhash_pairs": q_d5_simhash_pairs,
     "m1_image_features": q_m1_image_features,
     "m2_frame_sample": q_m2_frame_sample,
+    "g11_composite": q_g11_composite,
     "e2_lsh_topk": q_e2_lsh_topk,
     "e4_ivf_topk": q_e4_ivf_topk,
     "e3_embedding_dups": q_e3_embedding_dups,

@@ -71,6 +71,17 @@ def main():
     tile_rows = mz.tile_cut(imgs, nodata=0.0).count()
     timings["g5_tile_cut_400"] = round(time.time() - t0, 3)
 
+    # data-pipeline operators, timed but kept OUT of the headline total so
+    # `value` stays comparable round-over-round with the original suite
+    extras: dict[str, float] = {}
+    for name in ["d2_minhash", "d5_simhash_pairs", "e1_cosine_topk",
+                 "t1_token_stats", "w3_stateful_sessions", "m1_image_features"]:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        extras[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline query wall time (flagship PIP+tile + operator suite)",
@@ -83,6 +94,7 @@ def main():
         "flagship_result_rows": flag_rows,
         "tile_cut_rows": tile_rows,
         "images_per_sec": round(N_IMAGES / flagship_sec, 1),
+        "queries_extra": extras,
     }
     print(json.dumps(out))
 

@@ -120,6 +120,13 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     boilerplate shared by thousands of docs and would blow up the join
     quadratically; its members still pair through their other bands)."""
     r = n_hashes // bands
+    # Small inputs arrive as ONE parquet split, which would serialize the
+    # (interpreted, expensive) shingle-hash projection on a single core —
+    # spread the rows first.  At scale inputs already have many splits and
+    # this is a no-op.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     # Two-step materialization, both load-bearing:
     # 1. the base shingle-hash array is persisted so the (interpreted,
     #    expensive) string-hash pass runs ONCE — Catalyst's CollapseProject
@@ -209,6 +216,10 @@ def _fnv1a64(data: bytes) -> int:
 def simhash_signature(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document (vectorized Arrow batches)."""
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # spread single-split inputs (see minhash_lsh)
 
     def batch(it):
         for pdf in it:

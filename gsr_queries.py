@@ -326,14 +326,22 @@ def q_w3_stateful_sessions(spark, sf_dir):
 
     from geo_raster_spark.streaming import stateful
 
+    import os
+
     work = tempfile.mkdtemp(prefix="gsr_w3_")
     try:
         src = f"{work}/events"
         out = f"{work}/sessions"
         ckpt = f"{work}/ckpt"
-        # stage the table as the stream source (files ARE the sf table)
-        spark.read.parquet(f"{sf_dir}/events.parquet") \
-            .write.mode("overwrite").parquet(src)
+        # zero-copy staging: the streaming file source needs a DIRECTORY, so
+        # symlink the (read-only) sf table file(s) into one — no data write
+        os.makedirs(src)
+        ev = f"{sf_dir}/events.parquet"
+        if os.path.isdir(ev):
+            for f in os.listdir(ev):
+                os.symlink(os.path.join(ev, f), os.path.join(src, f))
+        else:
+            os.symlink(ev, f"{src}/events.parquet")
         q = stateful.streaming_sessionize(spark, src, ckpt, out, gap_sec=1800)
         q.awaitTermination(300)
         res = spark.read.parquet(out)

@@ -57,6 +57,80 @@ _DELTA = (
 )
 _UTM_RE = re.compile(r"^(?:EPSG:32([67])(\d{2})|UTM:(\d{1,2})([NS]))$", re.I)
 
+# --- Albers Equal-Area conic (ellipsoidal, 2SP) — Snyder 1987 §14 ----------
+# EPSG:5070 (NAD83 / Conus Albers) is THE grid for US Landsat products,
+# the reference's primary domain.  GRS80 ellipsoid.
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+_AEA_RE = re.compile(
+    r"^AEA:(-?[\d.]+),(-?[\d.]+),(-?[\d.]+),(-?[\d.]+)$", re.I)
+_AEA_EPSG = {"EPSG:5070": (29.5, 45.5, 23.0, -96.0)}
+
+
+def parse_aea(crs: str):
+    """-> (lat1, lat2, lat0, lon0) or None.  Accepts EPSG:5070 and the
+    generic ``AEA:lat1,lat2,lat0,lon0`` family."""
+    c = crs.strip().upper()
+    if c in _AEA_EPSG:
+        return _AEA_EPSG[c]
+    m = _AEA_RE.match(crs.strip())
+    if m:
+        return tuple(float(g) for g in m.groups())
+    return None
+
+
+def _aea_consts(lat1, lat2, lat0):
+    a, f = _GRS80_A, _GRS80_F
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def q_of(phi):
+        s = np.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+
+    def m_of(phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1 - e2 * s * s)
+
+    p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+    m1, m2 = m_of(p1), m_of(p2)
+    q1, q2, q0 = q_of(p1), q_of(p2), q_of(p0)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+    return a, e, e2, n, C, rho0, q_of
+
+
+def _aea_forward(params, lon, lat):
+    lat1, lat2, lat0, lon0 = params
+    a, e, e2, n, C, rho0, q_of = _aea_consts(lat1, lat2, lat0)
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rho = a * np.sqrt(C - n * q_of(phi)) / n
+    theta = n * lam
+    return rho * np.sin(theta), rho0 - rho * np.cos(theta)
+
+
+def _aea_inverse(params, x, y):
+    lat1, lat2, lat0, lon0 = params
+    a, e, e2, n, C, rho0, _q = _aea_consts(lat1, lat2, lat0)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    rho = np.sqrt(x * x + (rho0 - y) ** 2) * np.sign(n)
+    theta = np.arctan2(x * np.sign(n), (rho0 - y) * np.sign(n))
+    q = (C - (rho * n / a) ** 2) / n
+    # authalic latitude -> geodetic via the standard series (Snyder 3-18)
+    qp = (1 - e2) * (1 / (1 - e2)
+                     - (1 / (2 * e)) * math.log((1 - e) / (1 + e)))
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    phi = (beta
+           + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * np.sin(2 * beta)
+           + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta)
+           + (761 * e6 / 45360) * np.sin(6 * beta))
+    return np.degrees(theta / n) + lon0, np.degrees(phi)
+
 
 def parse_utm(crs: str):
     """-> (zone, north) or None.  Accepts EPSG:326xx/327xx and UTM:xxN/S."""
@@ -125,6 +199,9 @@ def _to_geog(crs, x, y):
     utm = parse_utm(c)
     if utm is not None:
         return _utm_inverse(utm[0], utm[1], x, y)
+    aea = parse_aea(c)
+    if aea is not None:
+        return _aea_inverse(aea, x, y)
     raise ValueError(f"unknown crs {crs}")
 
 
@@ -147,6 +224,9 @@ def _from_geog(crs, lon, lat):
     utm = parse_utm(c)
     if utm is not None:
         return _utm_forward(utm[0], utm[1], lon, lat)
+    aea = parse_aea(c)
+    if aea is not None:
+        return _aea_forward(aea, lon, lat)
     raise ValueError(f"unknown crs {crs}")
 
 

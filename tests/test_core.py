@@ -176,6 +176,43 @@ def test_utm_meridian_arc_oracle():
         np.testing.assert_allclose(N[0], 0.9996 * m, atol=1e-4)
 
 
+def test_aea_conus_albers():
+    """EPSG:5070 (Conus Albers — the USGS Landsat grid): roundtrip, origin
+    invariant, and the EQUAL-AREA property verified against an independent
+    numerical quadrature of the ellipsoidal area element."""
+    lon = np.linspace(-124.0, -67.0, 9)
+    lat = np.linspace(25.0, 49.0, 9)
+    x, y = crs.transform("EPSG:4326", "EPSG:5070", lon, lat)
+    lo, la = crs.transform("EPSG:5070", "EPSG:4326", x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-7)   # authalic series ~1 mm
+    x0, y0 = crs.transform("EPSG:4326", "EPSG:5070",
+                           np.array([-96.0]), np.array([23.0]))
+    np.testing.assert_allclose([x0[0], y0[0]], [0.0, 0.0], atol=1e-6)
+
+    a, f = 6378137.0, 1 / 298.257222101
+    e2 = f * (2 - f)
+    lo0, lo1, la0, la1 = -100.0, -99.0, 38.0, 39.0
+    phi = np.linspace(np.radians(la0), np.radians(la1), 200001)
+    integrand = a * a * (1 - e2) * np.cos(phi) / (1 - e2 * np.sin(phi) ** 2) ** 2
+    ell_area = np.trapz(integrand, phi) * np.radians(lo1 - lo0)
+    t = np.linspace(0, 1, 400)
+    rl = np.concatenate([lo0 + (lo1 - lo0) * t, np.full(400, lo1),
+                         lo1 - (lo1 - lo0) * t, np.full(400, lo0)])
+    rb = np.concatenate([np.full(400, la0), la0 + (la1 - la0) * t,
+                         np.full(400, la1), la1 - (la1 - la0) * t])
+    px, py = crs.transform("EPSG:4326", "EPSG:5070", rl, rb)
+    proj_area = abs(0.5 * np.sum(px * np.roll(py, -1) - np.roll(px, -1) * py))
+    np.testing.assert_allclose(proj_area / ell_area, 1.0, rtol=1e-7)
+    # generic family string
+    assert crs.parse_aea("AEA:29.5,45.5,23,-96") == (29.5, 45.5, 23.0, -96.0)
+    x2, y2 = crs.transform("EPSG:4326", "AEA:29.5,45.5,23,-96",
+                           np.array([-100.0]), np.array([40.0]))
+    x3, y3 = crs.transform("EPSG:4326", "EPSG:5070",
+                           np.array([-100.0]), np.array([40.0]))
+    np.testing.assert_allclose([x2[0], y2[0]], [x3[0], y3[0]], rtol=1e-12)
+
+
 def test_parse_utm():
     assert crs.parse_utm("EPSG:32618") == (18, True)
     assert crs.parse_utm("EPSG:32702") == (2, False)

@@ -161,10 +161,14 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bands_df.count()
 
     if max_bucket is not None:
-        from pyspark.sql import Window
-        w = Window.partitionBy("band_id", "band_hash")
-        bands_df = (bands_df.withColumn("_bn", F.count("*").over(w))
-                            .where(F.col("_bn") <= max_bucket).drop("_bn"))
+        # hot-bucket EXCLUSION list via aggregate + broadcast anti-join: the
+        # probe rows never shuffle (a window count would re-shuffle them all
+        # on the bucket key just to count); the hot list is tiny by definition
+        hot = (bands_df.groupBy("band_id", "band_hash").count()
+                       .where(F.col("count") > max_bucket)
+                       .select("band_id", "band_hash"))
+        bands_df = bands_df.join(F.broadcast(hot),
+                                 ["band_id", "band_hash"], "left_anti")
 
     # Self-join via explicit aliases + qualified columns.  NOTE: renaming
     # columns of the SAME plan and joining (the naive self-join) hits
@@ -276,10 +280,12 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     blocks.count()
 
     if max_bucket is not None:
-        from pyspark.sql import Window
-        w = Window.partitionBy("block_id", "block_val")
-        blocks_f = (blocks.withColumn("_bn", F.count("*").over(w))
-                          .where(F.col("_bn") <= max_bucket).drop("_bn"))
+        # broadcast anti-join exclusion (see minhash_lsh): probe rows stay put
+        hot = (blocks.groupBy("block_id", "block_val").count()
+                     .where(F.col("count") > max_bucket)
+                     .select("block_id", "block_val"))
+        blocks_f = blocks.join(F.broadcast(hot),
+                               ["block_id", "block_val"], "left_anti")
     else:
         blocks_f = blocks
 

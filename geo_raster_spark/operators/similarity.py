@@ -258,9 +258,11 @@ def knn_pairs_exact(emb: DataFrame, dim: int, n_planes: int = 8,
     cached.count()  # materialize before the self-join (see dedup.minhash_lsh)
     b = cached
     if max_bucket is not None:
-        wb = Window.partitionBy("bucket")
-        b = (b.withColumn("_bn", F.count("*").over(wb))
-              .where(F.col("_bn") <= max_bucket).drop("_bn"))
+        # broadcast anti-join exclusion: avoids re-shuffling the EMBEDDING
+        # rows on the bucket key just to count them (see dedup.minhash_lsh)
+        hot = (b.groupBy("bucket").count()
+                .where(F.col("count") > max_bucket).select("bucket"))
+        b = b.join(F.broadcast(hot), "bucket", "left_anti")
     a = b.select(F.col(id_col).alias("id_a"),
                  F.col(vec_col).cast("array<double>").alias("va"), "bucket")
     c = b.select(F.col(id_col).alias("id_b"),

@@ -310,7 +310,11 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 5) -> DataFrame:
-    """Exact shingle-Jaccard for candidate (id_a, id_b) pairs."""
+    """Exact shingle-Jaccard for candidate (id_a, id_b) pairs.
+
+    The returned DataFrame is materialized + persisted so the shingle-set
+    intermediate can be unpersisted here (same cache hygiene as
+    ``minhash_lsh``); callers may ``unpersist()`` the result when done."""
     sh = docs.select(F.col(id_col).alias("_id"),
                      F.array_distinct(shingles(text_col, k)).alias("sh")).persist()
     j = (pairs
@@ -318,5 +322,8 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
          .join(sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return j.select("id_a", "id_b",
-                    F.round(inter / union, 6).alias("jaccard"))
+    out = j.select("id_a", "id_b",
+                   F.round(inter / union, 6).alias("jaccard")).persist()
+    out.count()
+    sh.unpersist()
+    return out

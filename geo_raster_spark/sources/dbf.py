@@ -79,7 +79,7 @@ def read_dbf(spark, path: str):
 
 def _field_spec(s: pd.Series):
     if pd.api.types.is_integer_dtype(s):
-        return "N", 18, 0
+        return "N", 20, 0  # full int64 range incl. sign
     if pd.api.types.is_float_dtype(s):
         return "N", 19, 8
     if pd.api.types.is_bool_dtype(s):

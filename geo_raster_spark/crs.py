@@ -57,6 +57,72 @@ _DELTA = (
 )
 _UTM_RE = re.compile(r"^(?:EPSG:32([67])(\d{2})|UTM:(\d{1,2})([NS]))$", re.I)
 
+# --- Lambert Conformal Conic (ellipsoidal, 2SP) — Snyder 1987 §15 ----------
+# EPSG:3978 (NAD83 / Canada Atlas Lambert); generic LCC:lat1,lat2,lat0,lon0.
+_LCC_RE = re.compile(r"^LCC:(-?[\d.]+),(-?[\d.]+),(-?[\d.]+),(-?[\d.]+)$", re.I)
+_LCC_EPSG = {"EPSG:3978": (49.0, 77.0, 49.0, -95.0)}
+
+
+def parse_lcc(crs: str):
+    c = crs.strip().upper()
+    if c in _LCC_EPSG:
+        return _LCC_EPSG[c]
+    m = _LCC_RE.match(crs.strip())
+    if m:
+        return tuple(float(g) for g in m.groups())
+    return None
+
+
+def _lcc_consts(lat1, lat2, lat0):
+    a = 6378137.0
+    f = 1.0 / 298.257222101  # GRS80
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def m_of(phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1 - e2 * s * s)
+
+    def t_of(phi):
+        s = np.sin(phi)
+        return (np.tan(math.pi / 4 - phi / 2)
+                / ((1 - e * s) / (1 + e * s)) ** (e / 2))
+
+    p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+    n = ((math.log(m_of(p1)) - math.log(m_of(p2)))
+         / (math.log(t_of(p1)) - math.log(t_of(p2))))
+    F_ = m_of(p1) / (n * t_of(p1) ** n)
+    rho0 = a * F_ * t_of(p0) ** n
+    return a, e, n, F_, rho0, t_of
+
+
+def _lcc_forward(params, lon, lat):
+    lat1, lat2, lat0, lon0 = params
+    a, e, n, F_, rho0, t_of = _lcc_consts(lat1, lat2, lat0)
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rho = a * F_ * t_of(phi) ** n
+    theta = n * lam
+    return rho * np.sin(theta), rho0 - rho * np.cos(theta)
+
+
+def _lcc_inverse(params, x, y):
+    lat1, lat2, lat0, lon0 = params
+    a, e, n, F_, rho0, _t = _lcc_consts(lat1, lat2, lat0)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.sqrt(x * x + (rho0 - y) ** 2)
+    theta = np.arctan2(sgn * x, sgn * (rho0 - y))
+    t = (rho / (a * F_)) ** (1.0 / n)
+    phi = math.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):  # fixed-point on the conformal-latitude relation
+        s = np.sin(phi)
+        phi = math.pi / 2 - 2 * np.arctan(
+            t * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+    return np.degrees(theta / n) + lon0, np.degrees(phi)
+
+
 # --- Albers Equal-Area conic (ellipsoidal, 2SP) — Snyder 1987 §14 ----------
 # EPSG:5070 (NAD83 / Conus Albers) is THE grid for US Landsat products,
 # the reference's primary domain.  GRS80 ellipsoid.
@@ -202,6 +268,9 @@ def _to_geog(crs, x, y):
     aea = parse_aea(c)
     if aea is not None:
         return _aea_inverse(aea, x, y)
+    lcc = parse_lcc(c)
+    if lcc is not None:
+        return _lcc_inverse(lcc, x, y)
     raise ValueError(f"unknown crs {crs}")
 
 
@@ -227,6 +296,9 @@ def _from_geog(crs, lon, lat):
     aea = parse_aea(c)
     if aea is not None:
         return _aea_forward(aea, lon, lat)
+    lcc = parse_lcc(c)
+    if lcc is not None:
+        return _lcc_forward(lcc, lon, lat)
     raise ValueError(f"unknown crs {crs}")
 
 

@@ -213,6 +213,49 @@ def test_aea_conus_albers():
     np.testing.assert_allclose([x2[0], y2[0]], [x3[0], y3[0]], rtol=1e-12)
 
 
+def test_lcc_canada_lambert():
+    """EPSG:3978 (Canada Atlas Lambert): roundtrip, origin, and the
+    CONFORMAL invariants measured numerically — parallel scale k = 1 at
+    both standard parallels, and k == h (isotropy) everywhere."""
+    lon = np.linspace(-140.0, -55.0, 9)
+    lat = np.linspace(42.0, 82.0, 9)
+    x, y = crs.transform("EPSG:4326", "EPSG:3978", lon, lat)
+    lo, la = crs.transform("EPSG:3978", "EPSG:4326", x, y)
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+    x0, y0 = crs.transform("EPSG:4326", "EPSG:3978",
+                           np.array([-95.0]), np.array([49.0]))
+    np.testing.assert_allclose([x0[0], y0[0]], [0.0, 0.0], atol=1e-6)
+
+    a, f = 6378137.0, 1 / 298.257222101
+    e2 = f * (2 - f)
+    d = 1e-4
+    for latp, k_want in ((49.0, 1.0), (77.0, 1.0), (60.0, None)):
+        p1 = crs.transform("EPSG:4326", "EPSG:3978",
+                           np.array([-100.0]), np.array([latp]))
+        p2 = crs.transform("EPSG:4326", "EPSG:3978",
+                           np.array([-100.0 + d]), np.array([latp]))
+        p3 = crs.transform("EPSG:4326", "EPSG:3978",
+                           np.array([-100.0]), np.array([latp + d]))
+        nu = a / np.sqrt(1 - e2 * np.sin(np.radians(latp)) ** 2)
+        M = a * (1 - e2) / (1 - e2 * np.sin(np.radians(latp)) ** 2) ** 1.5
+        k = float(np.hypot(p2[0] - p1[0], p2[1] - p1[1])[0]
+                  / (nu * np.cos(np.radians(latp)) * np.radians(d)))
+        h = float(np.hypot(p3[0] - p1[0], p3[1] - p1[1])[0]
+                  / (M * np.radians(d)))
+        np.testing.assert_allclose(k, h, rtol=1e-5)      # conformal isotropy
+        if k_want is not None:
+            np.testing.assert_allclose(k, k_want, rtol=1e-6)
+        else:
+            assert k < 1.0  # between the standard parallels
+    # generic family string matches the EPSG entry
+    xg, yg = crs.transform("EPSG:4326", "LCC:49,77,49,-95",
+                           np.array([-120.0]), np.array([55.0]))
+    xe, ye = crs.transform("EPSG:4326", "EPSG:3978",
+                           np.array([-120.0]), np.array([55.0]))
+    np.testing.assert_allclose([xg[0], yg[0]], [xe[0], ye[0]], rtol=1e-12)
+
+
 def test_parse_utm():
     assert crs.parse_utm("EPSG:32618") == (18, True)
     assert crs.parse_utm("EPSG:32702") == (2, False)

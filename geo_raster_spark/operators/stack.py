@@ -1,0 +1,68 @@
+"""Per-pixel statistics across a temporal stack of tiles (SURVEY.md §2.4's
+A1-A4 semantics applied ACROSS epochs — the reference computes per-pixel
+means/medians over scene stacks with its agg/band kernels
+[ref: mod/agg_band.pyx per-pixel loops]; here the stack for one tile
+co-locates via one shuffle on ``tile_tag`` and reduces in a single NumPy
+pass).
+
+Scale shape: rows are (tile_tag, epoch, data); ``groupBy(tile_tag)`` is the
+only shuffle (tile payloads move once); the per-pixel reduction is a
+vectorized nan-aware NumPy op over the (n_epochs, H, W) stack — bounded by
+epochs x tile pixels, independent of image count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import codecs
+
+STACK_SCHEMA = ("tile_tag string, n_epochs int, width int, height int, "
+                "gt array<double>, painted bigint, data binary")
+
+_STATS = {
+    "mean": np.nanmean,
+    "median": np.nanmedian,
+    "min": np.nanmin,
+    "max": np.nanmax,
+    "std": np.nanstd,
+}
+
+
+def pixel_stack_stats(tiles: DataFrame, stat: str = "median",
+                      nodata: float = 0.0) -> DataFrame:
+    """tiles(tile_tag, width, height, gt, data[, epoch]) -> one row per
+    tile: the per-pixel ``stat`` across all epochs of that tile.
+
+    nodata pixels are excluded per position (a pixel observed in 3 of 5
+    epochs reduces over those 3); positions never observed stay nodata.
+    """
+    if stat not in _STATS:
+        raise ValueError(f"stat must be one of {sorted(_STATS)}")
+    fn = _STATS[stat]
+
+    def combine(key, pdf: pd.DataFrame):
+        tag = key[0]
+        first = pdf.iloc[0]
+        h, w = int(first["height"]), int(first["width"])
+        stack = np.full((len(pdf), h, w), np.nan, dtype=np.float64)
+        for i, (_, r) in enumerate(pdf.iterrows()):
+            a = codecs.decode_png(bytes(r["data"])).astype(np.float64)
+            a[a == nodata] = np.nan
+            stack[i, :a.shape[0], :a.shape[1]] = a
+        with np.errstate(all="ignore"):
+            out = fn(stack, axis=0)
+        out = np.where(np.isnan(out), nodata, out)
+        return pd.DataFrame([{
+            "tile_tag": tag, "n_epochs": len(pdf), "width": w, "height": h,
+            "gt": list(first["gt"]),
+            "painted": int((out != nodata).sum()),
+            "data": codecs.encode_png(np.clip(np.round(out), 0, 255)
+                                      .astype(np.uint8)),
+        }])
+
+    return (tiles.repartition("tile_tag")
+                 .groupBy("tile_tag")
+                 .applyInPandas(combine, schema=STACK_SCHEMA))

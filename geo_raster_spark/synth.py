@@ -142,7 +142,8 @@ IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, "
                  "fmt string, caption string, phash long")
 
 
-def images_df(spark, n: int, partitions: int = 32, with_bytes: bool = True):
+def images_df(spark, n: int, partitions: int = 32, with_bytes: bool = True,
+              start: int = 0):
     """Distributed images table: ``spark.range`` -> ``mapInPandas`` generator.
 
     Scales linearly with executors — each partition synthesizes its own rows;
@@ -159,7 +160,7 @@ def images_df(spark, n: int, partitions: int = 32, with_bytes: bool = True):
                 out = pd.concat([images_pandas(1, start=int(i), with_bytes=with_bytes) for i in ids])
             yield out
 
-    return (spark.range(0, n, 1, partitions)
+    return (spark.range(start, start + n, 1, partitions)
             .mapInPandas(gen, schema=IMAGES_SCHEMA))
 
 

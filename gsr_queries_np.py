@@ -99,6 +99,28 @@ def q_d3_simhash(spark, sf_dir):
                .groupBy("prefix").agg(F.count("*").alias("n")))
 
 
+def q_t4_stack_median(spark, sf_dir):
+    """Per-pixel MEDIAN across a 3-epoch tile stack (the reference's
+    multi-scene compositing role).  Epochs = three disjoint synthetic image
+    slices tiled independently; rows-only (pixel semantics pinned by
+    test_pixel_stack_stats_matches_numpy)."""
+    from pyspark.sql import functions as SF
+
+    from geo_raster_spark import synth
+    from geo_raster_spark.operators import footprint, mosaic as mz, stack as stk
+
+    epochs = []
+    for e in range(3):
+        imgs = footprint.with_footprint(
+            synth.images_df(spark, 150, 8, with_bytes=True, start=e * 150))
+        epochs.append(mz.tile_cut(imgs, nodata=0.0)
+                      .withColumn("epoch", SF.lit(e)))
+    tiles = epochs[0].unionByName(epochs[1]).unionByName(epochs[2])
+    out = stk.pixel_stack_stats(tiles, stat="median", nodata=0.0)
+    return out.select("tile_tag", "n_epochs", "painted",
+                      F.length("data").alias("nbytes"))
+
+
 def q_g11_composite(spark, sf_dir):
     """G11/J7 priority composite: freshest-pixel mosaic — candidates paint
     in ascending (priority, image_id); per-tile stats.  Rows-only (pixel
@@ -369,6 +391,7 @@ QUERIES = {
     "m1_image_features": q_m1_image_features,
     "m2_frame_sample": q_m2_frame_sample,
     "g11_composite": q_g11_composite,
+    "t4_stack_median": q_t4_stack_median,
     "e2_lsh_topk": q_e2_lsh_topk,
     "e4_ivf_topk": q_e4_ivf_topk,
     "e3_embedding_dups": q_e3_embedding_dups,

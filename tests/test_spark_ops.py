@@ -444,3 +444,36 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_cat_a")
         spark.sql("DROP TABLE IF EXISTS t_cat_b")
+
+
+def test_pixel_stack_stats_matches_numpy(spark):
+    """Per-pixel median/mean across epochs equals the nan-aware NumPy oracle,
+    with per-position nodata exclusion."""
+    from geo_raster_spark.operators import stack as stk
+    rng = np.random.default_rng(21)
+    h, w = 20, 30
+    epochs = []
+    for e in range(5):
+        a = rng.integers(1, 250, size=(h, w)).astype(np.uint8)
+        a[rng.random((h, w)) < 0.2] = 0      # nodata holes per epoch
+        epochs.append(a)
+    rows = [{"tile_tag": "h100v050", "epoch": e, "width": w, "height": h,
+             "gt": [0.0] * 6, "data": bytearray(codecs.encode_png(a))}
+            for e, a in enumerate(epochs)]
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+
+    for stat, fn in (("median", np.nanmedian), ("mean", np.nanmean),
+                     ("max", np.nanmax)):
+        got_rows = stk.pixel_stack_stats(tiles, stat=stat, nodata=0.0).collect()
+        assert len(got_rows) == 1 and got_rows[0]["n_epochs"] == 5
+        got = codecs.decode_png(bytes(got_rows[0]["data"]))
+        s = np.full((5, h, w), np.nan)
+        for i, a in enumerate(epochs):
+            f = a.astype(np.float64)
+            f[f == 0] = np.nan
+            s[i] = f
+        with np.errstate(all="ignore"):
+            want = fn(s, axis=0)
+        want = np.where(np.isnan(want), 0.0, want)
+        np.testing.assert_array_equal(
+            got, np.clip(np.round(want), 0, 255).astype(np.uint8), err_msg=stat)

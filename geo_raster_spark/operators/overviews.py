@@ -1,0 +1,88 @@
+"""Tile pyramid / overviews: recursive 2x-downsampled tile levels (the
+gdaladdo role; the reference emits coarser-cell outputs per tile via its
+aggregation kernels [ref: util/split_raster_tiles.py --cell-size +
+mod/agg_band.pyx area-weighted mean] — here each pyramid level is ONE
+shuffle on the parent tag, and the downsample reuses the reference-exact
+``kernels.agg.mean`` semantics).
+
+Scale shape per level: 4 children -> 1 parent, rows shrink 4x each level;
+``groupBy(parent_tag)`` moves each child tile payload once; the quadrant
+paint + 2x area-weighted mean is bounded by tile pixels.  A full pyramid
+is sum(levels) shuffles over geometrically-shrinking data (~1.33x the base
+level's bytes in total).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import codecs
+from ..grid import TileGrid
+from ..kernels import agg as agg_k
+
+LEVEL_SCHEMA = ("level int, tile_tag string, tile_col int, tile_row int, "
+                "width int, height int, gt array<double>, "
+                "n_children int, painted bigint, data binary")
+
+
+def build_overviews(tiles: DataFrame, levels: int = 2, nodata: float = 0.0,
+                    grid: TileGrid | None = None,
+                    min_rate: float = 0.0) -> DataFrame:
+    """tiles (mosaic.tile_cut output, level 0) -> union of pyramid levels
+    1..``levels``: at each level 4 children merge into one parent tile of
+    the SAME pixel dimensions covering 2x the extent (2x coarser cells),
+    downsampled with the area-weighted mean kernel (nodata-aware;
+    ``min_rate`` = required valid-coverage fraction per output pixel)."""
+    grid = grid or TileGrid()
+    size = grid.image_size
+    half = size // 2
+    if size % 2:
+        raise ValueError("image_size must be even for 2x overviews")
+
+    def combine(level: int):
+        ts = grid.tile_size * (2 ** level)          # parent tile map units
+
+        def fn(key, pdf: pd.DataFrame):
+            pcol, prow = int(key[0]), int(key[1])
+            out = np.full((size, size), nodata, dtype=np.float64)
+            for _, r in pdf.iterrows():
+                child = codecs.decode_png(bytes(r["data"])).astype(np.float64)
+                core = child[:size, :size]          # drop the edge overlap
+                down = agg_k.mean(core, 0.0, 0.0, 2.0, nodata, half, half,
+                                  min_rate=min_rate)
+                qr = (int(r["tile_row"]) - 2 * prow) * half
+                qc = (int(r["tile_col"]) - 2 * pcol) * half
+                out[qr:qr + half, qc:qc + half] = down
+            gt = [-grid.p + pcol * ts, ts / size, 0.0,
+                  grid.p / 2 - prow * ts, 0.0, -ts / size]
+            return pd.DataFrame([{
+                "level": level, "tile_tag": "h%03dv%03d" % (pcol, prow),
+                "tile_col": pcol, "tile_row": prow,
+                "width": size, "height": size, "gt": gt,
+                "n_children": len(pdf),
+                "painted": int((out != nodata).sum()),
+                "data": codecs.encode_png(np.clip(np.round(out), 0, 255)
+                                          .astype(np.uint8)),
+            }])
+
+        return fn
+
+    levels_out = []
+    cur = tiles.select("tile_tag", "tile_col", "tile_row", "data")
+    for lv in range(1, levels + 1):
+        parent = (cur
+                  .withColumn("pcol", (F.col("tile_col") / 2).cast("int"))
+                  .withColumn("prow", (F.col("tile_row") / 2).cast("int")))
+        nxt = (parent.repartition("pcol", "prow")
+                     .groupBy("pcol", "prow")
+                     .applyInPandas(combine(lv), schema=LEVEL_SCHEMA))
+        levels_out.append(nxt)
+        cur = nxt.select("tile_tag", "tile_col", "tile_row", "data")
+
+    out = levels_out[0]
+    for nxt in levels_out[1:]:
+        out = out.unionByName(nxt)
+    return out

@@ -121,6 +121,19 @@ def q_t4_stack_median(spark, sf_dir):
                       F.length("data").alias("nbytes"))
 
 
+def q_g12_overviews(spark, sf_dir):
+    """Tile pyramid: 2 overview levels above the base tile cut (4 children
+    -> 1 parent per level, area-weighted 2x mean).  Rows-only (quadrant/
+    downsample semantics pinned by test_build_overviews_two_levels)."""
+    from geo_raster_spark.operators import mosaic as mz, overviews as ov
+    tiles = mz.tile_cut(_images(spark, 400), nodata=0.0)
+    out = ov.build_overviews(tiles, levels=2, nodata=0.0)
+    return (out.groupBy("level")
+               .agg(F.count("*").alias("n_tiles"),
+                    F.sum("n_children").alias("children"),
+                    F.sum("painted").alias("painted")))
+
+
 def q_g11_composite(spark, sf_dir):
     """G11/J7 priority composite: freshest-pixel mosaic — candidates paint
     in ascending (priority, image_id); per-tile stats.  Rows-only (pixel
@@ -392,6 +405,7 @@ QUERIES = {
     "m2_frame_sample": q_m2_frame_sample,
     "g11_composite": q_g11_composite,
     "t4_stack_median": q_t4_stack_median,
+    "g12_overviews": q_g12_overviews,
     "e2_lsh_topk": q_e2_lsh_topk,
     "e4_ivf_topk": q_e4_ivf_topk,
     "e3_embedding_dups": q_e3_embedding_dups,

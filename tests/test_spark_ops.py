@@ -477,3 +477,46 @@ def test_pixel_stack_stats_matches_numpy(spark):
         want = np.where(np.isnan(want), 0.0, want)
         np.testing.assert_array_equal(
             got, np.clip(np.round(want), 0, 255).astype(np.uint8), err_msg=stat)
+
+
+def test_build_overviews_two_levels(spark):
+    """Pyramid levels: 4 constant children -> one parent with quadrant
+    values (area-weighted 2x mean), missing children stay nodata; level 2
+    reduces level-1 parents again."""
+    from geo_raster_spark.operators import overviews as ov
+    g = TileGrid()
+    size = g.image_size
+    rows = []
+    # three children of parent (5, 3) at level 0 (one quadrant missing),
+    # plus one child of parent (6, 3) -> level-2 parent (3, 1) and (2, 1)
+    vals = {(10, 6): 40, (11, 6): 80, (10, 7): 120, (13, 7): 200}
+    for (c, r), v in vals.items():
+        arr = np.full((size + 1, size + 1), v, dtype=np.uint8)
+        rows.append({"tile_tag": "h%03dv%03d" % (c, r), "tile_col": c,
+                     "tile_row": r, "width": size + 1, "height": size + 1,
+                     "gt": [0.0] * 6, "n_images": 1, "painted": size * size,
+                     "data": bytearray(codecs.encode_png(arr))})
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    out = ov.build_overviews(tiles, levels=2, nodata=0.0).collect()
+    lv1 = {(r["tile_col"], r["tile_row"]): r for r in out if r["level"] == 1}
+    lv2 = {(r["tile_col"], r["tile_row"]): r for r in out if r["level"] == 2}
+    assert set(lv1) == {(5, 3), (6, 3)} and set(lv2) == {(2, 1), (3, 1)}
+
+    p = codecs.decode_png(bytes(lv1[(5, 3)]["data"]))
+    h = size // 2
+    assert (p[:h, :h] == 40).all()       # child (10,6) -> quadrant (0,0)
+    assert (p[:h, h:] == 80).all()       # child (11,6) -> quadrant (0,1)
+    assert (p[h:, :h] == 120).all()      # child (10,7) -> quadrant (1,0)
+    assert (p[h:, h:] == 0).all()        # missing child stays nodata
+    assert lv1[(5, 3)]["n_children"] == 3
+    q = codecs.decode_png(bytes(lv1[(6, 3)]["data"]))
+    assert (q[h:, h:] == 200).all() and (q[:h, :h] == 0).all()  # (13,7)->(1,1)
+
+    # level 2: parent (2,1) over lv1 (5,3) -> quadrant (col 5->odd, row 3->odd)
+    p2 = codecs.decode_png(bytes(lv2[(2, 1)]["data"]))
+    hh = h // 2
+    blk = p2[h:, h:]                     # lv1 (5,3) lands in quadrant (1,1)
+    assert (blk[:hh, :hh] == 40).all() and (blk[:hh, hh:] == 80).all()
+    # parent gt covers 2x extent at each level
+    assert lv1[(5, 3)]["gt"][1] == 2 * g.cell_size
+    assert lv2[(2, 1)]["gt"][1] == 4 * g.cell_size

@@ -376,6 +376,38 @@ WHERE sid < (SELECT MAX(sid) FROM agg b WHERE b.user_id = a.user_id)
 """
 
 
+def q_w4_asof(spark, sf_dir):
+    """As-of join: each purchase picks up the value of the user's most
+    recent view at-or-before the purchase time (union + carry-forward
+    window — no range cross-product).  Oracle: DuckDB's native ASOF JOIN."""
+    from geo_raster_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.where(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts", "value")
+    right = (e.where(F.col("event_type") == "view")
+              .groupBy("user_id", "ts").agg(F.max("value").alias("view_value")))
+    j = asof_join(left, right, time_col="ts", by="user_id",
+                  value_cols=["view_value"])
+    return j.select("event_id", "user_id",
+                    F.round("value", 6).alias("purchase_value"),
+                    F.round("view_value", 6).alias("view_value"))
+
+
+SQL_W4_ASOF = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id,
+       ROUND(l.value, 6) AS purchase_value,
+       ROUND(r.view_value, 6) AS view_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis over documents
 # ---------------------------------------------------------------------------
@@ -638,6 +670,7 @@ QUERIES = {
     "w_topk": q_w_topk,
     "w_sessionize": q_w_sessionize,
     "w3_stateful_sessions": q_w3_stateful_sessions,
+    "w4_asof": q_w4_asof,
     "t1_token_stats": q_t1_token_stats,
     "t2_lang_id": q_t2_lang_id,
     "t3_quality": q_t3_quality,
@@ -663,6 +696,7 @@ ORACLES = {
     "w_topk": SQL_W_TOPK,
     "w_sessionize": SQL_W_SESSIONIZE,
     "w3_stateful_sessions": SQL_W3_SESSIONS,
+    "w4_asof": SQL_W4_ASOF,
     "t1_token_stats": SQL_T1,
     "t2_lang_id": SQL_T2,
     "t3_quality": SQL_T3,

@@ -520,3 +520,25 @@ def test_build_overviews_two_levels(spark):
     # parent gt covers 2x extent at each level
     assert lv1[(5, 3)]["gt"][1] == 2 * g.cell_size
     assert lv2[(2, 1)]["gt"][1] == 4 * g.cell_size
+
+
+def test_asof_join_semantics(spark):
+    """As-of join: most recent right row with r.ts <= l.ts per key; ties
+    match (inclusive); keys with no prior right row get null."""
+    from geo_raster_spark.operators.asof import asof_join
+    ts = pd.to_datetime
+    left = spark.createDataFrame(pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 7, 9],
+        "ts": ts(["2024-01-01 10:00", "2024-01-01 12:00",
+                  "2024-01-01 09:00", "2024-01-01 10:00"])}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "user_id": [7, 7, 9],
+        "ts": ts(["2024-01-01 09:30", "2024-01-01 10:00", "2024-01-01 11:00"]),
+        "v": [10.0, 20.0, 30.0]}))
+    got = asof_join(left, right, time_col="ts", by="user_id",
+                    value_cols=["v"]).toPandas().set_index("event_id")["v"]
+    assert got[1] == 20.0       # tie: r.ts == l.ts matches (inclusive)
+    assert got[2] == 20.0       # most recent prior, not just any prior
+    assert pd.isna(got[3])      # 09:00 has no prior view
+    assert pd.isna(got[4])      # user 9's only right row is later

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis, derandomized) — SURVEY.md §5's
+generative layer over the pure-NumPy core: roundtrips and invariants that
+must hold for ALL inputs, not just the fixtures."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from geo_raster_spark import codecs, crs, dggs, geometry
+
+SET = settings(max_examples=60, deadline=None, derandomize=True)
+
+
+@SET
+@given(st.integers(0, 2**31 - 1))
+def test_png_npy_jpgq_roundtrip_any_image(seed):
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 40))
+    w = int(rng.integers(1, 40))
+    arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    np.testing.assert_array_equal(codecs.decode(codecs.encode(arr, "png"), "png"), arr)
+    np.testing.assert_array_equal(codecs.decode(codecs.encode(arr, "npy"), "npy"), arr)
+    stub = codecs.decode(codecs.encode(arr, "jpeg"), "jpeg")
+    assert np.abs(stub.astype(int) - arr.astype(int)).max() <= codecs.JPEG_Q
+    jfif = codecs.decode(codecs.encode(arr, "jpg"), "jpg")
+    assert jfif.shape == arr.shape  # lossy, but dims/type always preserved
+    assert jfif.dtype == np.uint8
+
+
+@SET
+@given(st.floats(-179.99, 179.99), st.floats(-89.99, 89.99),
+       st.integers(1, 12))
+def test_cell_pack_parent_contains_point(lon, lat, res):
+    c = int(dggs.latlng_to_cell(lon, lat, res))
+    r, col, row = dggs.unpack(c)
+    assert int(r) == res
+    # the cell's bbox contains the point (up to boundary clamping)
+    minx, miny, maxx, maxy = (float(v) for v in dggs.cell_to_bbox(c))
+    assert minx - 1e-9 <= lon <= maxx + 1e-9
+    assert miny - 1e-9 <= lat <= maxy + 1e-9
+    if res > 1:
+        p = int(dggs.parent(np.int64(c), res - 1))
+        pminx, pminy, pmaxx, pmaxy = (float(v) for v in dggs.cell_to_bbox(p))
+        assert pminx <= minx and pmaxx >= maxx and pminy <= miny and pmaxy >= maxy
+
+
+@SET
+@given(st.floats(-360, 360), st.floats(-85, 84),
+       st.floats(0.01, 30), st.floats(0.01, 5))
+def test_split_bbox_antimeridian_conserves_width(minx, miny, wdt, hgt):
+    b = (minx, miny, minx + wdt, miny + hgt)
+    parts = geometry.split_bbox_antimeridian(b)
+    assert 1 <= len(parts) <= 2
+    for p in parts:
+        assert -180.0 <= p[0] <= p[2] <= 180.0
+        assert p[1] == miny and p[3] == miny + hgt
+    assert abs(sum(p[2] - p[0] for p in parts) - min(wdt, 360.0)) < 1e-9
+
+
+@SET
+@given(st.floats(-175, 175), st.floats(-80, 80),
+       st.floats(0.5, 20), st.floats(0.5, 20))
+def test_split_ring_antimeridian_conserves_area(cx, cy, wdt, hgt):
+    ring = geometry.bbox_to_ring((cx, cy - hgt / 2, cx + wdt, cy + hgt / 2))
+    parts = geometry.split_ring_antimeridian(ring)
+    total = sum(abs(geometry.ring_area(p)) for p in parts)
+    np.testing.assert_allclose(total, wdt * hgt, rtol=1e-9)
+    for p in parts:
+        bb = geometry.ring_bbox(p)
+        assert bb[0] >= -180.0 - 1e-9 and bb[2] <= 180.0 + 1e-9
+
+
+@SET
+@given(st.integers(1, 60), st.floats(-179, 179), st.floats(-84, 84))
+def test_utm_roundtrip_property(zone, lon, lat):
+    # evaluate each zone near its own central meridian (valid use)
+    lon0 = zone * 6 - 183
+    lon = lon0 + max(min(lon - lon0, 3.0), -3.0)
+    for hemi in ("N", "S"):
+        E, N = crs.transform("EPSG:4326", f"UTM:{zone}{hemi}",
+                             np.array([lon]), np.array([lat]))
+        lo, la = crs.transform(f"UTM:{zone}{hemi}", "EPSG:4326", E, N)
+        np.testing.assert_allclose(lo, [lon], atol=1e-9)
+        np.testing.assert_allclose(la, [lat], atol=1e-9)
+
+
+@SET
+@given(st.floats(-120, -60), st.floats(25, 75))
+def test_conic_roundtrips_property(lon, lat):
+    for c in ("EPSG:5070", "EPSG:3978"):
+        x, y = crs.transform("EPSG:4326", c, np.array([lon]), np.array([lat]))
+        lo, la = crs.transform(c, "EPSG:4326", x, y)
+        np.testing.assert_allclose(lo, [lon], atol=1e-7)
+        np.testing.assert_allclose(la, [lat], atol=1e-7)
+
+
+@SET
+@given(st.integers(0, 2**31 - 1))
+def test_pip_shifted_ring_invariance(seed):
+    """Membership is invariant under shifting BOTH ring and points by 360°
+    (the identity the dateline handling leans on)."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-50, 50, (5, 2))
+    ring = rng.uniform(-40, 40, (6, 2))
+    a = geometry.points_in_ring(ring, pts[:, 0], pts[:, 1])
+    r2 = ring.copy()
+    r2[:, 0] += 360.0
+    b = geometry.points_in_ring(r2, pts[:, 0] + 360.0, pts[:, 1])
+    assert (a == b).all()

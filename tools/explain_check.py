@@ -111,12 +111,29 @@ def main():
                          for ln in tree5[k5 + 1:] if "Broadcast" not in ln):
         failures.append("zonal: bytes payload shuffles before the decode kernel")
 
+    # 6. as-of join: union + window, keyed shuffles only — no join node at
+    # all (the naive formulation is a range cross-product / nested loop)
+    from geo_raster_spark.operators.asof import asof_join
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    aj = asof_join(ev.where(F.col("event_type") == "purchase")
+                     .select("event_id", "user_id", "ts", "value"),
+                   ev.where(F.col("event_type") == "view")
+                     .groupBy("user_id", "ts").agg(F.max("value").alias("v")),
+                   value_cols=["v"])
+    p6 = plan_of(aj)
+    sections.append(("As-of join (union + carry-forward window)", p6))
+    if "NestedLoop" in p6 or "CartesianProduct" in p6:
+        failures.append("asof: degenerated into a cross/nested-loop join")
+    if "Window" not in p6:
+        failures.append("asof: expected the carry-forward Window")
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# Physical plans (captured by tools/explain_check.py)\n\n"
                 "Assertions enforced: broadcast PIP join, single probe-side "
                 "shuffle, parquet filter pushdown + column pruning, map-side "
                 "tile explode, parallel top-k (TakeOrderedAndProject), "
-                "broadcast zonal candidates (no pixel shuffle).\n\n")
+                "broadcast zonal candidates (no pixel shuffle), as-of join "
+                "without a cross product.\n\n")
         for title, plan in sections:
             f.write(f"## {title}\n\n```\n{plan}\n```\n\n")
 

@@ -199,13 +199,19 @@ def _aea_inverse(params, x, y):
 
 
 def parse_utm(crs: str):
-    """-> (zone, north) or None.  Accepts EPSG:326xx/327xx and UTM:xxN/S."""
+    """-> (zone, north) or None.  Accepts EPSG:326xx/327xx and UTM:xxN/S.
+    Zones outside 1..60 (e.g. EPSG:32600, EPSG:32661+, UTM:0N) are NOT UTM —
+    return None so the registry raises 'unknown crs' instead of silently
+    projecting from a nonsense central meridian."""
     m = _UTM_RE.match(crs.strip())
     if not m:
         return None
+    zone = int(m.group(2)) if m.group(1) is not None else int(m.group(3))
+    if not 1 <= zone <= 60:
+        return None
     if m.group(1) is not None:
-        return int(m.group(2)), m.group(1) == "6"
-    return int(m.group(3)), m.group(4).upper() == "N"
+        return zone, m.group(1) == "6"
+    return zone, m.group(4).upper() == "N"
 
 
 def _utm_forward(zone: int, north: bool, lon, lat):

@@ -22,9 +22,19 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str = "ts",
     no prior right row exists — LEFT as-of semantics).
 
     Right rows should be unique per (by, time) — pre-aggregate otherwise
-    (ties would resolve by window order, not a defined rule)."""
+    (ties would resolve by window order, not a defined rule).
+
+    Raises if any value column already exists on ``left``: unionByName would
+    merge the columns and ``last(ignorenulls)`` would silently carry the
+    LEFT rows' own values forward, corrupting as-of semantics."""
     value_cols = value_cols or [c for c in right.columns
                                 if c not in (time_col, by)]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: value column(s) {sorted(clash)} already exist on the "
+            f"left side — rename them on one side (the union+carry-forward "
+            f"window cannot distinguish left and right values of one name)")
     l = left.withColumn("_src", F.lit(1))
     r = right.select(by, time_col, *value_cols).withColumn("_src", F.lit(0))
     u = l.unionByName(r, allowMissingColumns=True)

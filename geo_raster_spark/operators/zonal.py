@@ -94,7 +94,15 @@ def zonal_stats(images: DataFrame, zones_pdf: pd.DataFrame,
                 gt = info.gt
                 xs = gt[0] + (np.arange(info.width) + 0.5) * gt[1]
                 ys = gt[3] + (np.arange(info.height) + 0.5) * gt[5]
-                pc = dggs.latlng_to_cell(*np.meshgrid(xs, ys), res=res)
+                # WRAP pixel lons into [-180, 180) before the cell lookup:
+                # cover cells from geocell_cover wrap columns (pmod), but
+                # latlng_to_cell CLAMPS — for an unwrapped frame crossing
+                # ±180° the far-side pixels would clamp to the last column,
+                # never match their wrapped fcell, and silently drop (the
+                # ±360°-shifted rings exist precisely to rasterize them)
+                X, Y = np.meshgrid(xs, ys)
+                pc = dggs.latlng_to_cell(((X + 180.0) % 360.0) - 180.0, Y,
+                                         res=res)
                 vals = arr[(m == 1) & (pc == int(r["fcell"]))]
                 vals = vals[vals != nodata]
                 if len(vals) == 0:

@@ -118,9 +118,26 @@ def write_dbf(pdf: pd.DataFrame, path: str) -> None:
                 if v is None or (isinstance(v, float) and np.isnan(v)):
                     txt = " " * width
                 elif dec == 0:
-                    txt = str(int(v)).rjust(width)
+                    txt = str(int(v))
+                    if len(txt) > width:
+                        raise ValueError(
+                            f"dbf field {c!r}: integer {v} exceeds declared "
+                            f"width {width} — record would misalign the file")
+                    txt = txt.rjust(width)
                 else:
-                    txt = f"{float(v):.{dec}f}".rjust(width)
+                    # shrink decimals (libdbf-style) until the text fits the
+                    # declared width; a value too wide even at 0 decimals
+                    # would silently misalign every following field, so raise
+                    txt = f"{float(v):.{dec}f}"
+                    d = dec
+                    while len(txt) > width and d > 0:
+                        d -= 1
+                        txt = f"{float(v):.{d}f}"
+                    if len(txt) > width:
+                        raise ValueError(
+                            f"dbf field {c!r}: value {v} exceeds declared "
+                            f"width {width} even at 0 decimals")
+                    txt = txt.rjust(width)
             elif ftype == "L":
                 txt = "?" if v is None else ("T" if v else "F")
             else:  # D

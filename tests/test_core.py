@@ -263,6 +263,18 @@ def test_parse_utm():
     assert crs.parse_utm("EPSG:4326") is None
 
 
+def test_parse_utm_rejects_invalid_zones():
+    """Zones outside 1..60 are not UTM: EPSG:32600/32661/32699 and UTM:0N
+    must raise 'unknown crs', not project from a nonsense central meridian."""
+    import pytest
+    for bad in ("EPSG:32600", "EPSG:32661", "EPSG:32699", "EPSG:32761", "UTM:0N"):
+        assert crs.parse_utm(bad) is None, bad
+        with pytest.raises(ValueError, match="unknown crs"):
+            crs.transform(bad, "EPSG:4326", [500000.0], [4_000_000.0])
+    assert crs.parse_utm("EPSG:32601") == (1, True)
+    assert crs.parse_utm("EPSG:32760") == (60, False)
+
+
 def test_warp_4326_to_utm():
     """G10 across 4326<->UTM: warp a geographic source into a UTM-meter grid
     and verify each output pixel equals the source pixel its center maps to."""

@@ -329,3 +329,23 @@ def test_dbf_roundtrip(spark, tmp_path):
     sdf = dbf.read_dbf(spark, path)
     assert sdf.count() == 3
     assert {r["NAME"] for r in sdf.collect()} == {"alpha", "beta", "gamma"}
+
+
+def test_dbf_numeric_width_overflow_guard(tmp_path):
+    """A float too wide for the N(19,8) field must shrink decimals to fit
+    (not silently misalign every following field/row); a value too wide even
+    at 0 decimals raises."""
+    import pytest
+    from geo_raster_spark.sources import dbf
+    # 1e12 at .8f is 21 chars > width 19 -> decimals shrink until it fits
+    pdf = pd.DataFrame({"BIG": np.array([1.0e12, 2.5], dtype=np.float64),
+                        "TAIL": ["x", "y"]})
+    path = str(tmp_path / "wide.dbf")
+    dbf.write_dbf(pdf, path)
+    back = dbf.read_dbf_pandas(path)
+    np.testing.assert_allclose(back["BIG"], [1.0e12, 2.5], rtol=1e-12)
+    assert list(back["TAIL"]) == ["x", "y"]   # following field stays aligned
+    # even 0 decimals can't fit 1e25 in 19 chars -> loud failure
+    with pytest.raises(ValueError, match="exceeds declared width"):
+        dbf.write_dbf(pd.DataFrame({"BIG": [1.0e25]}),
+                      str(tmp_path / "bad.dbf"))

@@ -542,3 +542,40 @@ def test_asof_join_semantics(spark):
     assert got[2] == 20.0       # most recent prior, not just any prior
     assert pd.isna(got[3])      # 09:00 has no prior view
     assert pd.isna(got[4])      # user 9's only right row is later
+
+
+def test_asof_join_rejects_value_col_collision(spark):
+    """A value column that already exists on the LEFT must fail loudly:
+    unionByName would silently carry the left rows' own values forward."""
+    import pytest
+    from geo_raster_spark.operators.asof import asof_join
+    ts = pd.to_datetime
+    left = spark.createDataFrame(pd.DataFrame({
+        "user_id": [7], "ts": ts(["2024-01-01 10:00"]), "v": [99.0]}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "user_id": [7], "ts": ts(["2024-01-01 09:00"]), "v": [10.0]}))
+    with pytest.raises(ValueError, match="already exist on the left"):
+        asof_join(left, right, time_col="ts", by="user_id", value_cols=["v"])
+
+
+def test_zonal_dateline_pixels_counted(spark):
+    """A zone crossing +180° with an image whose UNWRAPPED pixel frame
+    extends past 180°: pixels beyond the dateline must wrap to far-side
+    cells (not clamp to the last column and silently drop)."""
+    ring = geometry.bbox_to_ring((179.0, -5.0, 182.0, 5.0))  # crosses +180
+    zones = pd.DataFrame([{"zone_id": 3, "geometry": geometry.ring_to_wkb(ring)}])
+    w, h = 130, 50
+    arr = (np.arange(w * h, dtype=np.float64).reshape(h, w) % 97.0) + 1.0
+    # unwrapped frame: lon 179.6 .. 180.9, lat 0.5 .. 1.0 — wholly inside
+    # the zone, ~35% of the pixels past +180°
+    gt = (179.6, 0.01, 0.0, 1.0, 0.0, -0.01)
+    row = {"image_id": "imgD", "bytes": bytearray(codecs.encode(arr, "npy")),
+           "fmt": "npy", "w": w, "h": h,
+           "minx": 179.6, "miny": 0.5, "maxx": 180.9, "maxy": 1.0,
+           "gt": list(gt)}
+    imgs = spark.createDataFrame(pd.DataFrame([row]))
+    got = zonal.zonal_stats(imgs, zones, nodata=-1.0).toPandas().set_index("zone_id")
+    assert 3 in got.index
+    assert got.loc[3, "n_pixels"] == w * h, \
+        "pixels past +180 were dropped by the clamped cell lookup"
+    np.testing.assert_allclose(got.loc[3, "mean"], arr.mean(), rtol=1e-12)

@@ -355,28 +355,54 @@ def _shipped(fn):
     return wrapper
 
 
+# Registry layout: ORACLE-BACKED queries first, rows-only last, exactly 50
+# entries — the driver's correctness report records at most 50 rows (round 2
+# shipped 53 and the last 3 inserted were silently absent from
+# CORRECTNESS_r02.json), so the registry is sized to the cap and ordered so
+# every key gets a report row.  The three queries removed from the registry
+# (g5_tile_cut raw, w1_focal_pipeline, f3_colorize) keep their functions:
+# byte-exact/NumPy-oracle pytests still run them and bench.py times tile_cut
+# directly.
+_REGISTRY_MAX = 50
+
+_ROWS_ONLY_KEYS = [
+    "g5_tile_cut_agg", "z1_zonal", "d2_minhash", "m1_image_features",
+    "m2_frame_sample", "g11_composite", "t4_stack_median", "g12_overviews",
+    "e2_lsh_topk", "e4_ivf_topk", "g10_warp", "x3_parity",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import gsr_queries
     import gsr_queries_np
-    out = {name: _shipped(fn) for name, fn in gsr_queries.QUERIES.items()}
-    out.update({name: _shipped(fn) for name, fn in gsr_queries_np.QUERIES.items()})
-    out.update({
-        "g1_tile_enum": _shipped(_q_g1_tile_enum),
-        "g2_tile_assign": _shipped(_q_g2_tile_assign),
-        "j1_pip_rect": _shipped(_q_j1_pip_rect),
-        "j2_bbox_join": _shipped(_q_j2_bbox_join),
-        "j6_knn": _shipped(_q_j6_knn),
-        "a9_value_counts": _shipped(_q_a9_value_counts),
-        "q1_pricing": _shipped(_q_q1_pricing),
-        "a15_regression": _shipped(_q_a15_regression),
-        "d1_exact_dedup": _shipped(_q_d1_exact_dedup),
-    })
+    local_q = {
+        "g1_tile_enum": _q_g1_tile_enum,
+        "g2_tile_assign": _q_g2_tile_assign,
+        "j1_pip_rect": _q_j1_pip_rect,
+        "j2_bbox_join": _q_j2_bbox_join,
+        "j6_knn": _q_j6_knn,
+        "a9_value_counts": _q_a9_value_counts,
+        "q1_pricing": _q_q1_pricing,
+        "a15_regression": _q_a15_regression,
+        "d1_exact_dedup": _q_d1_exact_dedup,
+    }
+    pool = {name: fn for name, fn in gsr_queries.QUERIES.items()}
+    pool.update(gsr_queries_np.QUERIES)
+    pool.update(local_q)
+    oracled = set(oracle_sql())
+    out = {name: _shipped(fn) for name, fn in pool.items() if name in oracled}
+    out.update({name: _shipped(pool[name]) for name in _ROWS_ONLY_KEYS})
+    assert len(out) <= _REGISTRY_MAX, (
+        f"{len(out)} queries exceed the driver's {_REGISTRY_MAX}-row "
+        f"correctness-report cap — trim _ROWS_ONLY_KEYS")
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     import gsr_queries
+    import gsr_queries_np
     out = dict(gsr_queries.ORACLES)
+    out.update(gsr_queries_np.ORACLES)
     out.update({
         "g1_tile_enum": _SQL_G1,
         "g2_tile_assign": _SQL_G2,

@@ -104,19 +104,9 @@ def _bucket_of(vec: np.ndarray, planes: np.ndarray,
     return int(((planes @ v) >= 0).astype(np.int64) @ (1 << np.arange(len(planes))))
 
 
-def lsh_topk(emb: DataFrame, probe_vec, k: int = 10, dim: int | None = None,
-             n_planes: int = 8, seed: int = 7, multiprobe_bits: int = 1,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """ANN top-k: scan only the probe's bucket (+ buckets within
-    ``multiprobe_bits`` bit flips for recall)."""
-    probe_vec = np.asarray(probe_vec, dtype=np.float64)
-    dim = dim or len(probe_vec)
-    planes = random_planes(dim, n_planes, seed)
-    mu = data_mean(emb, dim, vec_col)
-    b0 = _bucket_of(probe_vec, planes, mu)
-    # all buckets within Hamming distance <= multiprobe_bits of the probe's
-    # bucket (not just single-bit flips, so multiprobe_bits=2 really probes
-    # the full distance-2 shell)
+def _multiprobe_buckets(b0: int, n_planes: int, multiprobe_bits: int) -> set:
+    """All buckets within Hamming distance <= multiprobe_bits of ``b0``
+    (the FULL shell, not just single-bit flips)."""
     import itertools
     cand_buckets = {b0}
     for d in range(1, min(multiprobe_bits, n_planes) + 1):
@@ -125,9 +115,78 @@ def lsh_topk(emb: DataFrame, probe_vec, k: int = 10, dim: int | None = None,
             for b in bits:
                 flip |= 1 << b
             cand_buckets.add(b0 ^ flip)
+    return cand_buckets
+
+
+def lsh_topk(emb: DataFrame, probe_vec, k: int = 10, dim: int | None = None,
+             n_planes: int = 8, seed: int = 7, multiprobe_bits: int = 1,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             center: np.ndarray | None = None) -> DataFrame:
+    """ANN top-k: scan only the probe's bucket (+ buckets within
+    ``multiprobe_bits`` bit flips for recall).
+
+    ``center``: precomputed per-dimension data mean for the recentering
+    offset.  When omitted it is computed here with a FULL-TABLE aggregate —
+    acceptable for one-off exploration, but at scale pass a precomputed
+    center or (better) use ``build_lsh_index`` + ``lsh_topk_indexed`` so a
+    query never pays a full pass."""
+    probe_vec = np.asarray(probe_vec, dtype=np.float64)
+    dim = dim or len(probe_vec)
+    planes = random_planes(dim, n_planes, seed)
+    mu = (np.asarray(center, dtype=np.float64) if center is not None
+          else data_mean(emb, dim, vec_col))
+    b0 = _bucket_of(probe_vec, planes, mu)
+    cand_buckets = _multiprobe_buckets(b0, n_planes, multiprobe_bits)
 
     bucketed = with_lsh_bucket(emb, dim, n_planes, seed, vec_col, center=mu)
     cand = bucketed.where(F.col("bucket").isin(list(cand_buckets)))
+    p = probe_literal(probe_vec)
+    scored = cand.select(
+        id_col,
+        F.round(cosine_sim(F.col(vec_col).cast("array<double>"), p), 8).alias("cosine"))
+    return _topk(scored, k, id_col)
+
+
+def build_lsh_index(emb: DataFrame, dim: int, path: str,
+                    n_planes: int = 8, seed: int = 7,
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Persist a sign-LSH index: bucketed assignments parquet PARTITIONED BY
+    ``bucket`` + a stats sidecar holding (dim, n_planes, seed, data mean).
+
+    Build pays the one full pass (the recentering mean + the bucket write);
+    every ``lsh_topk_indexed`` query then reads ONLY its candidate bucket
+    partitions and the one-row sidecar — no per-query full-table aggregate
+    (the round-2 scale defect in ``lsh_topk``).  Same on-disk shape as
+    ``build_ivf_index``."""
+    import pandas as pd
+    mu = data_mean(emb, dim, vec_col)
+    (with_lsh_bucket(emb, dim, n_planes, seed, vec_col, center=mu)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{path}/assignments"))
+    spark = emb.sparkSession
+    spark.createDataFrame(pd.DataFrame({
+        "dim": [dim], "n_planes": [n_planes], "seed": [seed],
+        "center": [mu.tolist()],
+    })).write.mode("overwrite").parquet(f"{path}/stats")
+    return mu
+
+
+def lsh_topk_indexed(spark, path: str, probe_vec, k: int = 10,
+                     multiprobe_bits: int = 1, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """ANN top-k over a persisted LSH index: the probe's candidate buckets
+    come from the tiny stats sidecar, and ``bucket IN (...)`` is a PARTITION
+    filter on the assignments table — only ~|shell|/2^n_planes of the data
+    is read, and no full-table pass happens at query time."""
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    dim, n_planes, seed = int(stats["dim"]), int(stats["n_planes"]), int(stats["seed"])
+    mu = np.asarray(stats["center"], dtype=np.float64)
+    probe_vec = np.asarray(probe_vec, dtype=np.float64)
+    planes = random_planes(dim, n_planes, seed)
+    b0 = _bucket_of(probe_vec, planes, mu)
+    cand_buckets = _multiprobe_buckets(b0, n_planes, multiprobe_bits)
+    cand = (spark.read.parquet(f"{path}/assignments")
+                 .where(F.col("bucket").isin([int(b) for b in cand_buckets])))
     p = probe_literal(probe_vec)
     scored = cand.select(
         id_col,

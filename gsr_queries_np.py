@@ -50,34 +50,53 @@ def q_z1_zonal(spark, sf_dir):
                       F.round("rng", 6).alias("rng"), "n_pixels", "n_images")
 
 
-def q_k1_knn_kring(spark, sf_dir):
-    """J6: kNN via DGGS k-ring candidate expansion + windowed refine."""
+# Orders-derived point cloud shared by the k1/i1 oracles: the identical
+# integer-modular lon/lat DuckDB can reproduce (same as __spark_entry__).
+_PT_LON = "CAST(((o_orderkey * 7919) % 36000) / 100.0 - 180.0 AS DOUBLE)"
+_PT_LAT = "CAST(((o_orderkey * 104729) % 12000) / 100.0 - 60.0 AS DOUBLE)"
+
+_K1_PROBES = [(0, -120.0, 40.0), (1, -60.0, -20.0), (2, 0.0, 10.0),
+              (3, 60.0, -40.0), (4, 120.0, 5.0), (5, 30.0, 50.0),
+              (6, -30.0, -50.0), (7, 90.0, 0.0)]
+
+_I1_PROBES = [(0, 10.0, 20.0), (1, -100.0, 30.0), (2, 45.0, -10.0),
+              (3, -45.0, 40.0), (4, 150.0, -30.0), (5, 0.0, 0.0)]
+
+
+def _probe_df(spark, probes):
     import pandas as pd
+    return spark.createDataFrame(
+        pd.DataFrame(probes, columns=["query_id", "lon", "lat"]))
+
+
+def _order_points(spark, sf_dir):
+    return (_t(spark, sf_dir, "orders")
+            .select(F.col("o_orderkey").alias("pid"),
+                    F.expr(_PT_LON).alias("lon"),
+                    F.expr(_PT_LAT).alias("lat")))
+
+
+def q_k1_knn_kring(spark, sf_dir):
+    """J6: kNN via DGGS k-ring candidate expansion + windowed refine —
+    ORACLE-CHECKED: the ring restriction, haversine refine and (dist, id)
+    ranking are re-expressed in ANSI SQL over the same orders-derived
+    points [ref: mod/geo_interpolate.pyx:47-104 — the radius gather]."""
     from geo_raster_spark.operators import knn
-    from geo_raster_spark.plans.flagship import footprint_input
-    from geo_raster_spark.operators import footprint
-    qs = spark.createDataFrame(pd.DataFrame({
-        "query_id": list(range(8)),
-        "lon": [-120.0, -60.0, 0.0, 60.0, 120.0, 30.0, -30.0, 90.0],
-        "lat": [40.0, -20.0, 10.0, -40.0, 5.0, 50.0, -50.0, 0.0]}))
-    pts = footprint.with_footprint(footprint_input(spark, 20000, 16))
-    return (knn.knn_join(qs, pts.select("image_id", "lon", "lat"), k=5, ring=3)
-            .select("query_id", "rank", "image_id_nn",
+    qs = _probe_df(spark, _K1_PROBES)
+    pts = _order_points(spark, sf_dir)
+    return (knn.knn_join(qs, pts, k=5, ring=3, point_id="pid")
+            .select("query_id", "rank", F.col("pid_nn").alias("nn_id"),
                     F.round("dist_km", 4).alias("dist_km")))
 
 
 def q_i1_idw(spark, sf_dir):
-    """W7/J6: IDW interpolation at query points via k-ring gather."""
-    import pandas as pd
+    """W7/J6: IDW interpolation at query points via k-ring gather —
+    ORACLE-CHECKED: sum(v/d^p)/sum(1/d^p) over the same ring candidates
+    in ANSI SQL [ref: mod/geo_interpolate.pyx:18-104]."""
     from geo_raster_spark.operators import knn
-    from geo_raster_spark.operators import footprint
-    from geo_raster_spark.plans.flagship import footprint_input
-    qs = spark.createDataFrame(pd.DataFrame({
-        "query_id": list(range(6)),
-        "lon": [10.0, -100.0, 45.0, -45.0, 150.0, 0.0],
-        "lat": [20.0, 30.0, -10.0, 40.0, -30.0, 0.0]}))
-    pts = (footprint.with_footprint(footprint_input(spark, 20000, 16))
-           .withColumn("value", (F.col("phash") % 1000).cast("double")))
+    qs = _probe_df(spark, _I1_PROBES)
+    pts = _order_points(spark, sf_dir).withColumn(
+        "value", F.expr("CAST(pid % 1000 AS DOUBLE)"))
     return (knn.idw_at_points(qs, pts, "value", power=2.0, ring=2)
             .select("query_id", F.round("idw_value", 6).alias("idw_value"),
                     "n_neighbors"))
@@ -90,12 +109,27 @@ def q_d2_minhash(spark, sf_dir):
     return dedup.minhash_lsh(d, jaccard_threshold=0.5)
 
 
+# Shared artifact dir: aux-write pattern for the d3/d4/d5 oracles — Spark
+# persists the non-SQL-expressible intermediate (signatures / candidate
+# pairs) as parquet; the DuckDB oracle reads the SAME artifact and
+# re-expresses the downstream join/agg in ANSI SQL.  The driver runs the
+# Spark query first, then its oracle, so the artifact is always fresh.
+AUX_DIR = "/tmp/gsr_oracle_aux"
+
+
 def q_d3_simhash(spark, sf_dir):
-    """SimHash fingerprints: distribution of 16-bit prefixes (stable agg)."""
+    """SimHash fingerprints: distribution of 16-bit prefixes.
+
+    ORACLE-CHECKED via the aux artifact: Spark writes the signature table;
+    both engines compute the prefix distribution from it (the signature
+    values themselves are pinned by the scalar-parity pytest)."""
     from geo_raster_spark.operators import dedup
     d = _t(spark, sf_dir, "documents")
-    sig = dedup.simhash_signature(d)
-    return (sig.withColumn("prefix", F.shiftrightunsigned("simhash", 48))
+    path = f"{AUX_DIR}/d3_sig"
+    dedup.simhash_signature(d).write.mode("overwrite").parquet(path)
+    sig = spark.read.parquet(path)
+    return (sig.select(F.expr("CAST((simhash >> 48) & 65535 AS BIGINT)")
+                        .alias("prefix"))
                .groupBy("prefix").agg(F.count("*").alias("n")))
 
 
@@ -184,7 +218,11 @@ def q_d5_simhash_pairs(spark, sf_dir):
 
     Plants 5 deterministic near-dups (doc_id + 10M, one token appended —
     a handful of flipped signature bits) so a working operator returns
-    >= 5 rows and a broken one returns 0 (non-vacuous rows check)."""
+    >= 5 rows and a broken one returns 0 (non-vacuous rows check).
+
+    ORACLE-CHECKED via the aux artifact: Spark writes the signature table;
+    the DuckDB oracle re-runs the ENTIRE pigeonhole pair join from it
+    (block split, hot-bucket exclusion, self-join, bit_count(xor) verify)."""
     from geo_raster_spark.operators import dedup
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = (d.orderBy("doc_id").limit(5)
@@ -192,24 +230,39 @@ def q_d5_simhash_pairs(spark, sf_dir):
                         F.concat(F.col("text"), F.lit(" almostidentical"))
                         .alias("text")))
     both = d.unionByName(planted)
-    return dedup.simhash_pairs(both, max_hamming=6)
+    path = f"{AUX_DIR}/d5_sig"
+    dedup.simhash_signature(both).write.mode("overwrite").parquet(path)
+    sig = spark.read.parquet(path).withColumnRenamed("doc_id", "_id")
+    return dedup.simhash_pairs_from_sig(sig, max_hamming=6)
 
 
 def q_d4_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard on LSH candidate pairs."""
+    """Exact n-gram Jaccard on LSH candidate pairs.
+
+    ORACLE-CHECKED via the aux artifact: Spark writes the LSH candidate
+    pairs; the DuckDB oracle recomputes the exact 5-gram Jaccard for every
+    pair from the raw documents table with list functions."""
     from geo_raster_spark.operators import dedup
     d = _t(spark, sf_dir, "documents")
     cand = dedup.minhash_lsh(d, jaccard_threshold=0.3)
-    return dedup.ngram_jaccard(d, cand.select("id_a", "id_b"))
+    path = f"{AUX_DIR}/d4_pairs"
+    cand.select("id_a", "id_b").write.mode("overwrite").parquet(path)
+    return dedup.ngram_jaccard(d, spark.read.parquet(path))
 
 
 def q_e2_lsh_topk(spark, sf_dir):
-    """ANN top-k via random-hyperplane LSH bucket probing."""
+    """ANN top-k via a PERSISTED random-hyperplane LSH index: build once
+    (bucket-partitioned assignments + stats sidecar), then the probe reads
+    only its candidate bucket partitions — no per-query full-table pass
+    (the round-2 scale defect).  Values identical to in-session lsh_topk
+    (pinned by test_lsh_index_persisted_pruned_and_equal)."""
     from geo_raster_spark.operators import similarity
     import gsr_queries
     emb = _t(spark, sf_dir, "embeddings")
-    return (similarity.lsh_topk(emb, gsr_queries._probe_vec(), k=10,
-                                n_planes=6, multiprobe_bits=1)
+    path = f"{AUX_DIR}/e2_lsh"
+    similarity.build_lsh_index(emb, 64, path, n_planes=6)
+    return (similarity.lsh_topk_indexed(spark, path, gsr_queries._probe_vec(),
+                                        k=10, multiprobe_bits=1)
             .select("vec_id", "rank", F.round("cosine", 4).alias("cosine")))
 
 
@@ -240,7 +293,12 @@ def q_e3_embedding_dups(spark, sf_dir):
                     lambda x: x + F.lit(1e-6)).alias("embedding"))
     both = emb.select("vec_id", F.col("embedding").cast("array<double>")
                       .alias("embedding")).unionByName(planted)
-    return similarity.knn_pairs_exact(both, dim=64, n_planes=8, threshold=0.95)
+    # ORACLE-CHECKED: DuckDB brute-forces ALL pairs >= threshold over the
+    # same (base + planted) table — also a 100%-recall check on the LSH
+    # bucketing at this scale (no qualifying pair may be missed).
+    return (similarity.knn_pairs_exact(both, dim=64, n_planes=8,
+                                       threshold=0.95)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 
 def q_g10_warp(spark, sf_dir):
@@ -389,6 +447,172 @@ def q_f3_colorize(spark, sf_dir):
         colorize, schema="tile_tag string, lo double, hi double, checksum long") \
         .select("tile_tag", F.round("lo", 4).alias("lo"),
                 F.round("hi", 4).alias("hi"), "checksum")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the SQL-expressible subset (merged by __spark_entry__).
+# The k1/i1 oracles re-express the DGGS ring restriction as clamped
+# col/row math (res 8: 512 x 256 cells of 0.703125°, an exact binary cell
+# size so FLOOR math agrees bit-for-bit across engines).
+# ---------------------------------------------------------------------------
+
+def _sql_probe_values(probes):
+    return ", ".join(f"({q}, CAST({x!r} AS DOUBLE), CAST({y!r} AS DOUBLE))"
+                     for q, x, y in probes)
+
+
+_CELL = "0.703125"  # 360/512 == 180/256, exactly representable
+
+_HAVERSINE = ("2*6371.0088*ASIN(SQRT(POWER(SIN(RADIANS(plat - qlat)/2), 2) "
+              "+ COS(RADIANS(qlat))*COS(RADIANS(plat))"
+              "*POWER(SIN(RADIANS(plon - qlon)/2), 2)))")
+
+
+def _sql_ring_join(probes, ring):
+    """Probes x orders-points candidate join restricted to the k-ring:
+    |row delta| <= ring (rows clamp at poles), column delta <= ring modulo
+    the 512-column wrap — the exact SQL twin of knn.k_ring_cells."""
+    return f"""
+q(query_id, qlon, qlat) AS (VALUES {_sql_probe_values(probes)}),
+pts AS (
+  SELECT o_orderkey AS pid,
+         {_PT_LON} AS plon, {_PT_LAT} AS plat
+  FROM orders
+), qc AS (
+  SELECT query_id, qlon, qlat,
+         CAST(LEAST(GREATEST(FLOOR((qlon + 180.0) / {_CELL}), 0), 511) AS BIGINT) AS qcol,
+         CAST(LEAST(GREATEST(FLOOR((90.0 - qlat) / {_CELL}), 0), 255) AS BIGINT) AS qrow
+  FROM q
+), pc AS (
+  SELECT pid, plon, plat,
+         CAST(LEAST(GREATEST(FLOOR((plon + 180.0) / {_CELL}), 0), 511) AS BIGINT) AS pcol,
+         CAST(LEAST(GREATEST(FLOOR((90.0 - plat) / {_CELL}), 0), 255) AS BIGINT) AS prow
+  FROM pts
+), j AS (
+  SELECT qc.query_id, qc.qlon, qc.qlat, pc.pid, pc.plon, pc.plat
+  FROM qc JOIN pc
+    ON pc.prow BETWEEN qc.qrow - {ring} AND qc.qrow + {ring}
+   AND (((pc.pcol - qc.qcol) % 512 + 512) % 512 <= {ring}
+        OR ((pc.pcol - qc.qcol) % 512 + 512) % 512 >= {512 - ring})
+)"""
+
+
+SQL_K1 = f"""
+WITH {_sql_ring_join(_K1_PROBES, 3)}
+, d AS (
+  SELECT query_id, pid, {_HAVERSINE} AS dist_km FROM j
+), r AS (
+  SELECT query_id, pid, dist_km,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist_km ASC, pid ASC) AS rank
+  FROM d
+)
+SELECT query_id, CAST(rank AS INT) AS rank, pid AS nn_id,
+       ROUND(dist_km, 4) AS dist_km
+FROM r WHERE rank <= 5
+"""
+
+
+SQL_I1 = f"""
+WITH {_sql_ring_join(_I1_PROBES, 2)}
+, d AS (
+  SELECT query_id, CAST(pid % 1000 AS DOUBLE) AS v,
+         1.0 / POWER(GREATEST({_HAVERSINE}, 1e-9), 2.0) AS wgt
+  FROM j
+)
+SELECT query_id,
+       ROUND(SUM(v * wgt) / SUM(wgt), 6) AS idw_value,
+       COUNT(*) AS n_neighbors
+FROM d GROUP BY 1
+"""
+
+
+SQL_D3 = f"""
+SELECT CAST((simhash >> 48) & 65535 AS BIGINT) AS prefix, COUNT(*) AS n
+FROM read_parquet('{AUX_DIR}/d3_sig/*.parquet')
+GROUP BY 1
+"""
+
+
+def _sql_d5(max_hamming=6, max_bucket=200):
+    from geo_raster_spark.operators.dedup import simhash_blocks
+    widths, offs = simhash_blocks(max_hamming)
+    blocks = "\n  UNION ALL ".join(
+        f"SELECT _id, simhash, {b} AS block_id, "
+        f"(simhash >> {offs[b]}) & {(1 << widths[b]) - 1} AS block_val FROM s"
+        for b in range(len(widths)))
+    return f"""
+WITH s AS (
+  SELECT doc_id AS _id, simhash FROM read_parquet('{AUX_DIR}/d5_sig/*.parquet')
+), b AS (
+  {blocks}
+), hot AS (
+  SELECT block_id, block_val FROM b GROUP BY 1, 2 HAVING COUNT(*) > {max_bucket}
+), bf AS (
+  SELECT b.* FROM b ANTI JOIN hot USING (block_id, block_val)
+)
+SELECT DISTINCT ba._id AS id_a, bb._id AS id_b,
+       CAST(bit_count(xor(ba.simhash, bb.simhash)) AS INT) AS hamming
+FROM bf ba JOIN bf bb
+  ON ba.block_id = bb.block_id AND ba.block_val = bb.block_val
+ AND ba._id < bb._id
+WHERE bit_count(xor(ba.simhash, bb.simhash)) <= {max_hamming}
+"""
+
+
+_SQL_SHINGLES = ("list_distinct(list_transform("
+                 "range(1, greatest(length(lower(text)) - 4, 1) + 1), "
+                 "i -> substr(lower(text), CAST(i AS INT), 5)))")
+
+SQL_D4 = f"""
+WITH pairs AS (
+  SELECT id_a, id_b FROM read_parquet('{AUX_DIR}/d4_pairs/*.parquet')
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+)
+SELECT p.id_a, p.id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
+             6) AS jaccard
+FROM pairs p
+JOIN sh a ON p.id_a = a.doc_id
+JOIN sh b ON p.id_b = b.doc_id
+"""
+
+
+SQL_E3 = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id, emb FROM base ORDER BY vec_id LIMIT 5
+), planted AS (
+  SELECT vec_id + 10000000 AS vec_id,
+         list_transform(emb, x -> x + 1e-6) AS emb
+  FROM seeds
+), allv AS (
+  SELECT * FROM base UNION ALL SELECT * FROM planted
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.emb, x -> x * x))) + 1e-30)
+         AS cosine
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+FROM p WHERE ROUND(cosine, 8) >= 0.95
+"""
+
+
+ORACLES = {
+    "k1_knn_kring": SQL_K1,
+    "i1_idw": SQL_I1,
+    "d3_simhash": SQL_D3,
+    "d4_ngram_jaccard": SQL_D4,
+    "d5_simhash_pairs": _sql_d5(),
+    "e3_embedding_dups": SQL_E3,
+}
 
 
 QUERIES = {

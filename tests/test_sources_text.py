@@ -162,6 +162,37 @@ def test_simhash_close_for_similar(spark):
     assert ham12 < ham13
 
 
+def test_simhash_vectorized_matches_scalar(spark, sf_dir):
+    """The NumPy padded-matrix FNV path must be BYTE-IDENTICAL to the scalar
+    FNV-1a reference — both the token hashes and full document signatures
+    (round-3 vectorization must not change any signature)."""
+    from geo_raster_spark.operators import dedup
+    # token-hash parity incl. empty + unicode + long tokens
+    toks = [b"", b"a", b"hello", "héllo wörld".encode("utf-8"),
+            b"x" * 200, b"the", b"splitmix"]
+    got = dedup._fnv1a64_batch(toks)
+    want = np.array([dedup._fnv1a64(t) for t in toks], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+    # full signature parity vs a scalar per-doc recompute on real docs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    pdf = d.select("doc_id", "text").toPandas()
+    sig = dedup.simhash_signature(spark.createDataFrame(pdf)).toPandas() \
+        .set_index("doc_id")["simhash"]
+    for _, r in pdf.iterrows():
+        toks = str(r["text"]).lower().split()
+        hs = np.array([dedup._fnv1a64(w.encode("utf-8")) for w in toks],
+                      dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        want_sig = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                want_sig |= np.uint64(1) << np.uint64(b)
+        assert np.int64(want_sig) == sig[r["doc_id"]], r["doc_id"]
+
+
 # --- similarity -------------------------------------------------------------
 
 def test_cosine_topk_matches_numpy(spark, sf_dir):
@@ -285,6 +316,34 @@ def test_ivf_index_persisted_pruned_and_equal(spark, sf_dir, tmp_path):
     plan = cand._sc._jvm.PythonSQLUtils.explainString(
         cand._jdf.queryExecution(), "formatted")
     assert "PartitionFilters" in plan and "ivf" in plan.split("PartitionFilters")[1].split("\n")[0]
+
+
+def test_lsh_index_persisted_pruned_and_equal(spark, sf_dir, tmp_path):
+    """A persisted LSH index must (a) answer identically to the in-session
+    lsh_topk (same planes + same recentering mean), and (b) turn the probe's
+    bucket set into a PARTITION filter — no per-query full-table pass."""
+    from geo_raster_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = [1.0 if i % 7 == 0 else 0.1 for i in range(64)]
+    path = str(tmp_path / "lsh")
+    mu = similarity.build_lsh_index(emb, 64, path, n_planes=6)
+
+    got = similarity.lsh_topk_indexed(spark, path, probe, k=10,
+                                      multiprobe_bits=1) \
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    want = similarity.lsh_topk(emb, probe, k=10, n_planes=6,
+                               multiprobe_bits=1, center=mu) \
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    np.testing.assert_allclose(got["cosine"], want["cosine"], atol=1e-8)
+
+    # the query-side scan must prune to the candidate bucket partitions
+    cand = spark.read.parquet(f"{path}/assignments") \
+        .where(F.col("bucket").isin([0, 3]))
+    plan = cand._sc._jvm.PythonSQLUtils.explainString(
+        cand._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1].split("\n")[0]
 
 
 def test_minhash_cross_build_deterministic(spark, sf_dir):

@@ -24,14 +24,26 @@ from ..grid import RasterInfo
 
 
 def warp_band(src_data, src_info: RasterInfo, dst_info: RasterInfo,
-              nodata, out=None, v_min=None, v_max=None):
+              nodata, out=None, v_min=None, v_max=None, dst_window=None):
     """Nearest-neighbor warp of one source block into the target grid.
 
     ``out`` (optional) is painted first-wins in place and returned; pixels
-    already != nodata are never overwritten."""
+    already != nodata are never overwritten.
+
+    ``dst_window``: optional (r0, r1, c0, c1) half-open target window —
+    index math and the gather run only inside it (the trim win when a
+    source touches a small corner of a large tile).  Coordinates are
+    computed from GLOBAL pixel indices (``arange(c0, c1)``), so a windowed
+    paint is bit-identical to the full-grid paint restricted to the window."""
     h, w = dst_info.height, dst_info.width
     if out is None:
         out = np.full((h, w), nodata, dtype=np.asarray(src_data).dtype)
+    r0, r1, c0, c1 = dst_window if dst_window is not None else (0, h, 0, w)
+    r0, c0 = max(0, r0), max(0, c0)
+    r1, c1 = min(h, r1), min(w, c1)
+    if r0 >= r1 or c0 >= c1:
+        return out
+    wh, ww = r1 - r0, c1 - c0
 
     gt = dst_info.gt
     sgt = src_info.gt
@@ -44,19 +56,18 @@ def warp_band(src_data, src_info: RasterInfo, dst_info: RasterInfo,
         # — O(h+w) index math, one O(h*w) gather.  Bit-identical to the
         # general path (same per-element IEEE ops, just not repeated
         # across the other axis).
-        txc = gt[0] + gt[1] * (np.arange(w, dtype=np.float64) + 0.5)
-        tyr = gt[3] + gt[5] * (np.arange(h, dtype=np.float64) + 0.5)
+        txc = gt[0] + gt[1] * (np.arange(c0, c1, dtype=np.float64) + 0.5)
+        tyr = gt[3] + gt[5] * (np.arange(r0, r1, dtype=np.float64) + 0.5)
         sc1 = np.trunc((txc - sgt[0]) / sgt[1]).astype(np.int64)
         sr1 = np.trunc((tyr - sgt[3]) / sgt[5]).astype(np.int64)
         okc = (sc1 >= 0) & (sc1 < src_info.width)
         okr = (sr1 >= 0) & (sr1 < src_info.height)
-        vals = np.full((h, w), nodata, dtype=src.dtype)
+        vals = np.full((wh, ww), nodata, dtype=src.dtype)
         if okr.any() and okc.any():
             vals[np.ix_(okr, okc)] = src[sr1[okr][:, None], sc1[okc][None, :]]
-        vals = vals.ravel()
     else:
-        cols, rows = np.meshgrid(np.arange(w, dtype=np.float64),
-                                 np.arange(h, dtype=np.float64))
+        cols, rows = np.meshgrid(np.arange(c0, c1, dtype=np.float64),
+                                 np.arange(r0, r1, dtype=np.float64))
         tx = gt[0] + gt[1] * (cols + 0.5) + gt[2] * (rows + 0.5)
         ty = gt[3] + gt[4] * (cols + 0.5) + gt[5] * (rows + 0.5)
 
@@ -69,6 +80,7 @@ def warp_band(src_data, src_info: RasterInfo, dst_info: RasterInfo,
               & np.isfinite(sx) & np.isfinite(sy))
         vals = np.full(sc.shape, nodata, dtype=src.dtype)
         vals[ok] = src[sr[ok], sc[ok]]
+        vals = vals.reshape(wh, ww)
 
     # out-of-bounds targets hold nodata in vals, so this one test covers
     # both "no source pixel" and "source pixel is nodata"
@@ -78,14 +90,29 @@ def warp_band(src_data, src_info: RasterInfo, dst_info: RasterInfo,
     if v_max is not None:
         valid &= vals <= v_max
 
-    flat = out.ravel()
-    paint = valid & (flat == nodata)  # first-wins [ref: geo_raster_ex_c.pyx:137-140]
-    flat[paint] = vals[paint]
+    sub = out[r0:r1, c0:c1]
+    paint = valid & (sub == nodata)  # first-wins [ref: geo_raster_ex_c.pyx:137-140]
+    sub[paint] = vals[paint]
     return out
 
 
+def window_for_extent(dst_info: RasterInfo, ext, margin: int = 2):
+    """(r0, r1, c0, c1) half-open pixel window of ``dst_info`` covering
+    ``ext`` (dst-CRS bbox) plus ``margin`` pixels, or None for a rotated
+    grid (no axis-aligned window exists)."""
+    gt = dst_info.gt
+    if gt[2] != 0.0 or gt[4] != 0.0:
+        return None
+    c0 = int(np.floor((ext[0] - gt[0]) / gt[1])) - margin
+    c1 = int(np.ceil((ext[2] - gt[0]) / gt[1])) + margin
+    r0 = int(np.floor((ext[3] - gt[3]) / gt[5])) - margin
+    r1 = int(np.ceil((ext[1] - gt[3]) / gt[5])) + margin
+    return (max(0, r0), min(dst_info.height, r1),
+            max(0, c0), min(dst_info.width, c1))
+
+
 def mosaic(sources, dst_info: RasterInfo, nodata, dtype=None,
-           v_min=None, v_max=None):
+           v_min=None, v_max=None, footprint_refine: bool = False):
     """G11: first-wins mosaic of ``sources = [(data, RasterInfo), ...]``
     painted in the given (deterministic) order.
 
@@ -96,16 +123,42 @@ def mosaic(sources, dst_info: RasterInfo, nodata, dtype=None,
     ``sources`` may be a lazy iterable (e.g. a decode generator): with an
     explicit ``dtype`` nothing is buffered — each source is painted and
     released, so peak memory is ONE decoded source + the output, no matter
-    how many images hit a hot tile."""
+    how many images hit a hot tile.
+
+    Trim: every source paints only the target window of its footprint ∩
+    tile (bit-identical to a full paint — see ``warp_band(dst_window=)``).
+    ``footprint_refine=True`` additionally clips the DENSIFIED REPROJECTED
+    footprint RING against the tile ring (``geometry.clip_rings``), the
+    reference's source_poly ∩ target_poly trim
+    [ref: mod/geo_raster_ex_c.pyx:1107-1132]: a rotated/cross-CRS source
+    whose bbox overlaps the tile but whose true footprint misses it is
+    SKIPPED, and a diagonal sliver paints only its own window, not the
+    whole bbox∩bbox."""
+    from .. import geometry as g
     if dtype is None:
         sources = list(sources)
         dtype = np.asarray(sources[0][0]).dtype if sources else np.float64
     out = np.full((dst_info.height, dst_info.width), nodata, dtype=dtype)
     de = dst_info.extent()
     for data, info in sources:
-        # cheap footprint prefilter before the per-pixel gather
+        # cheap bbox prefilter before any polygon/per-pixel work
         se = crs_mod.transform_extent(info.crs, dst_info.crs, info.extent())
         if se[0] > de[2] or se[2] < de[0] or se[1] > de[3] or se[3] < de[1]:
             continue
-        warp_band(data, info, dst_info, nodata, out=out, v_min=v_min, v_max=v_max)
+        clip_ext = se
+        if footprint_refine and info.crs.upper() != dst_info.crs.upper():
+            ring = g.segment_ratio(g.bbox_to_ring(info.extent()), 16)
+            tx, ty = crs_mod.transform(info.crs, dst_info.crs,
+                                       ring[:, 0], ring[:, 1])
+            fin = np.isfinite(tx) & np.isfinite(ty)
+            pieces = (g.clip_rings(np.column_stack([tx[fin], ty[fin]]),
+                                   g.bbox_to_ring(de)) if fin.sum() >= 3 else [])
+            if not pieces:
+                continue  # bbox overlapped, true footprint does not
+            bbs = [g.ring_bbox(p) for p in pieces]
+            clip_ext = (min(b[0] for b in bbs), min(b[1] for b in bbs),
+                        max(b[2] for b in bbs), max(b[3] for b in bbs))
+        win = window_for_extent(dst_info, clip_ext, margin=2)
+        warp_band(data, info, dst_info, nodata, out=out,
+                  v_min=v_min, v_max=v_max, dst_window=win)
     return out

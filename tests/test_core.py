@@ -494,3 +494,21 @@ def test_png_rgba_roundtrip():
     col = viz.colorize_rgba(arr, [0, 128], [(0, 0, 255, 255), (255, 0, 0, 255)])
     enc2 = codecs.encode_png(col)
     assert codecs.decode_png(enc2).shape == (32, 32, 4)
+
+
+def test_triangulate_and_clip_rings_concave():
+    """General ring∩ring: ear-clipping covers the concave L exactly and
+    clip_rings computes the right intersection area in BOTH role orders."""
+    L = np.array([[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4]], float)
+    tris = geometry.triangulate_ring(L)
+    total = sum(abs(geometry.ring_area(t)) for t in tris)
+    assert np.isclose(total, 12.0)          # |L| = 4x2 + 2x2
+    sq = geometry.bbox_to_ring((1.0, 1.0, 3.0, 3.0))
+    # L ∩ [1,3]^2 = [1,3]x[1,2] ∪ [1,2]x[2,3] -> area 3
+    assert np.isclose(geometry.rings_intersection_area(L, sq), 3.0)
+    assert np.isclose(geometry.rings_intersection_area(sq, L), 3.0)
+    # disjoint -> empty
+    assert geometry.clip_rings(L, geometry.bbox_to_ring((10, 10, 11, 11))) == []
+    # containment -> full subject area
+    big = geometry.bbox_to_ring((-1, -1, 5, 5))
+    assert np.isclose(geometry.rings_intersection_area(L, big), 12.0)

@@ -219,3 +219,75 @@ def test_metrics():
 def test_estimate_levels():
     lv = stats.estimate_levels(np.arange(100), 4)
     assert lv == [0, 25, 50, 75]
+
+
+def test_warp_band_windowed_bit_identical():
+    """A dst_window paint must be BYTE-IDENTICAL to the full-grid paint
+    (window coordinates use global pixel indices)."""
+    rng = np.random.default_rng(3)
+    src = rng.integers(1, 255, size=(40, 50)).astype(np.float64)
+    sinfo = RasterInfo((2.0, 0.01, 0.0, 1.5, 0.0, -0.01), 50, 40)
+    dinfo = RasterInfo((0.0, 0.02, 0.0, 2.0, 0.0, -0.02), 200, 150)
+    full = warp.warp_band(src, sinfo, dinfo, 0.0)
+    win = warp.window_for_extent(dinfo, sinfo.extent(), margin=2)
+    windowed = warp.warp_band(src, sinfo, dinfo, 0.0, dst_window=win)
+    np.testing.assert_array_equal(full, windowed)
+    assert full.any()  # the fixture genuinely paints
+
+
+def test_mosaic_footprint_refine_cross_crs():
+    """source_poly ∩ target_poly trim [ref: mod/geo_raster_ex_c.pyx:1107]:
+    a SINU source whose reprojected footprint is a curved band — (a) a
+    4326 tile inside the footprint's BBOX but outside the true footprint
+    is skipped by the polygon refine (bbox trim over-reads there), and
+    (b) on a genuinely overlapping tile the refined mosaic is
+    byte-identical to the unrefined one."""
+    from geo_raster_spark import crs as crs_mod
+    R = 6371007.181
+    y0, y1 = R * np.radians(50.0), R * np.radians(60.0)
+    x0, x1 = 2.2e6, 2.4e6
+    w, h = 80, 120
+    src = np.full((h, w), 7.0)
+    sinfo = RasterInfo((x0, (x1 - x0) / w, 0.0, y1, 0.0, -(y1 - y0) / h),
+                       w, h, "SINU")
+    # corner tile: inside the reprojected bbox, outside the true footprint
+    miss = RasterInfo((40.0, 0.02, 0.0, 52.0, 0.0, -0.02), 150, 100,
+                      "EPSG:4326")
+    se = crs_mod.transform_extent("SINU", "EPSG:4326", sinfo.extent())
+    de = miss.extent()
+    assert se[0] <= de[2] and se[2] >= de[0] and se[1] <= de[3] and se[3] >= de[1], \
+        "fixture must overlap at bbox level"
+    ring = geometry.segment_ratio(geometry.bbox_to_ring(sinfo.extent()), 16)
+    tx, ty = crs_mod.transform("SINU", "EPSG:4326", ring[:, 0], ring[:, 1])
+    assert geometry.clip_rings(np.column_stack([tx, ty]),
+                               geometry.bbox_to_ring(de)) == [], \
+        "fixture's true footprint must miss the tile"
+    out_ref = warp.mosaic([(src, sinfo)], miss, 0.0, footprint_refine=True)
+    out_plain = warp.mosaic([(src, sinfo)], miss, 0.0)
+    np.testing.assert_array_equal(out_ref, out_plain)
+    assert not out_ref.any()
+    # genuinely overlapping tile: refine on/off byte-identical, non-empty
+    hit = RasterInfo((31.0, 0.02, 0.0, 54.0, 0.0, -0.02), 150, 100,
+                     "EPSG:4326")
+    a = warp.mosaic([(src, sinfo)], hit, 0.0, footprint_refine=True)
+    b = warp.mosaic([(src, sinfo)], hit, 0.0)
+    np.testing.assert_array_equal(a, b)
+    assert a.any()
+
+
+def test_mosaic_windowed_axis_aligned_unchanged():
+    """Axis-aligned overlapping sources: the per-source window trim must
+    not change a single byte vs the full-grid first-wins paint."""
+    rng = np.random.default_rng(11)
+    dinfo = RasterInfo((0.0, 0.02, 0.0, 2.0, 0.0, -0.02), 100, 100)
+    srcs = []
+    for i in range(4):
+        arr = rng.integers(1, 255, size=(60, 60)).astype(np.float64)
+        gt = (0.3 * i, 0.015, 0.0, 1.8 - 0.2 * i, 0.0, -0.015)
+        srcs.append((arr, RasterInfo(gt, 60, 60)))
+    got = warp.mosaic(srcs, dinfo, 0.0, footprint_refine=True)
+    want = np.full((100, 100), 0.0)
+    for arr, info in srcs:   # manual full-grid first-wins reference
+        warp.warp_band(arr, info, dinfo, 0.0, out=want)
+    np.testing.assert_array_equal(got, want)
+    assert (got != 0).sum() > 1000

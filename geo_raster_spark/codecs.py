@@ -15,9 +15,10 @@ in this environment, so the engine ships self-contained codecs:
   fmt="jpeg" are now auto-detected by their SOI marker and routed to the
   real decoder instead of raising.
 
-All functions operate on 2-D uint8 arrays (single band), matching the
-reference's byte-band common case [ref: mod/geo_raster_c.pyx:33-70 pixel
-type 1 = uint8].
+Functions operate on 2-D uint8 arrays (single band — the reference's
+byte-band common case [ref: mod/geo_raster_c.pyx:33-70 pixel type 1 =
+uint8]) and, round 3, on (H, W, 3) RGB: PNG color type 2 and true color
+baseline JFIF (4:4:4 YCbCr) — a real image+caption corpus is RGB.
 """
 
 from __future__ import annotations
@@ -58,13 +59,15 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def encode_png(arr: np.ndarray) -> bytes:
-    """8-bit grayscale (H, W) or RGBA (4, H, W) / (H, W, 4) PNG."""
+    """8-bit grayscale (H, W), RGB (H, W, 3) / (3, H, W), or RGBA
+    (H, W, 4) / (4, H, W) PNG."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 3:
-        if arr.shape[0] == 4:  # planes-first (the reference's RGBA layout)
+        if arr.shape[0] in (3, 4) and arr.shape[2] not in (3, 4):
+            # planes-first (the reference's band-stack layout)
             arr = np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
-        h, w, _ = arr.shape
-        ctype = 6  # truecolor + alpha
+        h, w, nch = arr.shape
+        ctype = 6 if nch == 4 else 2  # truecolor (+alpha)
     else:
         h, w = arr.shape
         ctype = 0  # grayscale
@@ -89,13 +92,14 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
         if tag == b"IHDR":
             w, h, depth, ctype = struct.unpack_from(">IIBB", payload, 0)
-            if depth != 8 or ctype not in (0, 6):
-                raise NotImplementedError("only 8-bit grayscale/RGBA PNG supported")
+            if depth != 8 or ctype not in (0, 2, 6):
+                raise NotImplementedError(
+                    "only 8-bit grayscale/RGB/RGBA PNG supported")
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
-    nch = 4 if ctype == 6 else 1
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
     raw = zlib.decompress(idat)
     stride = w * nch + 1
     flat = np.frombuffer(raw, dtype=np.uint8)
@@ -103,7 +107,7 @@ def decode_png(data: bytes) -> np.ndarray:
     if not ftypes.any():  # all filter-0 rows (our own encoder's output):
         # one strided slice instead of a per-row Python loop
         body = flat.reshape(h, stride)[:, 1:]
-        return body.reshape(h, w, 4).copy() if nch == 4 else body.copy()
+        return body.reshape(h, w, nch).copy() if nch > 1 else body.copy()
     if not (ftypes > 2).any():  # only None/Sub/Up: cumulative forms, no loop
         body = flat.reshape(h, stride)[:, 1:].copy()
         sub_rows = ftypes == 1
@@ -116,7 +120,7 @@ def decode_png(data: bytes) -> np.ndarray:
             body = np.concatenate([
                 np.cumsum(g, axis=0, dtype=np.uint64).astype(np.uint8)
                 for g in np.split(body, np.unique(run_id, return_index=True)[1][1:])])
-        return body.reshape(h, w, 4) if nch == 4 else body
+        return body.reshape(h, w, nch) if nch > 1 else body
     out = np.empty((h, w * nch), dtype=np.uint8)
     prev = np.zeros(w * nch, dtype=np.uint8)
     for r in range(h):
@@ -148,8 +152,8 @@ def decode_png(data: bytes) -> np.ndarray:
             raise NotImplementedError(f"PNG filter {ftype} not supported")
         out[r] = row
         prev = row
-    if nch == 4:
-        return out.reshape(h, w, 4)
+    if nch > 1:
+        return out.reshape(h, w, nch)
     return out
 
 

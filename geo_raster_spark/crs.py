@@ -10,11 +10,14 @@ transforms, replacing the reference's control-grid bilinear approximation
 deviation; parity gated by allclose).
 
 CRS ids are strings: ``"EPSG:4326"``, ``"SINU"`` (MODIS sinusoidal,
-R=6371007.181), ``"EPSG:3857"`` (spherical web mercator), and UTM zones
+R=6371007.181), ``"EPSG:3857"`` (spherical web mercator), UTM zones
 as ``"EPSG:326xx"`` (north) / ``"EPSG:327xx"`` (south) or ``"UTM:18N"`` —
 the ellipsoidal transverse Mercator via the standard 4th-order Krüger /
 Karney series (sub-mm inside a zone), which covers the UTM catalogs the
-reference reads through OSR [ref: mod/geo_base_c.pyx:1000-1045].
+reference reads through OSR [ref: mod/geo_base_c.pyx:1000-1045] — plus
+conic families (``EPSG:5070`` Albers, ``EPSG:3978`` LCC) and polar
+stereographic (``EPSG:3413`` Arctic / ``EPSG:3031`` Antarctic) for
+high-latitude imagery.
 """
 
 from __future__ import annotations
@@ -198,6 +201,72 @@ def _aea_inverse(params, x, y):
     return np.degrees(theta / n) + lon0, np.degrees(phi)
 
 
+# --- Polar Stereographic (ellipsoidal, variant B) — Snyder 1987 §21 ---------
+# EPSG:3413 (NSIDC Sea Ice Polar Stereographic North: lat_ts 70N, lon0 -45)
+# and EPSG:3031 (Antarctic Polar Stereographic: lat_ts 71S, lon0 0) — the
+# two grids high-latitude imagery actually ships in; WGS84 ellipsoid.
+# Generic form: ``PS:lat_ts,lon0`` (lat_ts < 0 selects the south aspect).
+_PS_RE = re.compile(r"^PS:(-?[\d.]+),(-?[\d.]+)$", re.I)
+_PS_EPSG = {"EPSG:3413": (70.0, -45.0), "EPSG:3031": (-71.0, 0.0)}
+
+
+def parse_ps(crs: str):
+    """-> (lat_ts, lon0) or None."""
+    c = crs.strip().upper()
+    if c in _PS_EPSG:
+        return _PS_EPSG[c]
+    m = _PS_RE.match(crs.strip())
+    if m:
+        return tuple(float(g) for g in m.groups())
+    return None
+
+
+def _ps_consts(lat_ts: float):
+    a, f = _WGS84_A, _WGS84_F
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def t_of(phi):  # Snyder 21-7 (north-convention latitude, radians)
+        s = np.sin(phi)
+        return np.tan(math.pi / 4 - phi / 2) * ((1 + e * s) / (1 - e * s)) ** (e / 2)
+
+    phi_c = math.radians(abs(lat_ts))
+    m_c = math.cos(phi_c) / math.sqrt(1 - e2 * math.sin(phi_c) ** 2)
+    t_c = t_of(phi_c)
+    return a, e, lat_ts < 0, m_c, t_c, t_of
+
+
+def _ps_forward(params, lon, lat):
+    lat_ts, lon0 = params
+    a, e, south, m_c, t_c, t_of = _ps_consts(lat_ts)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lam = np.radians(lon) - math.radians(lon0)
+    phi = np.radians(-lat if south else lat)
+    rho = a * m_c * t_of(phi) / t_c                      # Snyder 21-34
+    x = rho * np.sin(lam)
+    y = rho * np.cos(lam) if south else -rho * np.cos(lam)
+    return x, y
+
+
+def _ps_inverse(params, x, y):
+    lat_ts, lon0 = params
+    a, e, south, m_c, t_c, t_of = _ps_consts(lat_ts)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    rho = np.hypot(x, y)
+    t = rho * t_c / (a * m_c)
+    phi = math.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):  # fixed-point on the conformal-latitude relation
+        s = np.sin(phi)
+        phi = math.pi / 2 - 2 * np.arctan(
+            t * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+    lam = np.arctan2(x, y) if south else np.arctan2(x, -y)
+    # normalize: atan2 + a nonzero lon0 can leave lon outside [-180, 180)
+    lon = (np.degrees(lam) + lon0 + 180.0) % 360.0 - 180.0
+    return lon, (-np.degrees(phi) if south else np.degrees(phi))
+
+
 def parse_utm(crs: str):
     """-> (zone, north) or None.  Accepts EPSG:326xx/327xx and UTM:xxN/S.
     Zones outside 1..60 (e.g. EPSG:32600, EPSG:32661+, UTM:0N) are NOT UTM —
@@ -277,6 +346,9 @@ def _to_geog(crs, x, y):
     lcc = parse_lcc(c)
     if lcc is not None:
         return _lcc_inverse(lcc, x, y)
+    ps = parse_ps(c)
+    if ps is not None:
+        return _ps_inverse(ps, x, y)
     raise ValueError(f"unknown crs {crs}")
 
 
@@ -305,6 +377,9 @@ def _from_geog(crs, lon, lat):
     lcc = parse_lcc(c)
     if lcc is not None:
         return _lcc_forward(lcc, lon, lat)
+    ps = parse_ps(c)
+    if ps is not None:
+        return _ps_forward(ps, lon, lat)
     raise ValueError(f"unknown crs {crs}")
 
 

@@ -1,19 +1,23 @@
 """Baseline JPEG (JFIF) codec — pure NumPy, no imaging library.
 
-Implements the ITU-T T.81 baseline sequential process for 8-bit GRAYSCALE:
-SOI/APP0/DQT/SOF0/DHT/SOS/EOI, 8x8 forward/inverse DCT (orthonormal matrix
-form), Annex-K luminance quantization table with libjpeg-style quality
-scaling, Annex-K Huffman tables, DC prediction, zigzag, and 0xFF byte
+Implements the ITU-T T.81 baseline sequential process for 8-bit GRAYSCALE
+and 4:4:4 YCbCr COLOR: SOI/APP0/DQT/SOF0/DHT/SOS/EOI, 8x8 forward/inverse
+DCT (orthonormal matrix form), Annex-K luminance + chrominance quantization
+tables with libjpeg-style quality scaling, Annex-K Huffman tables,
+per-component DC prediction, interleaved MCUs, zigzag, and 0xFF byte
 stuffing.  Everything here is from the public JPEG spec.
 
 Role: the reference reads real lossy imagery through GDAL
 [ref: mod/geo_raster_c.pyx:1149-1174]; this closes the "lossy fmt" gap so
 the x3 parity contract (decoded-pixel PSNR >= 40 dB) runs on genuinely
-DCT-coded bytes instead of the JPGQ quantize stub.
+DCT-coded bytes instead of the JPGQ quantize stub — and (round 3) carries a
+real image+caption corpus's RGB payloads, not just grayscale bands.
 
-Scope: encoder emits single-component (grayscale) baseline; decoder handles
-baseline sequential grayscale without restart markers — i.e. at least
-everything the encoder emits, plus other tools' grayscale baseline output.
+Scope: encoder emits 1-component (grayscale) or 3-component 4:4:4 baseline
+(JFIF YCbCr; all components share the Annex-K luminance Huffman tables —
+spec-legal, simplifies the vectorized coder); decoder handles baseline
+sequential 1-component and 3-component 4:4:4 without restart markers, with
+arbitrary per-component quant/Huffman table ids.
 """
 
 from __future__ import annotations
@@ -94,11 +98,54 @@ _DC_ENC = _build_codes(_DC_BITS, _DC_VALS)
 _AC_ENC = _build_codes(_AC_BITS, _AC_VALS)
 
 
-def quant_table(quality: int) -> np.ndarray:
-    """Annex-K luminance table under libjpeg's quality scaling."""
+# --- Annex K chrominance quantization table -----------------------------------
+
+_Q_CHR = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.float64)
+
+
+def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
     q = int(np.clip(quality, 1, 100))
     s = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
-    return np.clip(np.floor((_Q_LUM * s + 50.0) / 100.0), 1, 255)
+    return np.clip(np.floor((base * s + 50.0) / 100.0), 1, 255)
+
+
+def quant_table(quality: int) -> np.ndarray:
+    """Annex-K luminance table under libjpeg's quality scaling."""
+    return _scale_qt(_Q_LUM, quality)
+
+
+def quant_table_chroma(quality: int) -> np.ndarray:
+    """Annex-K chrominance table under libjpeg's quality scaling."""
+    return _scale_qt(_Q_CHR, quality)
+
+
+# --- JFIF YCbCr <-> RGB (ITU-R BT.601 full-range, the JFIF convention) ---------
+
+def rgb_to_ycbcr(rgb: np.ndarray):
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return y, cb, cr
+
+
+def ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
 def _category(v: np.ndarray) -> np.ndarray:
@@ -138,11 +185,11 @@ class _BitWriter:
             self.nbits = 0
 
 
-def _entropy_scalar(zz: np.ndarray) -> bytes:
+def _entropy_scalar(zz: np.ndarray, dc: np.ndarray) -> bytes:
     """Reference (scalar) entropy coder — kept as the parity oracle for the
-    vectorized coder below."""
-    dc = zz[:, 0].copy()
-    dc[1:] -= zz[:-1, 0]                                         # DC prediction
+    vectorized coder below.  ``dc`` = per-block DC DIFFS (prediction applied
+    by the caller: sequential for grayscale, per-component chains for
+    interleaved color MCUs)."""
     sizes_dc = _category(dc)
     sizes_ac = _category(zz[:, 1:])
     bw_ = _BitWriter()
@@ -206,13 +253,13 @@ def _pack_bits(vals: np.ndarray, nbits: np.ndarray) -> np.ndarray:
     return out
 
 
-def _entropy_vector(zz: np.ndarray) -> bytes:
+def _entropy_vector(zz: np.ndarray, dc: np.ndarray) -> bytes:
     """Vectorized entropy coder: build the full emission sequence (DC, ZRLs,
     AC run/size symbols, EOBs) as flat arrays, then one bit-packing pass.
-    Byte-identical to ``_entropy_scalar`` (asserted in tests)."""
+    Byte-identical to ``_entropy_scalar`` (asserted in tests).  ``dc`` =
+    per-block DC diffs, prediction applied by the caller."""
     nb = zz.shape[0]
-    dc = zz[:, 0].astype(np.int64).copy()
-    dc[1:] -= zz[:-1, 0]
+    dc = np.asarray(dc, dtype=np.int64)
     s_dc = _category(dc).astype(np.int64)
 
     ac = zz[:, 1:]
@@ -273,39 +320,82 @@ def _entropy_vector(zz: np.ndarray) -> bytes:
     return _pack_bits(vals, lens).tobytes()
 
 
-def encode(arr: np.ndarray, quality: int = 90, _scalar: bool = False) -> bytes:
-    """(H, W) uint8 grayscale -> baseline JFIF bytes."""
-    arr = np.asarray(arr)
-    if arr.ndim != 2:
-        raise ValueError("grayscale (H, W) only")
-    h, w = arr.shape
-    qt = quant_table(quality)
-
-    # pad to 8x8 multiples by edge replication
+def _plane_zz(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(H, W) float plane -> (n_blocks, 64) quantized zigzag coefficients
+    (edge-replication pad to 8x8 multiples, level shift, DCT, quantize)."""
+    h, w = plane.shape
     ph, pw = -h % 8, -w % 8
-    a = np.pad(arr.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
+    a = np.pad(plane.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
     bh, bw = a.shape[0] // 8, a.shape[1] // 8
     blocks = a.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)      # (bh, bw, 8, 8)
     coef = np.einsum("ij,xyjk,lk->xyil", _DCT_M, blocks, _DCT_M)
     q = np.round(coef / qt).astype(np.int32)
-    zz = q.reshape(bh * bw, 64)[:, _ZZ]                          # zigzag per block
+    return q.reshape(bh * bw, 64)[:, _ZZ]                        # zigzag per block
 
-    scan = _entropy_scalar(zz) if _scalar else _entropy_vector(zz)
 
-    qt_zz = qt.reshape(64)[_ZZ].astype(np.uint8)
+def _headers(h: int, w: int, qts_zz: list, comps: list) -> bytes:
+    """SOI..SOS header bytes.  ``qts_zz`` = zigzagged uint8 quant tables by
+    id; ``comps`` = [(component_id, quant_table_id)] (sampling 1x1 each; all
+    components use Huffman table 0 — the Annex-K luminance pair)."""
     out = bytearray()
     out += b"\xFF\xD8"                                           # SOI
     out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) + qt_zz.tobytes()
-    out += b"\xFF\xC0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    for tq, qt_zz in enumerate(qts_zz):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tq) + qt_zz.tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, tq in comps:
+        sof += bytes([cid, 0x11, tq])
+    out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
     out += b"\xFF\xC4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00) \
         + bytes(_DC_BITS) + bytes(_DC_VALS)
     out += b"\xFF\xC4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10) \
         + bytes(_AC_BITS) + bytes(_AC_VALS)
-    out += b"\xFF\xDA" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
-    out += scan
-    out += b"\xFF\xD9"                                           # EOI
+    sos = bytes([len(comps)])
+    for cid, _tq in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
     return bytes(out)
+
+
+def encode(arr: np.ndarray, quality: int = 90, _scalar: bool = False) -> bytes:
+    """(H, W) uint8 grayscale or (H, W, 3) uint8 RGB -> baseline JFIF bytes.
+
+    Color: JFIF YCbCr, 4:4:4 (one block per component per MCU, interleaved
+    Y Cb Cr), Annex-K luma + chroma quant tables, Huffman tables shared."""
+    arr = np.asarray(arr)
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        h, w, _ = arr.shape
+        qt_l, qt_c = quant_table(quality), quant_table_chroma(quality)
+        y, cb, cr = rgb_to_ycbcr(arr)
+        zzs = [_plane_zz(y, qt_l), _plane_zz(cb, qt_c), _plane_zz(cr, qt_c)]
+        nb = zzs[0].shape[0]
+        # interleave MCUs: rows [Y0, Cb0, Cr0, Y1, ...]; DC prediction runs
+        # per component chain
+        zz = np.empty((nb * 3, 64), dtype=np.int64)
+        dc = np.empty(nb * 3, dtype=np.int64)
+        for c, z in enumerate(zzs):
+            zz[c::3] = z
+            d = z[:, 0].astype(np.int64).copy()
+            d[1:] -= z[:-1, 0]
+            dc[c::3] = d
+        scan = _entropy_scalar(zz, dc) if _scalar else _entropy_vector(zz, dc)
+        head = _headers(h, w,
+                        [qt_l.reshape(64)[_ZZ].astype(np.uint8),
+                         qt_c.reshape(64)[_ZZ].astype(np.uint8)],
+                        [(1, 0), (2, 1), (3, 1)])
+        return head + scan + b"\xFF\xD9"
+
+    if arr.ndim != 2:
+        raise ValueError("grayscale (H, W) or RGB (H, W, 3) only")
+    h, w = arr.shape
+    qt = quant_table(quality)
+    zz = _plane_zz(arr.astype(np.float64), qt)
+    dc = zz[:, 0].astype(np.int64).copy()
+    dc[1:] -= zz[:-1, 0]
+    scan = _entropy_scalar(zz, dc) if _scalar else _entropy_vector(zz, dc)
+    head = _headers(h, w, [qt.reshape(64)[_ZZ].astype(np.uint8)], [(1, 0)])
+    return head + scan + b"\xFF\xD9"
 
 
 # --- decoder ------------------------------------------------------------------
@@ -429,7 +519,8 @@ def _scan_windows(scan: bytes) -> np.ndarray:
 
 
 def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
-    """Baseline sequential GRAYSCALE JFIF -> (H, W) uint8.
+    """Baseline sequential JFIF -> (H, W) uint8 grayscale or (H, W, 3)
+    uint8 RGB (1-component, or interleaved 3-component 4:4:4 YCbCr).
 
     Entropy decode uses a 16-bit-peek LUT over a precomputed bit-window
     array (one O(1) lookup per symbol); ``_scalar=True`` selects the
@@ -440,8 +531,8 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
     qts = {}
     huff_dc, huff_ac = {}, {}
     h = w = None
-    qt_id = 0
-    dc_id = ac_id = 0
+    sof_comps = []         # [(cid, tq)] in SOF order
+    scan_comps = []        # [(comp_index, td, ta)] in SOS order
     scan_start = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -471,9 +562,13 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
                 qts[tq] = full.reshape(8, 8)
         elif marker == 0xC0:                                     # SOF0
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
-            if ncomp != 1:
-                raise NotImplementedError("grayscale baseline only")
-            qt_id = seg[8]   # seg: prec(1) h(2) w(2) ncomp(1) cid(1) sampling(1) tq(1)
+            if ncomp not in (1, 3):
+                raise NotImplementedError("1- or 3-component baseline only")
+            for c in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError("4:4:4 sampling only")
+                sof_comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("baseline sequential (SOF0) only")
@@ -490,31 +585,37 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
             raise NotImplementedError("restart intervals not supported")
         elif marker == 0xDA:                                     # SOS
             ns = seg[0]
-            if ns != 1:
-                raise NotImplementedError("grayscale baseline only")
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            if ns != len(sof_comps):
+                raise NotImplementedError("interleaved single scan only")
+            cid_to_idx = {cid: i for i, (cid, _tq) in enumerate(sof_comps)}
+            for c in range(ns):
+                cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_comps.append((cid_to_idx[cid], tids >> 4, tids & 0x0F))
             scan_start = pos + seg_len
             break
         pos += seg_len
     if scan_start is None or h is None:
         raise ValueError("truncated JPEG")
 
-    qt = qts[qt_id]
+    ncomp = len(sof_comps)
     bh, bw = (h + 7) // 8, (w + 7) // 8
-    zz = np.zeros((bh * bw, 64), dtype=np.float64)
-    pred = 0
+    n_blocks = bh * bw * ncomp
+    # interleaved coefficient rows: [c0_mcu0, c1_mcu0, ..., c0_mcu1, ...]
+    zz = np.zeros((n_blocks, 64), dtype=np.float64)
+    preds = [0] * ncomp
     if _scalar:
-        dct = _build_decode(*huff_dc[dc_id])
-        act = _build_decode(*huff_ac[ac_id])
+        dcts = [_build_decode(*huff_dc[td]) for _ci, td, _ta in scan_comps]
+        acts = [_build_decode(*huff_ac[ta]) for _ci, _td, ta in scan_comps]
         br = _BitReader(data[scan_start:])
-        for i in range(bh * bw):
-            s = _huff_read(br, dct)
+        for i in range(n_blocks):
+            c = i % ncomp
+            s = _huff_read(br, dcts[c])
             diff = _extend(br.read(s), s) if s else 0
-            pred += diff
-            zz[i, 0] = pred
+            preds[c] += diff
+            zz[i, 0] = preds[c]
             k = 1
             while k < 64:
-                rs = _huff_read(br, act)
+                rs = _huff_read(br, acts[c])
                 r, s = rs >> 4, rs & 0x0F
                 if rs == 0x00:                                       # EOB
                     break
@@ -527,16 +628,19 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
                 zz[i, k] = _extend(br.read(s), s)
                 k += 1
     else:
-        dlen, dsym = _lut_cached(huff_dc[dc_id])
-        alen, asym = _lut_cached(huff_ac[ac_id])
+        dluts = [_lut_cached(huff_dc[td]) for _ci, td, _ta in scan_comps]
+        aluts = [_lut_cached(huff_ac[ta]) for _ci, _td, ta in scan_comps]
         Wl = _scan_windows(data[scan_start:]).tolist()  # plain-int indexing
         nW = len(Wl)
         cur = 0
         oi = []  # flat zz indices of nonzero coefficients
         ov = []
-        for i in range(bh * bw):
+        for i in range(n_blocks):
             if cur >= nW:
                 break  # truncated stream: remaining blocks stay zero
+            c = i % ncomp
+            dlen, dsym = dluts[c]
+            alen, asym = aluts[c]
             idx = Wl[cur]
             ln = dlen[idx]
             if ln == 0:
@@ -546,10 +650,10 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
             if s:
                 v = Wl[cur] >> (16 - s) if cur < nW else 0
                 cur += s
-                pred += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                preds[c] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
             base = i << 6
             oi.append(base)
-            ov.append(pred)
+            ov.append(preds[c])
             k = 1
             while k < 64 and cur < nW:
                 idx = Wl[cur]
@@ -574,9 +678,14 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
                 k += 1
         zz.ravel()[oi] = ov
 
-    blocks = np.zeros((bh * bw, 64), dtype=np.float64)
-    blocks[:, _ZZ] = zz                                          # de-zigzag
-    blocks = blocks.reshape(bh, bw, 8, 8) * qt
-    pix = np.einsum("ji,xyjk,kl->xyil", _DCT_M, blocks, _DCT_M)  # inverse DCT
-    img = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+    planes = []
+    for c, (_cid, tq) in enumerate(sof_comps):
+        blocks = np.zeros((bh * bw, 64), dtype=np.float64)
+        blocks[:, _ZZ] = zz[c::ncomp]                            # de-zigzag
+        blocks = blocks.reshape(bh, bw, 8, 8) * qts[tq]
+        pix = np.einsum("ji,xyjk,kl->xyil", _DCT_M, blocks, _DCT_M)
+        planes.append(pix.transpose(0, 2, 1, 3)
+                      .reshape(bh * 8, bw * 8)[:h, :w] + 128.0)
+    if ncomp == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    return ycbcr_to_rgb(planes[0], planes[1], planes[2])

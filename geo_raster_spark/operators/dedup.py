@@ -105,10 +105,51 @@ def minhash_signature(shingle_col, n_hashes: int = 32):
             lambda a, b: F.least(a, b)))
 
 
+def _sm_mix_np(z: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer on uint64 arrays (twin of ``_sm_mix``)."""
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def minhash_signatures_np(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 5,
+                          n_hashes: int = 32) -> DataFrame:
+    """(_id, sig array<long>) via a NumPy mapInPandas kernel: sliding-window
+    FNV-1a over the lowercased UTF-8 bytes + SplitMix64 salted minima.
+
+    The A/B alternative to the interpreted-HOF pipeline (VERDICT r2 asked
+    which wins at sf0.1 — see BENCH/IMPROVEMENTS.md).  Same salt family and
+    banding downstream; the BASE hash differs (FNV-1a on byte windows vs
+    JVM xxhash64 on char shingles), so signatures are engine-specific —
+    pairs/estimates are statistically equivalent, not byte-equal."""
+    salts = np.array([((i + 1) * 0x9E3779B97F4A7C15) % 2 ** 64
+                      for i in range(n_hashes)], dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+
+    def batch(it):
+        for pdf in it:
+            sigs = []
+            for t in pdf[text_col]:
+                b = np.frombuffer(str(t).lower().encode("utf-8"), np.uint8)
+                if len(b) < k:
+                    b = np.pad(b, (0, k - len(b)))
+                win = np.lib.stride_tricks.sliding_window_view(b, k)
+                h = np.full(len(win), 0xCBF29CE484222325, np.uint64)
+                for j in range(k):
+                    h = (h ^ win[:, j].astype(np.uint64)) * prime
+                m = _sm_mix_np(h[:, None] ^ salts[None, :]).min(axis=0)
+                sigs.append(m.astype(np.int64).tolist())
+            yield pd.DataFrame({"_id": pdf[id_col], "sig": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batch, schema="_id long, sig array<long>")
+
+
 def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 k: int = 5, n_hashes: int = 32, bands: int = 8,
                 jaccard_threshold: float = 0.6,
-                max_bucket: int = 200) -> DataFrame:
+                max_bucket: int = 200, engine: str = "hof") -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard) via banded MinHash.
 
     rows_per_band = n_hashes/bands; a pair collides if any band's slice of
@@ -118,7 +159,11 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``max_bucket``: buckets larger than this are dropped before the pair
     join — the standard skew guard at scale (an over-full bucket means
     boilerplate shared by thousands of docs and would blow up the join
-    quadratically; its members still pair through their other bands)."""
+    quadratically; its members still pair through their other bands).
+
+    ``engine``: ``"hof"`` = JVM higher-order-function signatures (default;
+    measured faster at sf0.1 — BENCH/IMPROVEMENTS.md); ``"numpy"`` = Arrow
+    mapInPandas signatures (``minhash_signatures_np``)."""
     r = n_hashes // bands
     # Small inputs arrive as ONE parquet split, which would serialize the
     # (interpreted, expensive) shingle-hash projection on a single core —
@@ -127,20 +172,25 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
-    # Two-step materialization, both load-bearing:
-    # 1. the base shingle-hash array is persisted so the (interpreted,
-    #    expensive) string-hash pass runs ONCE — Catalyst's CollapseProject
-    #    would otherwise inline it into all n_hashes salted variants;
-    # 2. the signature table is persisted before the self-join — signatures
-    #    recomputed per join side are wasteful AND self-joins of renamed
-    #    un-materialized projections have bitten us before (see git log).
-    hashed = docs.select(
-        F.col(id_col).alias("_id"),
-        shingle_hashes(shingles(text_col, k)).alias("_h")).persist()
-    sig = hashed.select(
-        "_id",
-        F.array(*[_salted_min(F.col("_h"), i + 1)
-                  for i in range(n_hashes)]).alias("sig")).persist()
+    if engine == "numpy":
+        hashed = None
+        sig = minhash_signatures_np(docs, text_col, id_col, k,
+                                    n_hashes).persist()
+    else:
+        # Two-step materialization, both load-bearing:
+        # 1. the base shingle-hash array is persisted so the (interpreted,
+        #    expensive) string-hash pass runs ONCE — Catalyst's CollapseProject
+        #    would otherwise inline it into all n_hashes salted variants;
+        # 2. the signature table is persisted before the self-join — signatures
+        #    recomputed per join side are wasteful AND self-joins of renamed
+        #    un-materialized projections have bitten us before (see git log).
+        hashed = docs.select(
+            F.col(id_col).alias("_id"),
+            shingle_hashes(shingles(text_col, k)).alias("_h")).persist()
+        sig = hashed.select(
+            "_id",
+            F.array(*[_salted_min(F.col("_h"), i + 1)
+                      for i in range(n_hashes)]).alias("sig")).persist()
 
     bands_df = sig.select(
         "_id", "sig",
@@ -200,7 +250,8 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # across repeated calls in one session.  Callers owning long sessions
     # may unpersist() the returned DataFrame when done with it.
     out.count()
-    hashed.unpersist()
+    if hashed is not None:
+        hashed.unpersist()
     sig.unpersist()
     bands_cached.unpersist()
     return out

@@ -38,7 +38,8 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
              agg_func: str = "mean", min_rate: float = 0.1,
              checkpoint=None, stage: str = "tile_cut",
              salt_buckets: int | None = None,
-             priority_col: str | None = None) -> DataFrame:
+             priority_col: str | None = None,
+             band_col: str | None = None) -> DataFrame:
     """images (with footprint cols + bytes/fmt) -> one row per output tile.
 
     ``agg_to_cell``: optional coarser output cell size (A1/A2 aggregation
@@ -49,6 +50,12 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
     in ascending (priority, image_id), so the lowest priority value wins
     each pixel (e.g. days-since-acquisition for a freshest-pixel composite;
     the reference composites in file-list order, util/split_raster_tiles.py).
+
+    ``band_col``: multi-band/RGB stacks — one input row per (image, band)
+    with the band's payload in ``bytes``; tiles group by (tile_tag, band)
+    and the output carries the band id.  The reference's N-band stack
+    [ref: mod/geo_raster_c.pyx:338-355] re-expressed as extra key columns:
+    bands parallelize as independent tasks and never co-shuffle.
 
     ``salt_buckets``: hot-tile skew handling (north rule) — images split
     into ``pmod(xxhash64(image_id), k)`` sub-groups per tile; partial
@@ -65,11 +72,16 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
         assigned = checkpoint.filter_pending(assigned, stage, "tile_tag")
 
     if salt_buckets is not None and salt_buckets > 1:
+        if band_col is not None:
+            raise NotImplementedError("salt_buckets with band_col: salt "
+                                      "per band by pre-splitting the input")
         return _tile_cut_salted(assigned, grid, nodata, salt_buckets,
                                 agg_to_cell, agg_func, min_rate, priority_col)
 
     g = grid
     sort_cols = ([priority_col, "image_id"] if priority_col else ["image_id"])
+    group_cols = ["tile_tag"] + ([band_col] if band_col else [])
+    schema = TILE_SCHEMA + (f", {band_col} int" if band_col else "")
 
     def assemble(key, pdf: pd.DataFrame):
         tag = key[0]
@@ -99,17 +111,20 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
             out_info = scaled
         painted = int((out != nodata).sum())
         png = codecs.encode_png(np.clip(out, 0, 255).astype(np.uint8))
-        return pd.DataFrame([{
+        row = {
             "tile_tag": tag, "tile_col": tcol, "tile_row": trow,
             "width": out_info.width, "height": out_info.height,
             "gt": list(out_info.gt), "n_images": len(pdf),
             "painted": painted, "data": png,
-        }])
+        }
+        if band_col:
+            row[band_col] = int(key[1])
+        return pd.DataFrame([row])
 
     return (assigned
-            .repartition("tile_tag")
-            .groupBy("tile_tag")
-            .applyInPandas(assemble, schema=TILE_SCHEMA))
+            .repartition(*group_cols)
+            .groupBy(*group_cols)
+            .applyInPandas(assemble, schema=schema))
 
 
 _PARTIAL_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "

@@ -3,15 +3,16 @@ decode / feature-extract / resize / frame-sample as Arrow-batched UDFs).
 
 The payload contract is BASELINE.json's ``input_hint``: opaque ``binary``
 bytes + typed metadata (``fmt``, ``w``, ``h``).  Decode is REAL for
-png/npy/jpg/jpeg (``codecs``); video decode has no library in this
-container, so ``frame_sample`` ships a clearly-marked deterministic stub
-behind the same Spark plumbing (schema, batch shape, partitioning) a real
-decoder would use — swap ``_fake_video_frames`` for an ffmpeg/pyav call and
-nothing else changes.
+png/npy/jpg/jpeg (``codecs``) AND for video: the video payload is an MJPEG
+stream — concatenated baseline JFIF frames (grayscale or 4:4:4 color) —
+split by a structural marker walk and decoded frame-by-frame with the
+in-repo DCT+Huffman codec (``geo_raster_spark.jpeg``).  The round-2
+deterministic stub decoder is gone.
 
 Scale shape: every operator is ``mapInPandas`` over Arrow batches — one
 Python worker per partition, NumPy-vectorized per image, no driver-side
-loops, no shuffle (row-wise transforms).
+loops, no shuffle (row-wise transforms; frame explode amplifies rows inside
+the Arrow batch).
 """
 
 from __future__ import annotations
@@ -105,51 +106,83 @@ def image_features(images: DataFrame, id_col: str = "image_id") -> DataFrame:
     return images.mapInPandas(work, schema=FEATURE_SCHEMA)
 
 
-# --- video frame sampling (decode stubbed; plumbing real) --------------------
+# --- video frame sampling (MJPEG: concatenated baseline JFIF frames) ---------
 
 FRAME_SCHEMA = ("video_id string, frame_idx int, t_sec double, "
                 "w int, h int, frame binary")
 
 
-def _fake_video_frames(video_id: str, payload: bytes, n_frames: int,
-                       w: int, h: int, indices: np.ndarray) -> list:
-    """DETERMINISTIC STUB for the video decoder: derives per-frame pixels
-    from a SplitMix64 stream seeded by (payload digest, frame index) — the
-    same shape, dtype and count a real decoder would return.  Swap for
-    ffmpeg/pyav when available; callers see identical plumbing."""
-    from ..synth import splitmix64
-    import hashlib
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little") or 1
-    outs = []
-    for fi in indices:
-        idx = (np.arange(h * w, dtype=np.uint64)
-               + np.uint64((seed + int(fi) * 0x9E3779B9) % 2 ** 63))
-        frame = (splitmix64(idx) >> np.uint64(56)).astype(np.uint8).reshape(h, w)
-        outs.append(frame)
-    return outs
+def mjpeg_encode(frames, quality: int = 90) -> bytes:
+    """Frames (each (H, W) gray or (H, W, 3) RGB uint8) -> MJPEG payload:
+    back-to-back baseline JFIF frames (the classic Motion-JPEG stream)."""
+    from .. import jpeg
+    return b"".join(jpeg.encode(np.asarray(f), quality) for f in frames)
+
+
+def mjpeg_offsets(payload: bytes) -> list:
+    """(start, end) byte range of every JFIF frame in an MJPEG stream.
+
+    Structural walk — segment lengths for marker segments, entropy-scan to
+    the next true marker after SOS (0xFF00 stuffing and RSTn skipped) — not
+    byte-pattern guessing, so FFD9-looking bytes inside quant tables can't
+    split a frame."""
+    import struct as _s
+    offs = []
+    pos, n = 0, len(payload)
+    while pos < n - 1:
+        if payload[pos:pos + 2] != b"\xff\xd8":
+            raise ValueError(f"MJPEG: expected SOI at byte {pos}")
+        start = pos
+        pos += 2
+        while True:
+            if payload[pos] != 0xFF:
+                raise ValueError(f"MJPEG: expected marker at byte {pos}")
+            marker = payload[pos + 1]
+            if marker == 0xD9:                                    # EOI
+                pos += 2
+                break
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:       # bare
+                pos += 2
+                continue
+            (ln,) = _s.unpack_from(">H", payload, pos + 2)
+            pos += 2 + ln
+            if marker == 0xDA:                                    # SOS
+                while True:                # skip entropy-coded data
+                    nxt = payload.index(b"\xff", pos)
+                    m2 = payload[nxt + 1]
+                    if m2 == 0x00 or 0xD0 <= m2 <= 0xD7:
+                        pos = nxt + 2
+                        continue
+                    pos = nxt
+                    break
+        offs.append((start, pos))
+    return offs
 
 
 def frame_sample(videos: DataFrame, every_n: int = 10,
                  fps: float = 30.0) -> DataFrame:
-    """videos(video_id, bytes, n_frames, w, h) -> one row per sampled frame
-    (every ``every_n``-th), frame payload PNG-encoded.
+    """videos(video_id, bytes, ...) -> one row per sampled frame (every
+    ``every_n``-th), frame payload PNG-encoded.
 
-    Real plumbing, stubbed decode (no video lib in this container — the
-    stub is deterministic so tests pin exact bytes).  At scale the explode
-    is map-side (rows amplify inside the Arrow batch, no shuffle)."""
+    REAL decode: the payload is an MJPEG stream; each sampled frame is
+    located by the structural walk and decoded with the in-repo baseline
+    JPEG codec (grayscale or 4:4:4 color — color frames land as RGB PNG).
+    At scale the explode is map-side (rows amplify inside the Arrow batch,
+    no shuffle), and only the SAMPLED frames pay a decode."""
+    from .. import jpeg
 
     def work(it):
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                n = int(r["n_frames"])
-                idx = np.arange(0, n, every_n, dtype=np.int64)
-                frames = _fake_video_frames(r["video_id"], bytes(r["bytes"]),
-                                            n, int(r["w"]), int(r["h"]), idx)
-                for fi, fr in zip(idx, frames):
+                payload = bytes(r["bytes"])
+                offs = mjpeg_offsets(payload)
+                for fi in range(0, len(offs), every_n):
+                    s, e = offs[fi]
+                    fr = jpeg.decode(payload[s:e])
+                    fh, fw = fr.shape[0], fr.shape[1]
                     rows.append((r["video_id"], int(fi), float(fi / fps),
-                                 int(r["w"]), int(r["h"]),
-                                 codecs.encode_png(fr)))
+                                 int(fw), int(fh), codecs.encode_png(fr)))
             yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "t_sec",
                                               "w", "h", "frame"])
 

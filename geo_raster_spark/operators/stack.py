@@ -32,16 +32,22 @@ _STATS = {
 
 
 def pixel_stack_stats(tiles: DataFrame, stat: str = "median",
-                      nodata: float = 0.0) -> DataFrame:
+                      nodata: float = 0.0,
+                      band_col: str | None = None) -> DataFrame:
     """tiles(tile_tag, width, height, gt, data[, epoch]) -> one row per
     tile: the per-pixel ``stat`` across all epochs of that tile.
 
     nodata pixels are excluded per position (a pixel observed in 3 of 5
     epochs reduces over those 3); positions never observed stay nodata.
+
+    ``band_col``: multi-band stacks (tiles from ``tile_cut(band_col=...)``)
+    reduce per (tile, band) — epochs of one band never mix with another's.
     """
     if stat not in _STATS:
         raise ValueError(f"stat must be one of {sorted(_STATS)}")
     fn = _STATS[stat]
+    group_cols = ["tile_tag"] + ([band_col] if band_col else [])
+    schema = STACK_SCHEMA + (f", {band_col} int" if band_col else "")
 
     def combine(key, pdf: pd.DataFrame):
         tag = key[0]
@@ -55,14 +61,17 @@ def pixel_stack_stats(tiles: DataFrame, stat: str = "median",
         with np.errstate(all="ignore"):
             out = fn(stack, axis=0)
         out = np.where(np.isnan(out), nodata, out)
-        return pd.DataFrame([{
+        row = {
             "tile_tag": tag, "n_epochs": len(pdf), "width": w, "height": h,
             "gt": list(first["gt"]),
             "painted": int((out != nodata).sum()),
             "data": codecs.encode_png(np.clip(np.round(out), 0, 255)
                                       .astype(np.uint8)),
-        }])
+        }
+        if band_col:
+            row[band_col] = int(key[1])
+        return pd.DataFrame([row])
 
-    return (tiles.repartition("tile_tag")
-                 .groupBy("tile_tag")
-                 .applyInPandas(combine, schema=STACK_SCHEMA))
+    return (tiles.repartition(*group_cols)
+                 .groupBy(*group_cols)
+                 .applyInPandas(combine, schema=schema))

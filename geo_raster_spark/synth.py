@@ -96,6 +96,24 @@ def image_pixels(i: int, w: int, h: int, phash_u64: int) -> np.ndarray:
     return np.clip(base + grad, 0, 255).astype(np.uint8)
 
 
+def image_pixels_rgb(i: int, w: int, h: int, phash_u64: int) -> np.ndarray:
+    """(H, W, 3) RGB twin of ``image_pixels``: a shared luma pattern plus
+    two salted chroma difference patterns at moderate amplitude —
+    deterministic, distinct per band, and band-CORRELATED like real imagery
+    (independent bands would mean full-strength high-frequency chroma,
+    which no natural image has and which the standard chroma quantization
+    table is not built for)."""
+    p = int(phash_u64) % 2 ** 64
+    base = image_pixels(i, w, h, p).astype(np.float64)
+    d1 = image_pixels(i, w, h, (p ^ 0xB1B1) % 2 ** 64).astype(np.float64) - 128.0
+    d2 = image_pixels(i, w, h, (p ^ 0xC2C2) % 2 ** 64).astype(np.float64) - 128.0
+    amp = 0.25
+    r = base + amp * d1
+    g = base - 0.5 * amp * d1 + 0.7 * amp * d2
+    b = base - amp * d2
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
 def _caption(i, tag):
     return f"synthetic scene {i} tile {tag}"
 

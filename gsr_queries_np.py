@@ -197,15 +197,25 @@ def q_m1_image_features(spark, sf_dir):
 
 
 def q_m2_frame_sample(spark, sf_dir):
-    """Multimodal frame-sample plumbing: synthetic video rows -> sampled
-    frames (stubbed decoder, real Spark shape).  Rows-only."""
+    """Multimodal frame-sample: REAL MJPEG videos (concatenated baseline
+    JFIF frames, gray and 4:4:4 color alternating) -> sampled frames via
+    structural split + in-repo DCT/Huffman decode.  Rows-only (exact frame
+    bytes pinned by tests/test_multimodal.py::test_frame_sample_real_mjpeg)."""
     import pandas as pd
+    from geo_raster_spark import synth
     from geo_raster_spark.operators import multimodal as mm
-    vids = spark.createDataFrame(pd.DataFrame({
-        "video_id": [f"v{i:04d}" for i in range(40)],
-        "bytes": [bytearray(f"payload-{i}".encode()) for i in range(40)],
-        "n_frames": [30 + (i * 13) % 240 for i in range(40)],
-        "w": [32] * 40, "h": [24] * 40}))
+    rows = []
+    for i in range(40):
+        n = 12 + (i * 7) % 36
+        if i % 2 == 0:
+            frames = [synth.image_pixels(j, 32, 24, i * 1000 + j)
+                      for j in range(n)]
+        else:
+            frames = [synth.image_pixels_rgb(j, 16, 12, i * 1000 + j)
+                      for j in range(n)]
+        rows.append((f"v{i:04d}", bytearray(mm.mjpeg_encode(frames, 90))))
+    vids = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["video_id", "bytes"]))
     frames = mm.frame_sample(vids, every_n=12)
     return (frames.groupBy("video_id")
                   .agg(F.count("*").alias("n_frames_sampled"),
@@ -382,6 +392,41 @@ def q_x3_parity(spark, sf_dir):
 
     res = imgs.mapInPandas(
         check, schema="fmt string, exact boolean, psnr_ok boolean, caption_ok boolean")
+
+    # RGB payload rows (round 3): the same per-row invariant on 3-band
+    # payloads — PNG color type 2 must roundtrip EXACTLY; true color JFIF
+    # (4:4:4 YCbCr DCT+Huffman) must clear the 40 dB PSNR gate.  Encode and
+    # decode both run ON EXECUTORS over the distributed metadata table.
+    meta = pd.DataFrame({
+        "image_id": [f"rgb{i:04d}" for i in range(60)],
+        "w": [40] * 60, "h": [28] * 60,
+        "fmt": ["png" if i % 2 == 0 else "jpg" for i in range(60)]})
+    rgb = spark.createDataFrame(meta)
+
+    def check_rgb(it):
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                i = int(r["image_id"][3:])
+                truth = synth.image_pixels_rgb(i, int(r["w"]), int(r["h"]),
+                                               (i * 2654435761) % 2 ** 64)
+                # color JFIF at quality 97: the Annex-K CHROMA table is
+                # aggressive, so 4:4:4 color needs a higher quality than
+                # grayscale (95) to clear the same 40 dB gate
+                enc = (codecs.encode_jfif(truth, quality=97)
+                       if r["fmt"] == "jpg" else codecs.encode(truth, r["fmt"]))
+                dec = codecs.decode(enc, r["fmt"])
+                ps = codecs.psnr(truth, dec)
+                exact = bool(np.array_equal(truth, dec))
+                # captions live on the images table, not these payload rows
+                out.append((r["fmt"] + "_rgb", exact, ps >= 40.0 or exact,
+                            True))
+            yield pd.DataFrame(out, columns=["fmt", "exact", "psnr_ok",
+                                             "caption_ok"])
+
+    res = res.unionByName(rgb.mapInPandas(
+        check_rgb,
+        schema="fmt string, exact boolean, psnr_ok boolean, caption_ok boolean"))
     return (res.groupBy("fmt")
                .agg(F.count("*").alias("n"),
                     F.sum(F.col("exact").cast("int")).alias("n_exact"),

@@ -512,3 +512,84 @@ def test_triangulate_and_clip_rings_concave():
     # containment -> full subject area
     big = geometry.bbox_to_ring((-1, -1, 5, 5))
     assert np.isclose(geometry.rings_intersection_area(L, big), 12.0)
+
+
+def test_polar_stereographic_roundtrip_and_invariants():
+    """EPSG:3413 (Arctic) / EPSG:3031 (Antarctic) polar stereographic:
+    roundtrip, pole -> origin, unit scale on the standard parallel, and
+    CONFORMALITY (meridian scale == parallel scale) — all checked against
+    independent numerical derivatives of the ellipsoidal metric, never the
+    projection's own closed forms."""
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+
+    for ps, lat_ts, pole in (("EPSG:3413", 70.0, 90.0),
+                             ("EPSG:3031", -71.0, -90.0),
+                             ("PS:75,10", 75.0, 90.0)):
+        lons = np.linspace(-170.0, 170.0, 9)
+        lats = (np.linspace(55.0, 88.0, 9) if pole > 0
+                else np.linspace(-88.0, -55.0, 9))
+        x, y = crs.transform("EPSG:4326", ps, lons, lats)
+        lo, la = crs.transform(ps, "EPSG:4326", x, y)
+        np.testing.assert_allclose(lo, lons, atol=1e-9)
+        np.testing.assert_allclose(la, lats, atol=1e-9)
+        # pole maps to the grid origin
+        px, py = crs.transform("EPSG:4326", ps, np.array([33.0]),
+                               np.array([pole]))
+        np.testing.assert_allclose([px[0], py[0]], [0.0, 0.0], atol=1e-6)
+        # scale along the standard parallel == 1 (true parallel arc length
+        # from the ellipsoid metric: a * cos(phi)/sqrt(1-e2 sin^2) * dlam)
+        dlon = 1e-4
+        for lon0 in (-40.0, 25.0):
+            x1, y1 = crs.transform("EPSG:4326", ps, np.array([lon0]),
+                                   np.array([lat_ts]))
+            x2, y2 = crs.transform("EPSG:4326", ps, np.array([lon0 + dlon]),
+                                   np.array([lat_ts]))
+            proj_d = float(np.hypot(x2 - x1, y2 - y1))
+            phi = np.radians(lat_ts)
+            true_d = (a * np.cos(phi) / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+                      * np.radians(dlon))
+            np.testing.assert_allclose(proj_d, true_d, rtol=1e-6)
+        # conformal: meridian scale == parallel scale away from lat_ts
+        for lat in ([60.0, 80.0] if pole > 0 else [-60.0, -80.0]):
+            phi = np.radians(lat)
+            dl = 1e-5
+            xA, yA = crs.transform("EPSG:4326", ps, np.array([10.0 - dl, 10.0 + dl,
+                                                              10.0, 10.0]),
+                                   np.array([lat, lat, lat - dl, lat + dl]))
+            par = np.hypot(xA[1] - xA[0], yA[1] - yA[0]) / (
+                a * np.cos(phi) / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+                * np.radians(2 * dl))
+            mer = np.hypot(xA[3] - xA[2], yA[3] - yA[2]) / (
+                a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+                * np.radians(2 * dl))
+            np.testing.assert_allclose(par, mer, rtol=1e-5)
+
+
+def test_warp_4326_to_polar_stereo():
+    """G10 across 4326<->EPSG:3413: warp an Arctic geographic source into
+    polar-stereographic meters; every output pixel equals the source pixel
+    its center maps back to."""
+    from geo_raster_spark.grid import RasterInfo
+    from geo_raster_spark.kernels import warp as warp_k
+    src_info = RasterInfo((-60.0, 0.05, 0.0, 80.0, 0.0, -0.02), 200, 200,
+                          "EPSG:4326")
+    rng = np.random.default_rng(13)
+    src = rng.integers(1, 255, size=(200, 200)).astype(np.float64)
+    E0, N0 = crs.transform("EPSG:4326", "EPSG:3413",
+                           np.array([-55.0]), np.array([78.0]))
+    dst_info = RasterInfo((float(E0[0]) - 50_000, 1000.0, 0.0,
+                           float(N0[0]) + 50_000, 0.0, -1000.0),
+                          100, 100, "EPSG:3413")
+    out = warp_k.warp_band(src, src_info, dst_info, nodata=0.0)
+    cols, rows = np.meshgrid(np.arange(100), np.arange(100))
+    tx = dst_info.gt[0] + 1000.0 * (cols + 0.5)
+    ty = dst_info.gt[3] - 1000.0 * (rows + 0.5)
+    lo, la = crs.transform("EPSG:3413", "EPSG:4326", tx.ravel(), ty.ravel())
+    sc = np.trunc((lo - (-60.0)) / 0.05).astype(int)
+    sr = np.trunc((la - 80.0) / -0.02).astype(int)
+    ok = (sc >= 0) & (sc < 200) & (sr >= 0) & (sr < 200)
+    want = np.zeros(100 * 100)
+    want[ok] = src[sr[ok], sc[ok]]
+    assert ok.sum() > 3000  # grid genuinely overlaps
+    np.testing.assert_array_equal(out.ravel(), want)

@@ -90,3 +90,56 @@ def test_dc_prediction_across_blocks():
     assert codecs.psnr(img, dec) >= 40.0
     # gradient direction preserved
     assert dec[:, -8:].mean() - dec[:, :8].mean() > 200
+
+
+# --- color (4:4:4 YCbCr) ------------------------------------------------------
+
+def _rgb_fixture(h=56, w=72, seed=9):
+    from geo_raster_spark import synth
+    return synth.image_pixels_rgb(seed, w, h, seed * 77777)
+
+
+def test_color_roundtrip_psnr_and_shape():
+    img = _rgb_fixture()
+    for q in (90, 95):
+        dec = jpeg.decode(jpeg.encode(img, q))
+        assert dec.shape == img.shape == (56, 72, 3)
+        assert codecs.psnr(img, dec) >= (37.0 if q == 90 else 40.0)
+
+
+def test_color_scalar_vector_parity():
+    """Vectorized interleaved entropy coder/decoder must match the scalar
+    reference byte-for-byte / pixel-for-pixel on color streams."""
+    img = _rgb_fixture(40, 48, seed=4)
+    b = jpeg.encode(img, 92)
+    assert b == jpeg.encode(img, 92, _scalar=True)
+    dec = jpeg.decode(b)
+    np.testing.assert_array_equal(dec, jpeg.decode(b, _scalar=True))
+
+
+def test_color_flat_image_roundtrips_near_exact():
+    img = np.full((24, 24, 3), 0, np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 64, 128
+    dec = jpeg.decode(jpeg.encode(img, 95))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_color_headers_declare_three_components():
+    b = jpeg.encode(_rgb_fixture(16, 16, seed=2), 90)
+    # SOF0 with ncomp=3 and two DQT segments present
+    assert b.count(b"\xFF\xDB") >= 2
+    i = b.index(b"\xFF\xC0")
+    assert b[i + 9] == 3  # ncomp byte of SOF0
+
+
+def test_png_rgb_lossless_roundtrip():
+    img = _rgb_fixture(33, 21, seed=6)
+    back = codecs.decode_png(codecs.encode_png(img))
+    np.testing.assert_array_equal(back, img)
+    # planes-first layout accepted too
+    back2 = codecs.decode_png(codecs.encode_png(np.transpose(img, (2, 0, 1))))
+    np.testing.assert_array_equal(back2, img)
+    # codecs dispatch carries RGB through fmt="jpg"
+    dec = codecs.decode(codecs.encode(img, "jpg"), "jpg")
+    assert dec.shape == img.shape
+    assert codecs.psnr(img, dec) >= 40.0

@@ -59,26 +59,38 @@ def test_image_features_match_local(spark):
         assert 0.0 <= row["entropy"] <= 8.0
 
 
-def test_frame_sample_deterministic_and_decodable(spark):
+def test_frame_sample_real_mjpeg(spark):
+    """Video = MJPEG (concatenated baseline JFIF frames, gray AND color):
+    frame_sample must locate every frame structurally and return EXACTLY
+    the pixels the in-repo JPEG codec decodes for that frame."""
+    from geo_raster_spark import jpeg, synth
+
+    gray = [synth.image_pixels(i, 16, 12, 1000 + i) for i in range(95)]
+    rgb = [synth.image_pixels_rgb(i, 8, 8, 2000 + i) for i in range(30)]
+    pay0 = mm.mjpeg_encode(gray, quality=90)
+    pay1 = mm.mjpeg_encode(rgb, quality=90)
     vids = spark.createDataFrame(pd.DataFrame({
         "video_id": ["v0", "v1"],
-        "bytes": [bytearray(b"fake-mp4-payload-0"), bytearray(b"fake-mp4-payload-1")],
-        "n_frames": [95, 30],
-        "w": [16, 8], "h": [12, 8]}))
+        "bytes": [bytearray(pay0), bytearray(pay1)]}))
     a = mm.frame_sample(vids, every_n=10).toPandas() \
-        .sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
-    b = mm.frame_sample(vids, every_n=10).toPandas() \
         .sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
     assert len(a) == 10 + 3          # ceil(95/10), ceil(30/10)
     assert list(a[a["video_id"] == "v0"]["frame_idx"]) == list(range(0, 95, 10))
     np.testing.assert_allclose(
         a[a["video_id"] == "v0"]["t_sec"].values,
         np.arange(0, 95, 10) / 30.0)
-    # deterministic bytes (PYTHONHASHSEED-proof stub) and decodable frames
-    assert [bytes(x) for x in a["frame"]] == [bytes(x) for x in b["frame"]]
-    fr = codecs.decode_png(bytes(a.iloc[0]["frame"]))
-    assert fr.shape == (12, 16)
-    # different videos -> different frame content
-    f0 = codecs.decode_png(bytes(a[a["video_id"] == "v0"].iloc[0]["frame"]))
+    # the structural walk found the true frame boundaries
+    offs0 = mm.mjpeg_offsets(pay0)
+    assert len(offs0) == 95
+    assert offs0[0][0] == 0 and offs0[-1][1] == len(pay0)
+    # sampled frames decode EXACTLY what the codec returns per frame
+    for _, r in a.iterrows():
+        pay = pay0 if r["video_id"] == "v0" else pay1
+        s, e = mm.mjpeg_offsets(pay)[r["frame_idx"]]
+        want = jpeg.decode(pay[s:e])
+        got = codecs.decode_png(bytes(r["frame"]))
+        np.testing.assert_array_equal(got, want)
+    # color video sampled as RGB (H, W, 3) with >= 40 dB vs the source
     f1 = codecs.decode_png(bytes(a[a["video_id"] == "v1"].iloc[0]["frame"]))
-    assert f0.shape != f1.shape or not np.array_equal(f0, f1)
+    assert f1.shape == (8, 8, 3)
+    assert codecs.psnr(rgb[0], f1) >= 35.0

@@ -346,6 +346,41 @@ def _overlap_fixture(spark):
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
+def test_tile_cut_multiband_byte_exact(spark):
+    """Per-band tile cut (band_col): an RGB stack as 3 rows per image must
+    produce, for EVERY band, byte-exactly the tiles a single-band tile_cut
+    of that band alone produces (the reference's N-band stack shape,
+    mod/geo_raster_c.pyx:338-355)."""
+    from geo_raster_spark import synth
+    rows = []
+    for j in range(5):  # stacked on one tile like _overlap_fixture
+        rgb = synth.image_pixels_rgb(j, 60, 60, j * 31337)
+        minx, maxy = 10.2 + 0.05 * j, 0.8 - 0.05 * j
+        for b in range(3):
+            rows.append({
+                "image_id": f"img_{chr(ord('a') + j)}", "band": b,
+                "bytes": bytearray(codecs.encode(np.ascontiguousarray(
+                    rgb[:, :, b]), "png")), "fmt": "png",
+                "w": 60, "h": 60,
+                "minx": minx, "miny": maxy - 0.6,
+                "maxx": minx + 0.6, "maxy": maxy,
+                "gt": [minx, 0.01, 0.0, maxy, 0.0, -0.01]})
+    pdf = pd.DataFrame(rows)
+    stacked = mosaic.tile_cut(spark.createDataFrame(pdf), nodata=0.0,
+                              band_col="band").collect()
+    assert {r["band"] for r in stacked} == {0, 1, 2}
+    got = {(r["tile_tag"], r["band"]): (bytes(r["data"]), r["n_images"])
+           for r in stacked}
+    assert any(n > 1 for _, n in got.values())   # genuinely stacked
+    for b in range(3):
+        solo = mosaic.tile_cut(
+            spark.createDataFrame(pdf[pdf["band"] == b].drop(columns=["band"])),
+            nodata=0.0).collect()
+        for r in solo:
+            assert got[(r["tile_tag"], b)] == (bytes(r["data"]), r["n_images"]), \
+                (r["tile_tag"], b)
+
+
 def test_tile_cut_priority_composite(spark):
     """priority_col composites in ascending (priority, image_id): the lowest
     priority value wins overlapped pixels, salted and unsalted stay
@@ -477,6 +512,32 @@ def test_pixel_stack_stats_matches_numpy(spark):
         want = np.where(np.isnan(want), 0.0, want)
         np.testing.assert_array_equal(
             got, np.clip(np.round(want), 0, 255).astype(np.uint8), err_msg=stat)
+
+
+def test_pixel_stack_stats_multiband(spark):
+    """band_col stacks reduce per (tile, band): each band's result equals
+    the single-band run on that band's epochs alone — bands never mix."""
+    from geo_raster_spark import synth
+    from geo_raster_spark.operators import stack as stk
+    h, w = 16, 24
+    rows = []
+    for b in range(3):
+        for e in range(4):
+            a = synth.image_pixels(e, w, h, (b * 997 + e) * 31337)
+            rows.append({"tile_tag": "h100v050", "band": b, "epoch": e,
+                         "width": w, "height": h, "gt": [0.0] * 6,
+                         "data": bytearray(codecs.encode_png(a))})
+    pdf = pd.DataFrame(rows)
+    got = {r["band"]: (bytes(r["data"]), r["n_epochs"])
+           for r in stk.pixel_stack_stats(spark.createDataFrame(pdf),
+                                          stat="median", nodata=0.0,
+                                          band_col="band").collect()}
+    assert set(got) == {0, 1, 2}
+    for b in range(3):
+        solo = stk.pixel_stack_stats(
+            spark.createDataFrame(pdf[pdf["band"] == b].drop(columns=["band"])),
+            stat="median", nodata=0.0).collect()
+        assert got[b] == (bytes(solo[0]["data"]), solo[0]["n_epochs"]), b
 
 
 def test_build_overviews_two_levels(spark):

@@ -62,47 +62,44 @@ def _sm_mix(z):
     return z.bitwiseXOR(F.shiftrightunsigned(z, 31))
 
 
-def _salted_min(hash_arr, salt: int):
-    """ONE-argument lambda factory (CRITICAL: pyspark higher-order
-    functions dispatch on the Python lambda's ARITY — a two-argument
-    ``lambda h, i=i:`` would be called as (element, index), silently
-    binding ``i`` to the index Column.  Capture salts via closure)."""
-    # wrap to int64 in Python (Python ints don't overflow; the JVM needs a long)
-    s = F.lit((salt * _SM_GAMMA + 2 ** 63) % 2 ** 64 - 2 ** 63)
-    return F.array_min(F.transform(hash_arr, lambda h: _sm_mix(h.bitwiseXOR(s))))
-
-
 def shingle_hashes(shingle_col):
     """One xxhash64 pass over the shingles — the only string hashing."""
     return F.transform(shingle_col, lambda sh: F.xxhash64(sh))
 
 
-def minhash_signature(shingle_col, n_hashes: int = 32):
-    """Array of ``n_hashes`` min-hash values in ONE pass over the hashes.
+def _km_signature(hashes_col, n_hashes: int):
+    """Length-``n_hashes`` minhash signature from a base-hash array via
+    Kirsch–Mitzenmacher double hashing: variant i of element hash h is
+    ``h1 + i * h2`` with ``h1 = h`` and ``h2 = splitmix(h) | 1`` (odd, so
+    every variant family is a full-period permutation of Z_2^64).
 
-    Performance shape: higher-order functions evaluate INTERPRETED (no
-    whole-stage codegen), so the expensive string hash runs exactly once
-    per shingle; the ``n_hashes`` salted variants are derived from that
-    base hash with SplitMix64 long arithmetic (a universal-hash family),
-    ~10x cheaper than per-salt string hashing.
+    WHY KM (round 3): the round-2 family ``mix(h xor salt_i)`` derived all
+    variants from one mix of the same base — measured on sf0.1 documents it
+    left the per-slot argmins CORRELATED across salts, inflating est_jaccard
+    for non-dup pairs: 2831 candidate pairs of which only 256 were true
+    (precision 0.09).  KM double hashing, same cost, emits 299 with the
+    SAME 256 true pairs (precision 0.86).  See BENCH/IMPROVEMENTS.md.
 
     Formulation: a single ``aggregate`` whose accumulator is the length-n
     running-minimum array, merged per element via ``zip_with(least)`` over
-    a literal salt array — instead of n separate ``array_min(transform(...))``
-    expressions.  Same values, but the plan holds ONE aggregate node rather
-    than n transforms: first-run analysis/codegen drops from ~13 s to
-    sub-second and the hash array is traversed once, not n times."""
-    hashes = shingle_hashes(shingle_col)
-    salts = F.array(*[
-        F.lit(((i + 1) * _SM_GAMMA + 2 ** 63) % 2 ** 64 - 2 ** 63)
-        for i in range(n_hashes)])
+    a literal index array — one plan node, the hash array traversed once
+    (the n-transforms form took ~13 s of analysis/codegen in round 2)."""
+    idx = F.array(*[F.lit(i).cast("long") for i in range(n_hashes)])
     init = F.array_repeat(F.lit(2 ** 63 - 1), n_hashes)
+    pairs = F.transform(hashes_col, lambda h: F.struct(
+        h.alias("h1"), _sm_mix(h).bitwiseOR(F.lit(1)).alias("h2")))
     return F.aggregate(
-        hashes, init,
-        lambda acc, h: F.zip_with(
+        pairs, init,
+        lambda acc, s: F.zip_with(
             acc,
-            F.transform(salts, lambda s: _sm_mix(h.bitwiseXOR(s))),
+            F.transform(idx, lambda i: s["h1"] + i * s["h2"]),
             lambda a, b: F.least(a, b)))
+
+
+def minhash_signature(shingle_col, n_hashes: int = 32):
+    """Array of ``n_hashes`` min-hash values in ONE pass over the hashes
+    (xxhash64 base + KM double hashing — see ``_km_signature``)."""
+    return _km_signature(shingle_hashes(shingle_col), n_hashes)
 
 
 def _sm_mix_np(z: np.ndarray) -> np.ndarray:
@@ -116,15 +113,16 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 5,
                           n_hashes: int = 32) -> DataFrame:
     """(_id, sig array<long>) via a NumPy mapInPandas kernel: sliding-window
-    FNV-1a over the lowercased UTF-8 bytes + SplitMix64 salted minima.
+    FNV-1a over the lowercased UTF-8 bytes + Kirsch–Mitzenmacher double
+    hashing (``h1 + i * h2``, ``h2 = splitmix(h1) | 1`` — see
+    ``_km_signature`` for why KM replaced the xor-salt family in round 3).
 
-    The A/B alternative to the interpreted-HOF pipeline (VERDICT r2 asked
-    which wins at sf0.1 — see BENCH/IMPROVEMENTS.md).  Same salt family and
-    banding downstream; the BASE hash differs (FNV-1a on byte windows vs
-    JVM xxhash64 on char shingles), so signatures are engine-specific —
-    pairs/estimates are statistically equivalent, not byte-equal."""
-    salts = np.array([((i + 1) * 0x9E3779B97F4A7C15) % 2 ** 64
-                      for i in range(n_hashes)], dtype=np.uint64)
+    The A/B alternative to the interpreted-HOF pipeline (VERDICT r2 item 8
+    — see BENCH/IMPROVEMENTS.md).  Same KM family downstream; the BASE hash
+    differs (FNV-1a on byte windows vs JVM xxhash64 on char shingles), so
+    signatures are engine-specific — pairs/estimates are statistically
+    equivalent, not byte-equal."""
+    iarr = np.arange(n_hashes, dtype=np.uint64)
     prime = np.uint64(0x100000001B3)
 
     def batch(it):
@@ -135,10 +133,11 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text",
                 if len(b) < k:
                     b = np.pad(b, (0, k - len(b)))
                 win = np.lib.stride_tricks.sliding_window_view(b, k)
-                h = np.full(len(win), 0xCBF29CE484222325, np.uint64)
+                h1 = np.full(len(win), 0xCBF29CE484222325, np.uint64)
                 for j in range(k):
-                    h = (h ^ win[:, j].astype(np.uint64)) * prime
-                m = _sm_mix_np(h[:, None] ^ salts[None, :]).min(axis=0)
+                    h1 = (h1 ^ win[:, j].astype(np.uint64)) * prime
+                h2 = _sm_mix_np(h1) | np.uint64(1)
+                m = (h1[:, None] + iarr[None, :] * h2[:, None]).min(axis=0)
                 sigs.append(m.astype(np.int64).tolist())
             yield pd.DataFrame({"_id": pdf[id_col], "sig": sigs})
 
@@ -149,7 +148,7 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text",
 def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 k: int = 5, n_hashes: int = 32, bands: int = 8,
                 jaccard_threshold: float = 0.6,
-                max_bucket: int = 200, engine: str = "hof") -> DataFrame:
+                max_bucket: int = 200, engine: str = "numpy") -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard) via banded MinHash.
 
     rows_per_band = n_hashes/bands; a pair collides if any band's slice of
@@ -161,9 +160,11 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     boilerplate shared by thousands of docs and would blow up the join
     quadratically; its members still pair through their other bands).
 
-    ``engine``: ``"hof"`` = JVM higher-order-function signatures (default;
-    measured faster at sf0.1 — BENCH/IMPROVEMENTS.md); ``"numpy"`` = Arrow
-    mapInPandas signatures (``minhash_signatures_np``)."""
+    ``engine``: ``"numpy"`` (default) = Arrow mapInPandas signatures
+    (``minhash_signatures_np``) — measured 2-3x faster than the interpreted
+    HOF pipeline at sf0.1 (BENCH/IMPROVEMENTS.md); ``"hof"`` = JVM
+    higher-order-function signatures (no Python workers needed).  Both use
+    KM double hashing; pairs are statistically equivalent, not byte-equal."""
     r = n_hashes // bands
     # Small inputs arrive as ONE parquet split, which would serialize the
     # (interpreted, expensive) shingle-hash projection on a single core —
@@ -188,9 +189,7 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             F.col(id_col).alias("_id"),
             shingle_hashes(shingles(text_col, k)).alias("_h")).persist()
         sig = hashed.select(
-            "_id",
-            F.array(*[_salted_min(F.col("_h"), i + 1)
-                      for i in range(n_hashes)]).alias("sig")).persist()
+            "_id", _km_signature(F.col("_h"), n_hashes).alias("sig")).persist()
 
     bands_df = sig.select(
         "_id", "sig",

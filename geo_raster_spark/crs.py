@@ -317,13 +317,87 @@ def _utm_inverse(zone: int, north: bool, E, Nn):
     return np.degrees(lam + lon0), np.degrees(phi)
 
 
+def parse_proj4(s: str):
+    """PROJ.4 string -> this registry's canonical CRS id, or None.
+
+    Covers the projection families the engine implements (the reference
+    accepts arbitrary proj4/WKT through OSR, mod/geo_base_c.pyx:1000-1045;
+    here any proj4 string over longlat/sinu/merc/utm/aea/lcc/stere maps to
+    the matching closed-form family).  Raises for recognized projections
+    with unsupported modifiers (nonzero false easting/northing etc.) so a
+    silently-wrong transform can't happen."""
+    s = s.strip()
+    if not s.startswith("+"):
+        return None
+    kv = {}
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            kv[k] = v
+        else:
+            kv[tok] = True
+    proj = kv.get("proj")
+    if proj is None:
+        return None
+
+    def num(k, default=0.0):
+        return float(kv.get(k, default))
+
+    def require_zero_offsets():
+        if num("x_0") != 0.0 or num("y_0") != 0.0:
+            raise ValueError(f"unsupported proj4 false easting/northing: {s}")
+
+    if proj in ("longlat", "latlong", "lonlat"):
+        return GEOGRAPHIC
+    if proj == "sinu":
+        require_zero_offsets()
+        return SINUSOIDAL
+    if proj in ("merc", "webmerc"):
+        require_zero_offsets()
+        return MERCATOR
+    if proj == "utm":
+        zone = int(kv.get("zone", 0))
+        if not 1 <= zone <= 60:
+            raise ValueError(f"invalid utm zone in proj4: {s}")
+        return f"UTM:{zone}{'S' if 'south' in kv else 'N'}"
+    if proj == "aea":
+        require_zero_offsets()
+        return (f"AEA:{num('lat_1')},{num('lat_2')},"
+                f"{num('lat_0')},{num('lon_0')}")
+    if proj == "lcc":
+        require_zero_offsets()
+        return (f"LCC:{num('lat_1')},{num('lat_2', num('lat_1'))},"
+                f"{num('lat_0')},{num('lon_0')}")
+    if proj == "stere":
+        require_zero_offsets()
+        lat0 = num("lat_0")
+        if abs(lat0) != 90.0:
+            raise ValueError(f"only POLAR stereographic supported: {s}")
+        lat_ts = num("lat_ts", lat0)
+        if lat0 < 0 and lat_ts > 0:
+            lat_ts = -lat_ts
+        return f"PS:{lat_ts},{num('lon_0')}"
+    return None
+
+
+def normalize_crs(crs: str) -> str:
+    """proj4 strings -> canonical registry ids; everything else unchanged."""
+    if crs.strip().startswith("+"):
+        p = parse_proj4(crs)
+        if p is None:
+            raise ValueError(f"unknown crs {crs}")
+        return p
+    return crs
+
+
 def is_geographic(crs: str) -> bool:
     return crs.upper() in ("EPSG:4326", "WGS84", "CRS84")
 
 
 def _to_geog(crs, x, y):
     """Inverse: (crs coords) -> (lon, lat) degrees."""
-    c = crs.upper()
+    c = normalize_crs(crs).upper()
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     if is_geographic(c):
@@ -354,7 +428,7 @@ def _to_geog(crs, x, y):
 
 def _from_geog(crs, lon, lat):
     """Forward: (lon, lat) degrees -> crs coords."""
-    c = crs.upper()
+    c = normalize_crs(crs).upper()
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     if is_geographic(c):

@@ -593,3 +593,45 @@ def test_warp_4326_to_polar_stereo():
     want[ok] = src[sr[ok], sc[ok]]
     assert ok.sum() > 3000  # grid genuinely overlaps
     np.testing.assert_array_equal(out.ravel(), want)
+
+
+def test_proj4_string_parsing():
+    """P6: proj4 strings map onto the closed-form families and transform
+    IDENTICALLY to the canonical ids; unsupported modifiers fail loudly."""
+    lon = np.array([-120.0, 3.0, 45.0])
+    lat = np.array([40.0, 45.0, -33.0])
+    cases = [
+        ("+proj=longlat +datum=WGS84 +no_defs", "EPSG:4326"),
+        ("+proj=sinu +R=6371007.181 +nadgrids=@null +wktext", "SINU"),
+        ("+proj=utm +zone=31 +datum=WGS84 +units=m", "EPSG:32631"),
+        ("+proj=utm +zone=18 +south +datum=WGS84", "EPSG:32718"),
+        ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+         "+x_0=0 +y_0=0 +datum=NAD83", "EPSG:5070"),
+        ("+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95 "
+         "+x_0=0 +y_0=0 +datum=NAD83", "EPSG:3978"),
+        ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 "
+         "+datum=WGS84", "EPSG:3413"),
+        ("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +datum=WGS84",
+         "EPSG:3031"),
+    ]
+    for p4, canon in cases:
+        la = lat if "stere" not in p4 else (
+            np.array([70.0, 80.0, 60.0]) * (1 if "lat_0=90" in p4 else -1))
+        xa, ya = crs.transform("EPSG:4326", p4, lon, la)
+        xb, yb = crs.transform("EPSG:4326", canon, lon, la)
+        np.testing.assert_array_equal(xa, xb, err_msg=p4)
+        np.testing.assert_array_equal(ya, yb, err_msg=p4)
+        # inverse direction too
+        lo, lt = crs.transform(p4, "EPSG:4326", xa, ya)
+        np.testing.assert_allclose(lo, lon, atol=1e-8)
+        np.testing.assert_allclose(lt, la, atol=1e-8)
+    import pytest
+    with pytest.raises(ValueError, match="false easting"):
+        crs.transform("EPSG:4326",
+                      "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 "
+                      "+lon_0=-96 +x_0=100000 +y_0=0", [0.0], [30.0])
+    with pytest.raises(ValueError, match="POLAR"):
+        crs.transform("EPSG:4326", "+proj=stere +lat_0=52 +lon_0=5",
+                      [0.0], [30.0])
+    with pytest.raises(ValueError, match="unknown crs"):
+        crs.transform("EPSG:4326", "+proj=robin +lon_0=0", [0.0], [30.0])

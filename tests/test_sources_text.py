@@ -408,3 +408,63 @@ def test_dbf_numeric_width_overflow_guard(tmp_path):
     with pytest.raises(ValueError, match="exceeds declared width"):
         dbf.write_dbf(pd.DataFrame({"BIG": [1.0e25]}),
                       str(tmp_path / "bad.dbf"))
+
+
+def test_shp_kml_write_roundtrip(tmp_path):
+    """S8: shapefile writer (public ESRI spec: .shp/.shx + dBase III .dbf)
+    round-trips polygons, points and attributes; KML output is well-formed
+    XML carrying the same coordinates."""
+    from geo_raster_spark import geometry
+    from geo_raster_spark.sources import vector
+
+    rings = [geometry.bbox_to_ring((0.0, 0.0, 2.0, 1.0)),
+             np.array([[5.0, 5.0], [7.0, 5.0], [6.0, 8.0]])]
+    props = pd.DataFrame({"NAME": ["a", "b"],
+                          "ZONE_ID": np.array([1, 2], dtype=np.int64)})
+    shp = str(tmp_path / "zones.shp")
+    vector.write_shp(shp, rings, props)
+    geoms, attrs = vector.read_shp(shp)
+    assert len(geoms) == 2
+    for want, got in zip(rings, geoms):
+        w = geometry.ring_close(want)
+        # writer forces CW outer rings; compare as closed CW rings
+        if geometry.ring_area(w) > 0:
+            w = w[::-1]
+        np.testing.assert_allclose(got, w)
+        assert geometry.ring_area(got) <= 0
+    assert list(attrs["NAME"]) == ["a", "b"]
+    assert list(attrs["ZONE_ID"]) == [1, 2]
+    # .shx index consistency: offsets point at the record headers
+    import struct
+    with open(str(tmp_path / "zones.shx"), "rb") as f:
+        shx = f.read()
+    with open(shp, "rb") as f:
+        main = f.read()
+    for i in range(2):
+        off_w, len_w = struct.unpack_from(">ii", shx, 100 + 8 * i)
+        recno, clen = struct.unpack_from(">ii", main, off_w * 2)
+        assert recno == i + 1 and clen == len_w
+
+    # points variant
+    pts = [np.array([1.5, 2.5]), np.array([-3.0, 4.0])]
+    vector.write_shp(str(tmp_path / "pts"), pts,
+                     pd.DataFrame({"PID": [10, 20]}))
+    g2, a2 = vector.read_shp(str(tmp_path / "pts.shp"))
+    np.testing.assert_allclose(np.stack(g2), np.stack(pts))
+    assert list(a2["PID"]) == [10, 20]
+
+    # KML: well-formed, coordinates round-trip
+    import xml.etree.ElementTree as ET
+    kml = str(tmp_path / "zones.kml")
+    vector.write_kml(kml, rings + pts,
+                     [{"name": "a"}, {"name": "b"}, {"name": "p1"},
+                      {"name": "p2"}], name_key="name")
+    root = ET.parse(kml).getroot()
+    ns = {"k": "http://www.opengis.net/kml/2.2"}
+    pms = root.findall(".//k:Placemark", ns)
+    assert len(pms) == 4
+    c0 = pms[0].find(".//k:coordinates", ns).text.split()
+    got0 = np.array([[float(v) for v in c.split(",")[:2]] for c in c0])
+    np.testing.assert_allclose(got0, geometry.ring_close(rings[0]))
+    cp = pms[2].find(".//k:coordinates", ns).text
+    np.testing.assert_allclose([float(v) for v in cp.split(",")[:2]], pts[0])

@@ -174,22 +174,38 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
     if engine == "numpy":
-        hashed = None
-        sig = minhash_signatures_np(docs, text_col, id_col, k,
-                                    n_hashes).persist()
-    else:
-        # Two-step materialization, both load-bearing:
-        # 1. the base shingle-hash array is persisted so the (interpreted,
-        #    expensive) string-hash pass runs ONCE — Catalyst's CollapseProject
-        #    would otherwise inline it into all n_hashes salted variants;
-        # 2. the signature table is persisted before the self-join — signatures
-        #    recomputed per join side are wasteful AND self-joins of renamed
-        #    un-materialized projections have bitten us before (see git log).
-        hashed = docs.select(
-            F.col(id_col).alias("_id"),
-            shingle_hashes(shingles(text_col, k)).alias("_h")).persist()
-        sig = hashed.select(
-            "_id", _km_signature(F.col("_h"), n_hashes).alias("sig")).persist()
+        sig = minhash_signatures_np(docs, text_col, id_col, k, n_hashes)
+        return minhash_pairs_from_sig(sig, n_hashes, bands,
+                                      jaccard_threshold, max_bucket)
+    # Two-step materialization, both load-bearing:
+    # 1. the base shingle-hash array is persisted so the (interpreted,
+    #    expensive) string-hash pass runs ONCE — Catalyst's CollapseProject
+    #    would otherwise inline it into all n_hashes salted variants;
+    # 2. the signature table is persisted (inside minhash_pairs_from_sig)
+    #    before the self-join — signatures recomputed per join side are
+    #    wasteful AND self-joins of renamed un-materialized projections
+    #    have bitten us before (see git log).
+    hashed = docs.select(
+        F.col(id_col).alias("_id"),
+        shingle_hashes(shingles(text_col, k)).alias("_h")).persist()
+    sig = hashed.select(
+        "_id", _km_signature(F.col("_h"), n_hashes).alias("sig"))
+    out = minhash_pairs_from_sig(sig, n_hashes, bands, jaccard_threshold,
+                                 max_bucket)
+    hashed.unpersist()
+    return out
+
+
+def minhash_pairs_from_sig(sig: DataFrame, n_hashes: int = 32,
+                           bands: int = 8, jaccard_threshold: float = 0.6,
+                           max_bucket: int = 200) -> DataFrame:
+    """Banded pair join + estimate stage of ``minhash_lsh`` over a
+    precomputed signature table (columns ``_id``, ``sig array<long>``) —
+    callable over a persisted signature artifact so an external oracle can
+    re-run the same banding/join/estimate SQL-side (band buckets formed by
+    xxhash64 of the band tuple here ≡ grouping by the raw tuple there)."""
+    r = n_hashes // bands
+    sig = sig.persist()
 
     bands_df = sig.select(
         "_id", "sig",
@@ -244,13 +260,11 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     out = (pairs.where(F.col("est_jaccard") >= jaccard_threshold)
                 .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
                 .persist())
-    # Materialize the (small) pair result, then release the three heavy
+    # Materialize the (small) pair result, then release the heavy
     # intermediate caches — they otherwise leak executor storage memory
     # across repeated calls in one session.  Callers owning long sessions
     # may unpersist() the returned DataFrame when done with it.
     out.count()
-    if hashed is not None:
-        hashed.unpersist()
     sig.unpersist()
     bands_cached.unpersist()
     return out
@@ -301,21 +315,29 @@ def _fnv1a64_batch(tokens: list) -> np.ndarray:
 
 def simhash_pdf(texts, ids, text_col: str, id_col: str) -> pd.DataFrame:
     """SimHash a batch of texts (vectorized across ALL tokens of the batch):
-    one FNV pass over the concatenated token list, then per-bit vote counts
-    via bincount on the doc index — no per-document Python loop."""
+    one FNV pass over the concatenated token list, bits via ``unpackbits``
+    on the hash bytes, per-doc vote sums in ONE ``add.reduceat`` pass over
+    the doc-ordered token rows — no per-document Python loop."""
     tok_lists = [str(t).lower().split() for t in texts]
     n_docs = len(tok_lists)
     n_tok = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64,
                         count=n_docs)
     all_toks = [w.encode("utf-8") for tl in tok_lists for w in tl]
     hs = _fnv1a64_batch(all_toks)
-    doc_idx = np.repeat(np.arange(n_docs), n_tok)
     sig = np.zeros(n_docs, dtype=np.uint64)
-    for b in range(64):
-        bit_on = ((hs >> np.uint64(b)) & np.uint64(1)).astype(bool)
-        ones = np.bincount(doc_idx[bit_on], minlength=n_docs)
-        # votes = ones - zeros = 2*ones - n_tok; bit set iff votes > 0
-        sig |= (2 * ones - n_tok > 0).astype(np.uint64) << np.uint64(b)
+    nz = n_tok > 0
+    if len(hs):
+        # (n_tokens, 64) bit matrix, column j = bit j of the hash
+        # (little-endian byte view + per-byte LSB-first unpack)
+        bits = np.unpackbits(hs.astype("<u8").view(np.uint8).reshape(-1, 8),
+                             axis=1, bitorder="little")
+        starts = (np.cumsum(n_tok) - n_tok)[nz]
+        # dtype= on the ufunc (NOT bits.astype) — the widened copy of the
+        # (n_tokens, 64) matrix was 7x the cost of the reduce itself
+        ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int32)
+        votes_pos = 2 * ones > n_tok[nz, None]     # votes = 2*ones - n > 0
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        sig[nz] = votes_pos.astype(np.uint64) @ weights
     return pd.DataFrame({id_col: ids, "simhash": sig.astype(np.int64)})
 
 

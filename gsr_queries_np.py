@@ -103,10 +103,22 @@ def q_i1_idw(spark, sf_dir):
 
 
 def q_d2_minhash(spark, sf_dir):
-    """MinHash-LSH near-duplicate pairs over documents (JVM-side pipeline)."""
+    """MinHash-LSH near-duplicate pairs over documents.
+
+    ORACLE-CHECKED via the aux artifact: Spark writes the signature table
+    (NumPy KM minhash); the DuckDB oracle re-runs the ENTIRE banded LSH
+    downstream from it in ANSI SQL — band split, hot-bucket exclusion,
+    self-join, matching-slot estimate, threshold (band buckets by raw
+    4-tuple equality ≡ the engine's xxhash64 bucket keys)."""
     from geo_raster_spark.operators import dedup
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh(d, jaccard_threshold=0.5)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    path = f"{AUX_DIR}/d2_sig"
+    dedup.minhash_signatures_np(d).write.mode("overwrite").parquet(path)
+    return dedup.minhash_pairs_from_sig(spark.read.parquet(path),
+                                        jaccard_threshold=0.5)
 
 
 # Shared artifact dir: aux-write pattern for the d3/d4/d5 oracles — Spark
@@ -650,7 +662,41 @@ FROM p WHERE ROUND(cosine, 8) >= 0.95
 """
 
 
+def _sql_d2(n_hashes=32, bands=8, threshold=0.5, max_bucket=200):
+    r = n_hashes // bands
+    cols = ", ".join(f"s{j + 1}" for j in range(r))
+    band_sel = "\n  UNION ALL ".join(
+        "SELECT _id, {b} AS band_id, {vals} FROM s".format(
+            b=b, vals=", ".join(f"sig[{b * r + j + 1}] AS s{j + 1}"
+                                for j in range(r)))
+        for b in range(bands))
+    on = " AND ".join(f"ba.s{j + 1} = bb.s{j + 1}" for j in range(r))
+    return f"""
+WITH s AS (
+  SELECT _id, sig FROM read_parquet('{AUX_DIR}/d2_sig/*.parquet')
+), b AS (
+  {band_sel}
+), hot AS (
+  SELECT band_id, {cols} FROM b GROUP BY ALL HAVING COUNT(*) > {max_bucket}
+), bf AS (
+  SELECT b.* FROM b ANTI JOIN hot USING (band_id, {cols})
+), p AS (
+  SELECT DISTINCT ba._id AS id_a, bb._id AS id_b
+  FROM bf ba JOIN bf bb
+    ON ba.band_id = bb.band_id AND {on} AND ba._id < bb._id
+), e AS (
+  SELECT p.id_a, p.id_b,
+         CAST(len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2]))
+              AS DOUBLE) / {float(n_hashes)!r} AS est
+  FROM p JOIN s sa ON p.id_a = sa._id JOIN s sb ON p.id_b = sb._id
+)
+SELECT id_a, id_b, ROUND(est, 6) AS est_jaccard
+FROM e WHERE est >= {threshold!r}
+"""
+
+
 ORACLES = {
+    "d2_minhash": _sql_d2(),
     "k1_knn_kring": SQL_K1,
     "i1_idw": SQL_I1,
     "d3_simhash": SQL_D3,

@@ -127,13 +127,34 @@ def main():
     if "Window" not in p6:
         failures.append("asof: expected the carry-forward Window")
 
+    # 7. persisted LSH index: the per-query scan prunes to the candidate
+    # bucket PARTITIONS (no full-table pass at query time — VERDICT r2 #2)
+    import shutil
+    import tempfile
+    lsh_dir = tempfile.mkdtemp(prefix="gsr_lshplan_")
+    try:
+        similarity.build_lsh_index(emb, 64, lsh_dir, n_planes=6)
+        lq = similarity.lsh_topk_indexed(spark, lsh_dir, [0.1] * 64, k=5)
+        p7 = plan_of(lq)
+        sections.append(("LSH-indexed ANN (bucket partition pruning)", p7))
+        m7 = re.search(r"PartitionFilters: \[([^\]]*)\]", p7)
+        if not m7 or "bucket" not in m7.group(1):
+            failures.append("lsh_topk_indexed: bucket IN (...) is not a "
+                            "partition filter")
+        if re.search(r"PushedFilters: \[[^\]]*bucket", p7):
+            failures.append("lsh_topk_indexed: bucket filter demoted to a "
+                            "data filter")
+    finally:
+        shutil.rmtree(lsh_dir, ignore_errors=True)
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# Physical plans (captured by tools/explain_check.py)\n\n"
                 "Assertions enforced: broadcast PIP join, single probe-side "
                 "shuffle, parquet filter pushdown + column pruning, map-side "
                 "tile explode, parallel top-k (TakeOrderedAndProject), "
                 "broadcast zonal candidates (no pixel shuffle), as-of join "
-                "without a cross product.\n\n")
+                "without a cross product, LSH-index bucket partition "
+                "pruning.\n\n")
         for title, plan in sections:
             f.write(f"## {title}\n\n```\n{plan}\n```\n\n")
 

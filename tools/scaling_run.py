@@ -50,7 +50,7 @@ if mode == "baseline":
     q = df.groupBy(F.pmod(F.col("h"), F.lit(1000)).alias("k")).count()
     q.count()
     best = None
-    for _ in range(2):
+    for _ in range(4):   # best-of-4: this box's hour-scale steal is +-40%
         t0 = time.time(); q.count(); dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     print(json.dumps({{"cores": cores, "mode": mode, "n": nb,
@@ -61,7 +61,7 @@ else:
     run_flagship_synthetic(spark, n_images=200_000, n_zones=64, hot=hot,
                            partitions=128).count()  # codegen warmup
     best = rows = None
-    for _ in range(2):
+    for _ in range(4):   # best-of-4 (round-2 backlog: 2 was too noisy)
         t0 = time.time()
         rows = run_flagship_synthetic(spark, n_images=n, n_zones=64, hot=hot,
                                       partitions=128).count()
@@ -110,7 +110,8 @@ flagship = SplitMix64 footprints -> DGGS cell -> broadcast PIP join
 tile assignment (explode/sequence, map-side) -> (zone, tile) counts.
 Separate JVMs per (cores, job); IDENTICAL plan at every level (128 input
 partitions, 64 shuffle partitions — only the core count varies, as on a
-real cluster); best of 2 warm runs (JIT settled).
+real cluster); best of 4 warm runs (JIT settled; this shared VM's
+hour-scale steal is ±40%, so per-level minima are the stable statistic).
 
 | job | local[2] | local[8] | local[32] | eff 2->8 | eff 8->32 |
 |---|---|---|---|---|---|

@@ -368,7 +368,7 @@ _REGISTRY_MAX = 50
 _ROWS_ONLY_KEYS = [
     "g5_tile_cut_agg", "z1_zonal", "m1_image_features",
     "m2_frame_sample", "g11_composite", "t4_stack_median", "g12_overviews",
-    "e2_lsh_topk", "e4_ivf_topk", "g10_warp", "x3_parity",
+    "g10_warp", "x3_parity",
 ]
 
 

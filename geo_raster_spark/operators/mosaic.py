@@ -72,11 +72,9 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
         assigned = checkpoint.filter_pending(assigned, stage, "tile_tag")
 
     if salt_buckets is not None and salt_buckets > 1:
-        if band_col is not None:
-            raise NotImplementedError("salt_buckets with band_col: salt "
-                                      "per band by pre-splitting the input")
         return _tile_cut_salted(assigned, grid, nodata, salt_buckets,
-                                agg_to_cell, agg_func, min_rate, priority_col)
+                                agg_to_cell, agg_func, min_rate, priority_col,
+                                band_col)
 
     g = grid
     sort_cols = ([priority_col, "image_id"] if priority_col else ["image_id"])
@@ -134,7 +132,8 @@ _PARTIAL_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
 
 def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
                      k: int, agg_to_cell, agg_func, min_rate,
-                     priority_col: str | None = None) -> DataFrame:
+                     priority_col: str | None = None,
+                     band_col: str | None = None) -> DataFrame:
     """Two-phase hot-tile mosaic: per-(tile, salt) partials carry a
     per-pixel WINNER plane so the merge reproduces the global
     min-(priority, image_id) first-wins order exactly.
@@ -147,9 +146,13 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
     salted = assigned.withColumn(
         "salt", F.pmod(F.xxhash64("image_id"), F.lit(k)).cast("int"))
     sort_cols = ([priority_col, "image_id"] if priority_col else ["image_id"])
+    part_keys = ["tile_tag"] + ([band_col] if band_col else []) + ["salt"]
+    merge_keys = ["tile_tag"] + ([band_col] if band_col else [])
+    part_schema = _PARTIAL_SCHEMA + (f", {band_col} int" if band_col else "")
+    out_schema = TILE_SCHEMA + (f", {band_col} int" if band_col else "")
 
     def assemble_partial(key, pdf: pd.DataFrame):
-        tag, _salt = key[0], key[1]
+        tag = key[0]
         tcol = int(pdf["tile_col"].iloc[0])
         trow = int(pdf["tile_row"].iloc[0])
         info = g.tile_info(tcol, trow)
@@ -165,18 +168,21 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
             winner[newly] = j
         prios = (pdf[priority_col].astype(float).tolist() if priority_col
                  else [0.0] * len(pdf))
-        return pd.DataFrame([{
+        row = {
             "tile_tag": tag, "tile_col": tcol, "tile_row": trow,
             "n_images": len(pdf),
             "data": codecs.encode_npy(out.astype(np.float64)),
             "winner": codecs.encode_npy(winner),
             "ids": list(pdf["image_id"]),
             "prios": prios,
-        }])
+        }
+        if band_col:
+            row[band_col] = int(key[1])
+        return pd.DataFrame([row])
 
-    partials = (salted.repartition("tile_tag", "salt")
-                      .groupBy("tile_tag", "salt")
-                      .applyInPandas(assemble_partial, schema=_PARTIAL_SCHEMA))
+    partials = (salted.repartition(*part_keys)
+                      .groupBy(*part_keys)
+                      .applyInPandas(assemble_partial, schema=part_schema))
 
     def merge(key, pdf: pd.DataFrame):
         tag = key[0]
@@ -211,13 +217,16 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
                      **kwargs)
             out_info = scaled
         painted = int((out != nodata).sum())
-        return pd.DataFrame([{
+        row = {
             "tile_tag": tag, "tile_col": tcol, "tile_row": trow,
             "width": out_info.width, "height": out_info.height,
             "gt": list(out_info.gt), "n_images": int(pdf["n_images"].sum()),
             "painted": painted,
             "data": codecs.encode_png(np.clip(out, 0, 255).astype(np.uint8)),
-        }])
+        }
+        if band_col:
+            row[band_col] = int(key[1])
+        return pd.DataFrame([row])
 
-    return (partials.groupBy("tile_tag")
-                    .applyInPandas(merge, schema=TILE_SCHEMA))
+    return (partials.groupBy(*merge_keys)
+                    .applyInPandas(merge, schema=out_schema))

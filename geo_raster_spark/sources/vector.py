@@ -166,6 +166,37 @@ def read_shp(path: str):
     return geoms, props
 
 
+def zones_from_shp(path: str, zone_id_field: str | None = None):
+    """Polygon shapefile -> the zones_pdf contract every PIP/zonal operator
+    takes (columns ``zone_id`` int + ``geometry`` WKB) — the reference's
+    'zones come from a shapefile' entry path [ref: mod/geo_base_c.pyx:
+    1047-1091 reads task polygons via the shapefile driver].  Attributes
+    ride along; ``zone_id`` comes from ``zone_id_field`` when given (else
+    the first integer DBF column, else the record index)."""
+    import pandas as pd
+    geoms, attrs = read_shp(path)
+    rings = [np.asarray(g, dtype=np.float64) for g in geoms]
+    if any(r.ndim != 2 for r in rings):
+        raise ValueError("zones_from_shp needs a POLYGON shapefile")
+    if attrs is not None and zone_id_field is None:
+        for c in attrs.columns:
+            if pd.api.types.is_integer_dtype(attrs[c]):
+                zone_id_field = c
+                break
+    if attrs is not None and zone_id_field is not None:
+        zid = attrs[zone_id_field].astype(int).tolist()
+    else:
+        zid = list(range(len(rings)))
+    out = pd.DataFrame({
+        "zone_id": zid,
+        "geometry": [geometry.ring_to_wkb(r) for r in rings]})
+    if attrs is not None:
+        for c in attrs.columns:
+            if c != zone_id_field:
+                out[c] = attrs[c].values
+    return out
+
+
 def footprints_to_geojson(df, path: str, limit: int | None = None) -> int:
     """Images-with-footprint DataFrame -> GeoJSON footprint index
     (the ``raster_extent2shp`` analog, util/raster_extent2shp.py:125-158)."""

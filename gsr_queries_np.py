@@ -277,24 +277,48 @@ def q_e2_lsh_topk(spark, sf_dir):
     (bucket-partitioned assignments + stats sidecar), then the probe reads
     only its candidate bucket partitions — no per-query full-table pass
     (the round-2 scale defect).  Values identical to in-session lsh_topk
-    (pinned by test_lsh_index_persisted_pruned_and_equal)."""
+    (pinned by test_lsh_index_persisted_pruned_and_equal).
+
+    ORACLE-CHECKED via aux artifacts: the probe's candidate-bucket set is
+    also written; DuckDB re-runs the bucket filter + cosine scoring +
+    (cosine DESC, id ASC) top-k from the SAME assignments parquet."""
+    import numpy as np
+    import pandas as pd
     from geo_raster_spark.operators import similarity
     import gsr_queries
     emb = _t(spark, sf_dir, "embeddings")
     path = f"{AUX_DIR}/e2_lsh"
-    similarity.build_lsh_index(emb, 64, path, n_planes=6)
-    return (similarity.lsh_topk_indexed(spark, path, gsr_queries._probe_vec(),
+    mu = similarity.build_lsh_index(emb, 64, path, n_planes=6)
+    probe = np.asarray(gsr_queries._probe_vec(), dtype=np.float64)
+    planes = similarity.random_planes(64, 6)
+    b0 = similarity._bucket_of(probe, planes, mu)
+    cand = sorted(similarity._multiprobe_buckets(b0, 6, 1))
+    spark.createDataFrame(pd.DataFrame({"bucket": [int(b) for b in cand]})) \
+        .write.mode("overwrite").parquet(f"{AUX_DIR}/e2_probe")
+    return (similarity.lsh_topk_indexed(spark, path, probe,
                                         k=10, multiprobe_bits=1)
             .select("vec_id", "rank", F.round("cosine", 4).alias("cosine")))
 
 
 def q_e4_ivf_topk(spark, sf_dir):
-    """IVF ANN top-k (coarse-quantized inverted lists + in-list brute force)."""
+    """IVF ANN top-k over the PERSISTED index (partition-pruned inverted
+    lists + in-list brute force).
+
+    ORACLE-CHECKED via aux artifacts: the probed list ids are written
+    alongside; DuckDB re-runs list filter + cosine + top-k from the SAME
+    assignments parquet."""
+    import numpy as np
+    import pandas as pd
     from geo_raster_spark.operators import similarity
     import gsr_queries
     emb = _t(spark, sf_dir, "embeddings")
-    return (similarity.ivf_topk(emb, gsr_queries._probe_vec(), k=10,
-                                n_centroids=16, nprobe=4)
+    path = f"{AUX_DIR}/e4_ivf"
+    C = similarity.build_ivf_index(emb, 64, path, n_centroids=16)
+    probe = np.asarray(gsr_queries._probe_vec(), dtype=np.float64)
+    order = np.argsort(((C - probe) ** 2).sum(1))[:4]
+    spark.createDataFrame(pd.DataFrame({"ivf": [int(i) for i in order]})) \
+        .write.mode("overwrite").parquet(f"{AUX_DIR}/e4_probe")
+    return (similarity.ivf_topk_indexed(spark, path, probe, k=10, nprobe=4)
             .select("vec_id", "rank", F.round("cosine", 4).alias("cosine")))
 
 
@@ -695,8 +719,43 @@ FROM e WHERE est >= {threshold!r}
 """
 
 
+def _sql_ann_topk(assign_glob: str, probe_glob: str, key_col: str,
+                  k: int = 10) -> str:
+    """Bucket/list filter + cosine + (cosine DESC, id ASC) top-k over the
+    engine-written assignments artifact — shared by the e2/e4 oracles
+    (same cosine expression tree as the hash-green e1)."""
+    import gsr_queries
+    probe = gsr_queries._probe_vec()
+    arr = "[" + ",".join(f"{float(v)!r}" for v in probe) + "]"
+    pn = sum(v * v for v in probe) ** 0.5
+    return f"""
+WITH cand AS (
+  SELECT a.vec_id, a.embedding
+  FROM read_parquet('{assign_glob}', hive_partitioning = 1) a
+  JOIN read_parquet('{probe_glob}') p ON a.{key_col} = p.{key_col}
+), s AS (
+  SELECT vec_id,
+         ROUND(list_sum(list_transform(list_zip(embedding, CAST({arr} AS DOUBLE[])),
+                x -> CAST(x[1] AS DOUBLE) * x[2]))
+         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * {pn!r} + 1e-30), 8)
+         AS cosine
+  FROM cand
+), r AS (
+  SELECT vec_id, cosine,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT vec_id, CAST(rank AS INT) AS rank, ROUND(cosine, 4) AS cosine
+FROM r WHERE rank <= {k}
+"""
+
+
 ORACLES = {
     "d2_minhash": _sql_d2(),
+    "e2_lsh_topk": _sql_ann_topk(f"{AUX_DIR}/e2_lsh/assignments/*/*.parquet",
+                                 f"{AUX_DIR}/e2_probe/*.parquet", "bucket"),
+    "e4_ivf_topk": _sql_ann_topk(f"{AUX_DIR}/e4_ivf/assignments/*/*.parquet",
+                                 f"{AUX_DIR}/e4_probe/*.parquet", "ivf"),
     "k1_knn_kring": SQL_K1,
     "i1_idw": SQL_I1,
     "d3_simhash": SQL_D3,

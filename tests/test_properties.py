@@ -106,3 +106,31 @@ def test_pip_shifted_ring_invariance(seed):
     r2[:, 0] += 360.0
     b = geometry.points_in_ring(r2, pts[:, 0] + 360.0, pts[:, 1])
     assert (a == b).all()
+
+
+@settings(deadline=None, derandomize=True, max_examples=40)
+@given(st.integers(0, 10_000))
+def test_clip_rings_area_matches_monte_carlo(seed):
+    """|A ∩ B| from clip_rings equals a dense point-grid estimate of
+    |{p : p in A and p in B}| for random simple polygons (one convex-ish
+    star, one random box) — the area identity the mosaic trim leans on."""
+    from geo_raster_spark import geometry as g
+    rng = np.random.default_rng(seed)
+    # star polygon: random radii on a sorted angle fan => simple, often
+    # concave
+    n = int(rng.integers(5, 12))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    rad = rng.uniform(0.5, 3.0, n)
+    a = np.column_stack([rad * np.cos(ang), rad * np.sin(ang)])
+    xs = np.sort(rng.uniform(-2.5, 2.5, 2))
+    ys = np.sort(rng.uniform(-2.5, 2.5, 2))
+    b = g.bbox_to_ring((xs[0], ys[0], xs[1], ys[1]))
+    got = g.rings_intersection_area(a, b)
+    # grid estimate over the bbox of b
+    gx = np.linspace(xs[0], xs[1], 140)
+    gy = np.linspace(ys[0], ys[1], 140)
+    X, Y = np.meshgrid(gx, gy)
+    inside = g.points_in_ring(a, X.ravel(), Y.ravel())
+    est = inside.mean() * (xs[1] - xs[0]) * (ys[1] - ys[0])
+    tol = max(0.06 * max(est, got), 0.02)  # grid discretization error
+    assert abs(got - est) <= tol, (got, est)

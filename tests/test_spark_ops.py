@@ -372,6 +372,12 @@ def test_tile_cut_multiband_byte_exact(spark):
     got = {(r["tile_tag"], r["band"]): (bytes(r["data"]), r["n_images"])
            for r in stacked}
     assert any(n > 1 for _, n in got.values())   # genuinely stacked
+    # salted x band: identical bytes to the unsalted multiband run
+    salted = {(r["tile_tag"], r["band"]): (bytes(r["data"]), r["n_images"])
+              for r in mosaic.tile_cut(spark.createDataFrame(pdf), nodata=0.0,
+                                       band_col="band",
+                                       salt_buckets=3).collect()}
+    assert salted == got
     for b in range(3):
         solo = mosaic.tile_cut(
             spark.createDataFrame(pdf[pdf["band"] == b].drop(columns=["band"])),
@@ -640,3 +646,26 @@ def test_zonal_dateline_pixels_counted(spark):
     assert got.loc[3, "n_pixels"] == w * h, \
         "pixels past +180 were dropped by the clamped cell lookup"
     np.testing.assert_allclose(got.loc[3, "mean"], arr.mean(), rtol=1e-12)
+
+
+def test_zones_from_shp_drives_pip_join(spark, tmp_path):
+    """S7/S8 -> J1 end-to-end: zones written as a polygon SHAPEFILE load
+    back into the zones_pdf contract and route points correctly."""
+    from geo_raster_spark.sources import vector
+    from geo_raster_spark import functions as gf
+    rings = [geometry.bbox_to_ring((0.0, 0.0, 10.0, 10.0)),
+             geometry.bbox_to_ring((20.0, 20.0, 30.0, 30.0))]
+    props = pd.DataFrame({"ZONE_ID": np.array([7, 9], dtype=np.int64),
+                          "NAME": ["west", "east"]})
+    shp = str(tmp_path / "zones.shp")
+    vector.write_shp(shp, rings, props)
+    zones = vector.zones_from_shp(shp)
+    assert list(zones["zone_id"]) == [7, 9]
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pt_id": [1, 2, 3],
+        "lon": [5.0, 25.0, 50.0], "lat": [5.0, 25.0, 5.0]}))
+    pts = pts.withColumn("cell", gf.geocell(F.col("lon"), F.col("lat")))
+    got = pip_join.pip_join(pts, zones[["zone_id", "geometry"]],
+                            keep_zone_name=False) \
+        .select("pt_id", "zone_id").toPandas().sort_values("pt_id")
+    assert list(zip(got["pt_id"], got["zone_id"])) == [(1, 7), (2, 9)]

@@ -366,7 +366,6 @@ def _shipped(fn):
 _REGISTRY_MAX = 50
 
 _ROWS_ONLY_KEYS = [
-    "g5_tile_cut_agg", "z1_zonal", "m1_image_features",
     "m2_frame_sample", "g11_composite", "t4_stack_median", "g12_overviews",
     "g10_warp", "x3_parity",
 ]

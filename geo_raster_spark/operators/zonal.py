@@ -29,6 +29,25 @@ def zonal_stats(images: DataFrame, zones_pdf: pd.DataFrame,
     """-> (zone_id, mean, rng, n_pixels, n_images) per zone.
 
     ``images`` needs footprint cols + bytes/fmt (``with_footprint``)."""
+    return zonal_combine(zonal_partials(images, zones_pdf, nodata, res))
+
+
+def zonal_combine(part: DataFrame) -> DataFrame:
+    """Partials (zone_id, image_id, psum, pcount, pmin, pmax) -> final
+    per-zone stats — a plain ANSI aggregation, re-runnable by the DuckDB
+    oracle over a persisted partials artifact."""
+    return (part.groupBy("zone_id")
+                .agg((F.sum("psum") / F.sum("pcount")).alias("mean"),
+                     (F.max("pmax") - F.min("pmin")).alias("rng"),
+                     F.sum("pcount").alias("n_pixels"),
+                     F.countDistinct("image_id").alias("n_images")))
+
+
+def zonal_partials(images: DataFrame, zones_pdf: pd.DataFrame,
+                   nodata: float = -1.0, res: int = DEFAULT_RES) -> DataFrame:
+    """Per-(zone, image, cover-cell) PARTIAL aggregates (the map-side
+    decode/rasterize kernel output; 4 doubles per pair — the only thing
+    that ever shuffles)."""
     spark = images.sparkSession
 
     # candidate pairs: zone cover cells vs ALL cells the image footprint
@@ -112,9 +131,4 @@ def zonal_stats(images: DataFrame, zones_pdf: pd.DataFrame,
             yield pd.DataFrame(out, columns=["zone_id", "image_id", "psum",
                                              "pcount", "pmin", "pmax"])
 
-    part = cand.mapInPandas(partials, schema=partial_schema)
-    return (part.groupBy("zone_id")
-                .agg((F.sum("psum") / F.sum("pcount")).alias("mean"),
-                     (F.max("pmax") - F.min("pmin")).alias("rng"),
-                     F.sum("pcount").alias("n_pixels"),
-                     F.countDistinct("image_id").alias("n_images")))
+    return cand.mapInPandas(partials, schema=partial_schema)

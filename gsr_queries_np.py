@@ -32,20 +32,63 @@ def q_g5_tile_cut(spark, sf_dir):
 
 
 def q_g5_tile_cut_agg(spark, sf_dir):
-    """G5 + A1: tile cut with aggregation to a 4x coarser cell."""
+    """G5 + A1: tile cut with aggregation to a 4x coarser cell.
+
+    ORACLE-CHECKED via the aux artifact: the UN-aggregated mosaic pixels
+    are dumped per tile (PNG encode of integral uint8 values is lossless,
+    so the dump equals the pre-agg float plane); DuckDB re-runs the
+    area-weighted mean's validity gate — at the ALIGNED 4x scale the
+    fractional weights collapse to integers, so ok := n_valid >= 16 *
+    min_rate — and must reproduce every tile's painted count and dims."""
+    import numpy as np
+    import pandas as pd
+    from geo_raster_spark import codecs
     from geo_raster_spark.operators import mosaic
     from geo_raster_spark.synth import CELL_SIZE
+
+    base = mosaic.tile_cut(_images(spark, 200), nodata=0.0)
+    path = f"{AUX_DIR}/g5_pixels"
+
+    def dump(it):
+        for pdf in it:
+            outs = []
+            for _, r0 in pdf.iterrows():
+                a = codecs.decode_png(bytes(r0["data"])).astype(np.float64)
+                h, w = a.shape
+                rr, cc = np.meshgrid(np.arange(h, dtype=np.int32),
+                                     np.arange(w, dtype=np.int32),
+                                     indexing="ij")
+                outs.append(pd.DataFrame({
+                    "tile_tag": r0["tile_tag"],
+                    "n_images": np.int32(r0["n_images"]),
+                    "r": rr.ravel(), "c": cc.ravel(), "v": a.ravel()}))
+            yield (pd.concat(outs) if outs else
+                   pd.DataFrame(columns=["tile_tag", "n_images", "r", "c", "v"]))
+
+    base.mapInPandas(
+        dump,
+        schema="tile_tag string, n_images int, r int, c int, v double") \
+        .write.mode("overwrite").parquet(path)
+
     tiles = mosaic.tile_cut(_images(spark, 200), nodata=0.0,
                             agg_to_cell=CELL_SIZE * 4, agg_func="mean")
     return tiles.select("tile_tag", "width", "height", "n_images", "painted")
 
 
 def q_z1_zonal(spark, sf_dir):
-    """A11/R1: distributed zonal statistics over decoded pixels."""
+    """A11/R1: distributed zonal statistics over decoded pixels.
+
+    ORACLE-CHECKED via the aux artifact: the map-side PARTIALS (zone_id,
+    image_id, psum, pcount, pmin, pmax — the only thing that shuffles)
+    are persisted; DuckDB re-runs the combine aggregation.  The decode/
+    rasterize kernel itself stays pinned by the NumPy-oracle pytests."""
     from geo_raster_spark import synth
     from geo_raster_spark.operators import zonal
     zones = synth.zones_pandas(12, hot=True)
-    out = zonal.zonal_stats(_images(spark), zones, nodata=-1.0)
+    path = f"{AUX_DIR}/z1_partials"
+    zonal.zonal_partials(_images(spark), zones, nodata=-1.0) \
+        .write.mode("overwrite").parquet(path)
+    out = zonal.zonal_combine(spark.read.parquet(path))
     return out.select("zone_id", F.round("mean", 6).alias("mean"),
                       F.round("rng", 6).alias("rng"), "n_pixels", "n_images")
 
@@ -194,17 +237,51 @@ def q_g11_composite(spark, sf_dir):
 def q_m1_image_features(spark, sf_dir):
     """Multimodal feature-extract: per-image pixel statistics (moments,
     percentiles, gradient energy, entropy) over decoded payloads, grouped
-    by fmt for a stable small result.  Pixel decode is not SQL-expressible
-    -> rows-only; the per-image values are pinned by
-    tests/test_multimodal.py::test_image_features_match_local."""
+    by fmt for a stable small result.
+
+    ORACLE-CHECKED via the aux artifact: decoded pixels are dumped as an
+    (image_id, fmt, r, c, v) table ON EXECUTORS; DuckDB recomputes ALL
+    FIVE features from it in SQL (stddev_pop, quantile_cont = NumPy's
+    linear-interpolated percentile, np.gradient-convention central/
+    one-sided differences via window lag/lead, 8-bit histogram entropy)
+    and must match the Arrow-kernel features after the fmt rollup."""
+    import numpy as np
+    import pandas as pd
+    from geo_raster_spark import codecs
     from geo_raster_spark.operators import multimodal as mm
+
+    imgs = _images(spark, 200)
+    path = f"{AUX_DIR}/m1_pixels"
+
+    def dump(it):
+        for pdf in it:
+            outs = []
+            for _, r0 in pdf.iterrows():
+                a = codecs.decode(bytes(r0["bytes"]), r0["fmt"]) \
+                    .astype(np.float64)
+                h, w = a.shape
+                rr, cc = np.meshgrid(np.arange(h, dtype=np.int32),
+                                     np.arange(w, dtype=np.int32),
+                                     indexing="ij")
+                outs.append(pd.DataFrame({
+                    "image_id": r0["image_id"], "fmt": r0["fmt"],
+                    "r": rr.ravel(), "c": cc.ravel(), "v": a.ravel()}))
+            yield (pd.concat(outs) if outs else
+                   pd.DataFrame(columns=["image_id", "fmt", "r", "c", "v"]))
+
+    imgs.mapInPandas(
+        dump, schema="image_id string, fmt string, r int, c int, v double") \
+        .write.mode("overwrite").parquet(path)
+
     feats = mm.image_features(_images(spark, 200))
-    imgs = _images(spark, 200).select("image_id", "fmt")
-    return (feats.join(imgs, "image_id")
+    meta = _images(spark, 200).select("image_id", "fmt")
+    return (feats.join(meta, "image_id")
                  .groupBy("fmt")
                  .agg(F.count("*").alias("n"),
                       F.round(F.avg("mean"), 6).alias("avg_mean"),
                       F.round(F.avg("std"), 6).alias("avg_std"),
+                      F.round(F.avg("p90"), 6).alias("avg_p90"),
+                      F.round(F.avg("edge_energy"), 6).alias("avg_edge"),
                       F.round(F.avg("entropy"), 6).alias("avg_entropy")))
 
 
@@ -750,8 +827,94 @@ FROM r WHERE rank <= {k}
 """
 
 
+SQL_M1 = f"""
+WITH px AS (
+  SELECT * FROM read_parquet('{AUX_DIR}/m1_pixels/*.parquet')
+), g AS (
+  SELECT image_id, fmt, v,
+    CASE WHEN lag(v) OVER wc IS NULL AND lead(v) OVER wc IS NULL THEN 0.0
+         WHEN lag(v) OVER wc IS NULL THEN lead(v) OVER wc - v
+         WHEN lead(v) OVER wc IS NULL THEN v - lag(v) OVER wc
+         ELSE (lead(v) OVER wc - lag(v) OVER wc) / 2.0 END AS gx,
+    CASE WHEN lag(v) OVER wr IS NULL AND lead(v) OVER wr IS NULL THEN 0.0
+         WHEN lag(v) OVER wr IS NULL THEN lead(v) OVER wr - v
+         WHEN lead(v) OVER wr IS NULL THEN v - lag(v) OVER wr
+         ELSE (lead(v) OVER wr - lag(v) OVER wr) / 2.0 END AS gy
+  FROM px
+  WINDOW wc AS (PARTITION BY image_id, r ORDER BY c),
+         wr AS (PARTITION BY image_id, c ORDER BY r)
+), stats AS (
+  SELECT image_id, fmt,
+         AVG(v) AS mean, stddev_pop(v) AS std,
+         quantile_cont(v, 0.9) AS p90,
+         AVG(gx * gx + gy * gy) AS edge_energy
+  FROM g GROUP BY 1, 2
+), hist AS (
+  SELECT image_id, CAST(v AS INT) AS b, COUNT(*) AS cnt FROM px GROUP BY 1, 2
+), ent AS (
+  SELECT image_id,
+         -SUM((CAST(cnt AS DOUBLE) / total) * log2(CAST(cnt AS DOUBLE) / total))
+         AS entropy
+  FROM (SELECT image_id, cnt,
+               SUM(cnt) OVER (PARTITION BY image_id) AS total FROM hist)
+  GROUP BY 1
+)
+SELECT s.fmt, COUNT(*) AS n,
+       ROUND(AVG(s.mean), 6) AS avg_mean,
+       ROUND(AVG(s.std), 6) AS avg_std,
+       ROUND(AVG(s.p90), 6) AS avg_p90,
+       ROUND(AVG(s.edge_energy), 6) AS avg_edge,
+       ROUND(AVG(e.entropy), 6) AS avg_entropy
+FROM stats s JOIN ent e USING (image_id)
+GROUP BY 1
+"""
+
+
+SQL_G5_AGG = f"""
+WITH px AS (
+  SELECT * FROM read_parquet('{AUX_DIR}/g5_pixels/*.parquet')
+), dims AS (
+  -- scale() floors the output dims, so trailing source rows/cols beyond
+  -- 4*floor(n/4) (the edge-halo remainder) are NOT covered by any cell
+  SELECT tile_tag,
+         4 * CAST(FLOOR((MAX(r) + 1) / 4) AS INT) AS rmax,
+         4 * CAST(FLOOR((MAX(c) + 1) / 4) AS INT) AS cmax
+  FROM px GROUP BY 1
+), cells AS (
+  SELECT px.tile_tag, n_images, rmax, cmax,
+         CAST(FLOOR(r / 4) AS INT) AS R, CAST(FLOOR(c / 4) AS INT) AS C,
+         COUNT(*) AS total,
+         COUNT(*) FILTER (WHERE v != 0.0) AS nv
+  FROM px JOIN dims USING (tile_tag)
+  WHERE r < rmax AND c < cmax
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT tile_tag,
+       CAST(cmax / 4 AS INT) AS width,
+       CAST(rmax / 4 AS INT) AS height,
+       n_images,
+       COUNT(*) FILTER (WHERE nv > 0
+                        AND CAST(nv AS DOUBLE) >= total * 0.1) AS painted
+FROM cells GROUP BY tile_tag, n_images, rmax, cmax
+"""
+
+
+SQL_Z1 = f"""
+SELECT zone_id,
+       ROUND(SUM(psum) / SUM(pcount), 6) AS mean,
+       ROUND(MAX(pmax) - MIN(pmin), 6) AS rng,
+       CAST(SUM(pcount) AS BIGINT) AS n_pixels,
+       COUNT(DISTINCT image_id) AS n_images
+FROM read_parquet('{AUX_DIR}/z1_partials/*.parquet')
+GROUP BY 1
+"""
+
+
 ORACLES = {
     "d2_minhash": _sql_d2(),
+    "g5_tile_cut_agg": SQL_G5_AGG,
+    "z1_zonal": SQL_Z1,
+    "m1_image_features": SQL_M1,
     "e2_lsh_topk": _sql_ann_topk(f"{AUX_DIR}/e2_lsh/assignments/*/*.parquet",
                                  f"{AUX_DIR}/e2_probe/*.parquet", "bucket"),
     "e4_ivf_topk": _sql_ann_topk(f"{AUX_DIR}/e4_ivf/assignments/*/*.parquet",

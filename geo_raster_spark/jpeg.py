@@ -16,8 +16,8 @@ real image+caption corpus's RGB payloads, not just grayscale bands.
 Scope: encoder emits 1-component (grayscale) or 3-component 4:4:4 baseline
 (JFIF YCbCr; all components share the Annex-K luminance Huffman tables —
 spec-legal, simplifies the vectorized coder); decoder handles baseline
-sequential 1-component and 3-component 4:4:4 without restart markers, with
-arbitrary per-component quant/Huffman table ids.
+sequential 1-component and 3-component 4:4:4, WITH restart intervals
+(DRI/RSTn), and arbitrary per-component quant/Huffman table ids.
 """
 
 from __future__ import annotations
@@ -333,10 +333,12 @@ def _plane_zz(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return q.reshape(bh * bw, 64)[:, _ZZ]                        # zigzag per block
 
 
-def _headers(h: int, w: int, qts_zz: list, comps: list) -> bytes:
+def _headers(h: int, w: int, qts_zz: list, comps: list,
+             restart_interval: int = 0) -> bytes:
     """SOI..SOS header bytes.  ``qts_zz`` = zigzagged uint8 quant tables by
     id; ``comps`` = [(component_id, quant_table_id)] (sampling 1x1 each; all
-    components use Huffman table 0 — the Annex-K luminance pair)."""
+    components use Huffman table 0 — the Annex-K luminance pair).  A
+    nonzero ``restart_interval`` emits a DRI segment."""
     out = bytearray()
     out += b"\xFF\xD8"                                           # SOI
     out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -350,6 +352,8 @@ def _headers(h: int, w: int, qts_zz: list, comps: list) -> bytes:
         + bytes(_DC_BITS) + bytes(_DC_VALS)
     out += b"\xFF\xC4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10) \
         + bytes(_AC_BITS) + bytes(_AC_VALS)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([len(comps)])
     for cid, _tq in comps:
         sos += bytes([cid, 0x00])
@@ -358,11 +362,49 @@ def _headers(h: int, w: int, qts_zz: list, comps: list) -> bytes:
     return bytes(out)
 
 
-def encode(arr: np.ndarray, quality: int = 90, _scalar: bool = False) -> bytes:
+def _interleaved_dc(zz: np.ndarray, ncomp: int) -> np.ndarray:
+    """Per-block DC diffs with per-component prediction chains over
+    interleaved MCU rows."""
+    dc = np.empty(zz.shape[0], dtype=np.int64)
+    for c in range(ncomp):
+        z = zz[c::ncomp]
+        d = z[:, 0].astype(np.int64).copy()
+        d[1:] -= z[:-1, 0]
+        dc[c::ncomp] = d
+    return dc
+
+
+def _encode_scan(zz: np.ndarray, ncomp: int, restart_interval: int,
+                 _scalar: bool) -> bytes:
+    """Entropy-coded scan, optionally split at restart intervals: every Ri
+    MCUs the DC predictors reset, the bitstream 1-pads to a byte boundary,
+    and an RSTn marker (n cycling 0..7) separates the segments — T.81
+    §B.2.1.2 (restart markers are emitted RAW, never byte-stuffed)."""
+    coder = _entropy_scalar if _scalar else _entropy_vector
+    n_mcu = zz.shape[0] // ncomp
+    if not restart_interval:
+        return coder(zz, _interleaved_dc(zz, ncomp))
+    out = bytearray()
+    n = seg = 0
+    while n < n_mcu:
+        m = min(restart_interval, n_mcu - n)
+        chunk = zz[n * ncomp:(n + m) * ncomp]
+        if n:
+            out += bytes([0xFF, 0xD0 + ((seg - 1) % 8)])
+        out += coder(chunk, _interleaved_dc(chunk, ncomp))
+        n += m
+        seg += 1
+    return bytes(out)
+
+
+def encode(arr: np.ndarray, quality: int = 90, _scalar: bool = False,
+           restart_interval: int = 0) -> bytes:
     """(H, W) uint8 grayscale or (H, W, 3) uint8 RGB -> baseline JFIF bytes.
 
     Color: JFIF YCbCr, 4:4:4 (one block per component per MCU, interleaved
-    Y Cb Cr), Annex-K luma + chroma quant tables, Huffman tables shared."""
+    Y Cb Cr), Annex-K luma + chroma quant tables, Huffman tables shared.
+    ``restart_interval``: emit DRI + RSTn markers every Ri MCUs (error
+    resilience; also exercises the decoder's restart path)."""
     arr = np.asarray(arr)
     if arr.ndim == 3 and arr.shape[2] == 3:
         h, w, _ = arr.shape
@@ -370,20 +412,15 @@ def encode(arr: np.ndarray, quality: int = 90, _scalar: bool = False) -> bytes:
         y, cb, cr = rgb_to_ycbcr(arr)
         zzs = [_plane_zz(y, qt_l), _plane_zz(cb, qt_c), _plane_zz(cr, qt_c)]
         nb = zzs[0].shape[0]
-        # interleave MCUs: rows [Y0, Cb0, Cr0, Y1, ...]; DC prediction runs
-        # per component chain
+        # interleave MCUs: rows [Y0, Cb0, Cr0, Y1, ...]
         zz = np.empty((nb * 3, 64), dtype=np.int64)
-        dc = np.empty(nb * 3, dtype=np.int64)
         for c, z in enumerate(zzs):
             zz[c::3] = z
-            d = z[:, 0].astype(np.int64).copy()
-            d[1:] -= z[:-1, 0]
-            dc[c::3] = d
-        scan = _entropy_scalar(zz, dc) if _scalar else _entropy_vector(zz, dc)
+        scan = _encode_scan(zz, 3, restart_interval, _scalar)
         head = _headers(h, w,
                         [qt_l.reshape(64)[_ZZ].astype(np.uint8),
                          qt_c.reshape(64)[_ZZ].astype(np.uint8)],
-                        [(1, 0), (2, 1), (3, 1)])
+                        [(1, 0), (2, 1), (3, 1)], restart_interval)
         return head + scan + b"\xFF\xD9"
 
     if arr.ndim != 2:
@@ -391,10 +428,9 @@ def encode(arr: np.ndarray, quality: int = 90, _scalar: bool = False) -> bytes:
     h, w = arr.shape
     qt = quant_table(quality)
     zz = _plane_zz(arr.astype(np.float64), qt)
-    dc = zz[:, 0].astype(np.int64).copy()
-    dc[1:] -= zz[:-1, 0]
-    scan = _entropy_scalar(zz, dc) if _scalar else _entropy_vector(zz, dc)
-    head = _headers(h, w, [qt.reshape(64)[_ZZ].astype(np.uint8)], [(1, 0)])
+    scan = _encode_scan(zz.astype(np.int64), 1, restart_interval, _scalar)
+    head = _headers(h, w, [qt.reshape(64)[_ZZ].astype(np.uint8)], [(1, 0)],
+                    restart_interval)
     return head + scan + b"\xFF\xD9"
 
 
@@ -518,6 +554,28 @@ def _scan_windows(scan: bytes) -> np.ndarray:
     return W
 
 
+def _split_restart_segments(scan: bytes) -> list:
+    """Entropy segments delimited by RSTn markers.  Genuine FF bytes inside
+    entropy data are always stuffed (FF 00), so a raw FF D0-D7 is a restart
+    marker; scanning stops at the first non-RST, non-stuffing marker
+    (EOI or the next frame)."""
+    segs = []
+    start = i = 0
+    n = len(scan)
+    while i < n - 1:
+        if scan[i] == 0xFF:
+            m = scan[i + 1]
+            if 0xD0 <= m <= 0xD7:
+                segs.append(scan[start:i])
+                start = i = i + 2
+                continue
+            if m not in (0x00, 0xFF):
+                break  # EOI / next marker
+        i += 1
+    segs.append(scan[start:])
+    return segs
+
+
 def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
     """Baseline sequential JFIF -> (H, W) uint8 grayscale or (H, W, 3)
     uint8 RGB (1-component, or interleaved 3-component 4:4:4 YCbCr).
@@ -534,6 +592,7 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
     sof_comps = []         # [(cid, tq)] in SOF order
     scan_comps = []        # [(comp_index, td, ta)] in SOS order
     scan_start = None
+    restart_ri = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -581,8 +640,8 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
                 vals = list(seg[off + 17:off + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = (bits, vals)
                 off += 17 + n
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:                                     # DRI
+            (restart_ri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:                                     # SOS
             ns = seg[0]
             if ns != len(sof_comps):
@@ -599,83 +658,103 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
 
     ncomp = len(sof_comps)
     bh, bw = (h + 7) // 8, (w + 7) // 8
-    n_blocks = bh * bw * ncomp
+    n_mcu = bh * bw
+    n_blocks = n_mcu * ncomp
     # interleaved coefficient rows: [c0_mcu0, c1_mcu0, ..., c0_mcu1, ...]
     zz = np.zeros((n_blocks, 64), dtype=np.float64)
-    preds = [0] * ncomp
+    scan_bytes = data[scan_start:]
+    # restart intervals: RSTn markers are NEVER byte-stuffed, so a raw
+    # FF D0-D7 in the scan IS a segment boundary; DC predictors reset and
+    # the bitstream re-aligns at each one (T.81 §B.2.1.2)
+    segments = (_split_restart_segments(scan_bytes) if restart_ri
+                else [scan_bytes])
     if _scalar:
         dcts = [_build_decode(*huff_dc[td]) for _ci, td, _ta in scan_comps]
         acts = [_build_decode(*huff_ac[ta]) for _ci, _td, ta in scan_comps]
-        br = _BitReader(data[scan_start:])
-        for i in range(n_blocks):
-            c = i % ncomp
-            s = _huff_read(br, dcts[c])
-            diff = _extend(br.read(s), s) if s else 0
-            preds[c] += diff
-            zz[i, 0] = preds[c]
-            k = 1
-            while k < 64:
-                rs = _huff_read(br, acts[c])
-                r, s = rs >> 4, rs & 0x0F
-                if rs == 0x00:                                       # EOB
-                    break
-                if rs == 0xF0:                                       # ZRL
-                    k += 16
-                    continue
-                k += r
-                if k > 63:
-                    break
-                zz[i, k] = _extend(br.read(s), s)
-                k += 1
+        mcu_done = 0
+        for seg_bytes in segments:
+            if mcu_done >= n_mcu:
+                break
+            m = min(restart_ri, n_mcu - mcu_done) if restart_ri else n_mcu
+            preds = [0] * ncomp
+            br = _BitReader(seg_bytes)
+            for i in range(mcu_done * ncomp, (mcu_done + m) * ncomp):
+                c = i % ncomp
+                s = _huff_read(br, dcts[c])
+                diff = _extend(br.read(s), s) if s else 0
+                preds[c] += diff
+                zz[i, 0] = preds[c]
+                k = 1
+                while k < 64:
+                    rs = _huff_read(br, acts[c])
+                    r, s = rs >> 4, rs & 0x0F
+                    if rs == 0x00:                                   # EOB
+                        break
+                    if rs == 0xF0:                                   # ZRL
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        break
+                    zz[i, k] = _extend(br.read(s), s)
+                    k += 1
+            mcu_done += m
     else:
         dluts = [_lut_cached(huff_dc[td]) for _ci, td, _ta in scan_comps]
         aluts = [_lut_cached(huff_ac[ta]) for _ci, _td, ta in scan_comps]
-        Wl = _scan_windows(data[scan_start:]).tolist()  # plain-int indexing
-        nW = len(Wl)
-        cur = 0
         oi = []  # flat zz indices of nonzero coefficients
         ov = []
-        for i in range(n_blocks):
-            if cur >= nW:
-                break  # truncated stream: remaining blocks stay zero
-            c = i % ncomp
-            dlen, dsym = dluts[c]
-            alen, asym = aluts[c]
-            idx = Wl[cur]
-            ln = dlen[idx]
-            if ln == 0:
-                raise ValueError("invalid Huffman code")
-            s = dsym[idx]
-            cur += ln
-            if s:
-                v = Wl[cur] >> (16 - s) if cur < nW else 0
-                cur += s
-                preds[c] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-            base = i << 6
-            oi.append(base)
-            ov.append(preds[c])
-            k = 1
-            while k < 64 and cur < nW:
+        mcu_done = 0
+        for seg_bytes in segments:
+            if mcu_done >= n_mcu:
+                break
+            m = min(restart_ri, n_mcu - mcu_done) if restart_ri else n_mcu
+            preds = [0] * ncomp
+            Wl = _scan_windows(seg_bytes).tolist()  # plain-int indexing
+            nW = len(Wl)
+            cur = 0
+            for i in range(mcu_done * ncomp, (mcu_done + m) * ncomp):
+                if cur >= nW:
+                    break  # truncated stream: remaining blocks stay zero
+                c = i % ncomp
+                dlen, dsym = dluts[c]
+                alen, asym = aluts[c]
                 idx = Wl[cur]
-                ln = alen[idx]
+                ln = dlen[idx]
                 if ln == 0:
                     raise ValueError("invalid Huffman code")
-                rs = asym[idx]
+                s = dsym[idx]
                 cur += ln
-                if rs == 0x00:                                       # EOB
-                    break
-                if rs == 0xF0:                                       # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                s = rs & 0x0F
-                v = Wl[cur] >> (16 - s) if cur < nW else 0
-                cur += s
-                if k > 63:
-                    break
-                oi.append(base + k)
-                ov.append(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
-                k += 1
+                if s:
+                    v = Wl[cur] >> (16 - s) if cur < nW else 0
+                    cur += s
+                    preds[c] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                base = i << 6
+                oi.append(base)
+                ov.append(preds[c])
+                k = 1
+                while k < 64 and cur < nW:
+                    idx = Wl[cur]
+                    ln = alen[idx]
+                    if ln == 0:
+                        raise ValueError("invalid Huffman code")
+                    rs = asym[idx]
+                    cur += ln
+                    if rs == 0x00:                                   # EOB
+                        break
+                    if rs == 0xF0:                                   # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    s = rs & 0x0F
+                    v = Wl[cur] >> (16 - s) if cur < nW else 0
+                    cur += s
+                    if k > 63:
+                        break
+                    oi.append(base + k)
+                    ov.append(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
+                    k += 1
+            mcu_done += m
         zz.ravel()[oi] = ov
 
     planes = []

@@ -143,3 +143,25 @@ def test_png_rgb_lossless_roundtrip():
     dec = codecs.decode(codecs.encode(img, "jpg"), "jpg")
     assert dec.shape == img.shape
     assert codecs.psnr(img, dec) >= 40.0
+
+
+def test_restart_intervals_roundtrip_and_parity():
+    """DRI/RSTn: encoding with any restart interval must decode to EXACTLY
+    the no-restart result (DC predictors reset per segment, bitstreams
+    re-align at raw FF D0-D7 markers), with scalar/vector parity on both
+    sides, for grayscale AND color."""
+    from geo_raster_spark import synth
+    g = synth.image_pixels(5, 100, 60, 777)
+    rgb = synth.image_pixels_rgb(9, 48, 40, 999)
+    for img in (g, rgb):
+        plain = jpeg.decode(jpeg.encode(img, 92))
+        for ri in (1, 3, 7, 1000):
+            b = jpeg.encode(img, 92, restart_interval=ri)
+            assert b"\xFF\xDD" in b                       # DRI present
+            if ri < 60:
+                assert b"\xFF\xD0" in b                   # RST0 emitted
+            assert b == jpeg.encode(img, 92, _scalar=True,
+                                    restart_interval=ri)
+            d = jpeg.decode(b)
+            np.testing.assert_array_equal(d, jpeg.decode(b, _scalar=True))
+            np.testing.assert_array_equal(d, plain)

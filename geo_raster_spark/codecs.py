@@ -58,14 +58,35 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
 
-def encode_png(arr: np.ndarray) -> bytes:
+def encode_png(arr: np.ndarray, planes_first: bool | None = None) -> bytes:
     """8-bit grayscale (H, W), RGB (H, W, 3) / (3, H, W), or RGBA
-    (H, W, 4) / (4, H, W) PNG."""
+    (H, W, 4) / (4, H, W) PNG.
+
+    ``planes_first`` pins the 3-D layout explicitly (True = (C, H, W), the
+    reference's band-stack layout; False = channels-last).  The default
+    infers it from the shape — but a (3, H, 3/4) or (4, H, 3/4) array is
+    AMBIGUOUS under inference (both axes look like channels), so it raises
+    rather than guess a scrambled image; pass ``planes_first`` there."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 3:
-        if arr.shape[0] in (3, 4) and arr.shape[2] not in (3, 4):
-            # planes-first (the reference's band-stack layout)
+        if planes_first is None:
+            pf_like = arr.shape[0] in (3, 4)
+            cl_like = arr.shape[2] in (3, 4)
+            if pf_like and cl_like:
+                raise ValueError(
+                    f"ambiguous 3-D layout {arr.shape}: both axis 0 and "
+                    "axis 2 look like a channel axis — pass planes_first=")
+            if not (pf_like or cl_like):
+                raise ValueError(f"not an RGB/RGBA image shape: {arr.shape}")
+            planes_first = pf_like
+        if planes_first:
+            if arr.shape[0] not in (3, 4):
+                raise ValueError(f"planes-first needs (3|4, H, W), "
+                                 f"got {arr.shape}")
             arr = np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
+        elif arr.shape[2] not in (3, 4):
+            raise ValueError(f"channels-last needs (H, W, 3|4), "
+                             f"got {arr.shape}")
         h, w, nch = arr.shape
         ctype = 6 if nch == 4 else 2  # truecolor (+alpha)
     else:

@@ -323,9 +323,13 @@ def parse_proj4(s: str):
     Covers the projection families the engine implements (the reference
     accepts arbitrary proj4/WKT through OSR, mod/geo_base_c.pyx:1000-1045;
     here any proj4 string over longlat/sinu/merc/utm/aea/lcc/stere maps to
-    the matching closed-form family).  Raises for recognized projections
-    with unsupported modifiers (nonzero false easting/northing etc.) so a
-    silently-wrong transform can't happen."""
+    the matching closed-form family).  Recognized keys are WHITELISTED per
+    projection: any modifier that would change the transform away from the
+    closed form — a non-default ellipsoid/sphere (+a/+b/+R/+ellps/+datum),
+    +lon_0 on merc/sinu (never read by the closed form), +k_0 != 1 on
+    stere (variant-A scaled poles like EPSG:5041), nonzero false
+    easting/northing — raises ValueError, so a silently-wrong transform
+    can't happen.  Unknown +proj values return None (-> 'unknown crs')."""
     s = s.strip()
     if not s.startswith("+"):
         return None
@@ -344,33 +348,87 @@ def parse_proj4(s: str):
     def num(k, default=0.0):
         return float(kv.get(k, default))
 
-    def require_zero_offsets():
-        if num("x_0") != 0.0 or num("y_0") != 0.0:
-            raise ValueError(f"unsupported proj4 false easting/northing: {s}")
+    def check(allowed: dict):
+        """Whitelist pass: every key present must be recognized AND its
+        value accepted by the family's predicate, else ValueError."""
+        base = {
+            "proj": lambda v: True,
+            # meaning-free decorations PROJ emits on canonical strings
+            "no_defs": lambda v: True, "wktext": lambda v: True,
+            "type": lambda v: v == "crs",
+            "axis": lambda v: v == "enu",
+            "nadgrids": lambda v: v == "@null",
+            "towgs84": lambda v: all(float(t) == 0.0
+                                     for t in str(v).split(",")),
+        }
+        base.update(allowed)
+        for k, v in kv.items():
+            if k in ("x_0", "y_0"):
+                if float(v) != 0.0:
+                    raise ValueError(
+                        f"unsupported proj4 false easting/northing: {s}")
+                continue
+            pred = base.get(k)
+            if pred is None:
+                raise ValueError(
+                    f"unsupported proj4 modifier +{k} for +proj={proj}: {s}")
+            if not pred(v):
+                raise ValueError(
+                    f"proj4 +{k}={v} changes the transform away from the "
+                    f"implemented closed form: {s}")
+
+    def anyf(v):
+        float(v)
+        return True
+
+    wgs84 = {"datum": lambda v: str(v).upper() == "WGS84",
+             "ellps": lambda v: str(v).upper() == "WGS84"}
+    grs80 = {"datum": lambda v: str(v).upper() == "NAD83",
+             "ellps": lambda v: str(v).upper() == "GRS80"}
+    meters = {"units": lambda v: v == "m"}
 
     if proj in ("longlat", "latlong", "lonlat"):
+        check({**wgs84, "lon_0": lambda v: float(v) == 0.0,
+               "units": lambda v: v in ("degrees", "deg")})
         return GEOGRAPHIC
     if proj == "sinu":
-        require_zero_offsets()
+        sph = lambda v: float(v) == R_SINU
+        check({**meters, "lon_0": lambda v: float(v) == 0.0,
+               "R": sph, "a": sph, "b": sph})
         return SINUSOIDAL
     if proj in ("merc", "webmerc"):
-        require_zero_offsets()
+        sph = lambda v: float(v) == R_MERC
+        check({**meters, **wgs84,
+               "lon_0": lambda v: float(v) == 0.0,
+               "lat_ts": lambda v: float(v) == 0.0,
+               "k": lambda v: float(v) == 1.0,
+               "k_0": lambda v: float(v) == 1.0,
+               "a": sph, "b": sph})
         return MERCATOR
     if proj == "utm":
+        check({**meters, **wgs84,
+               "zone": lambda v: True, "south": lambda v: True,
+               "k": lambda v: float(v) == _K0,
+               "k_0": lambda v: float(v) == _K0})
         zone = int(kv.get("zone", 0))
         if not 1 <= zone <= 60:
             raise ValueError(f"invalid utm zone in proj4: {s}")
         return f"UTM:{zone}{'S' if 'south' in kv else 'N'}"
     if proj == "aea":
-        require_zero_offsets()
+        check({**meters, **grs80, "lat_0": anyf, "lon_0": anyf,
+               "lat_1": anyf, "lat_2": anyf})
         return (f"AEA:{num('lat_1')},{num('lat_2')},"
                 f"{num('lat_0')},{num('lon_0')}")
     if proj == "lcc":
-        require_zero_offsets()
+        check({**meters, **grs80, "lat_0": anyf, "lon_0": anyf,
+               "lat_1": anyf, "lat_2": anyf})
         return (f"LCC:{num('lat_1')},{num('lat_2', num('lat_1'))},"
                 f"{num('lat_0')},{num('lon_0')}")
     if proj == "stere":
-        require_zero_offsets()
+        check({**meters, **wgs84, "lat_0": anyf, "lat_ts": anyf,
+               "lon_0": anyf,
+               "k": lambda v: float(v) == 1.0,
+               "k_0": lambda v: float(v) == 1.0})
         lat0 = num("lat_0")
         if abs(lat0) != 90.0:
             raise ValueError(f"only POLAR stereographic supported: {s}")

@@ -151,8 +151,18 @@ def mosaic(sources, dst_info: RasterInfo, nodata, dtype=None,
             tx, ty = crs_mod.transform(info.crs, dst_info.crs,
                                        ring[:, 0], ring[:, 1])
             fin = np.isfinite(tx) & np.isfinite(ty)
-            pieces = (g.clip_rings(np.column_stack([tx[fin], ty[fin]]),
-                                   g.bbox_to_ring(de)) if fin.sum() >= 3 else [])
+            try:
+                pieces = (g.clip_rings(np.column_stack([tx[fin], ty[fin]]),
+                                       g.bbox_to_ring(de))
+                          if fin.sum() >= 3 else [])
+            except g.TriangulationError:
+                # degenerate reprojected ring (duplicate vertices / pinch):
+                # a partial triangulation could wrongly SKIP an overlapping
+                # source — paint the safe bbox∩bbox window instead
+                win = window_for_extent(dst_info, se, margin=2)
+                warp_band(data, info, dst_info, nodata, out=out,
+                          v_min=v_min, v_max=v_max, dst_window=win)
+                continue
             if not pieces:
                 continue  # bbox overlapped, true footprint does not
             bbs = [g.ring_bbox(p) for p in pieces]

@@ -135,6 +135,9 @@ def mjpeg_offsets(payload: bytes) -> list:
         start = pos
         pos += 2
         while True:
+            if pos + 1 >= n:
+                raise ValueError(
+                    f"MJPEG: truncated stream (frame at {start} has no EOI)")
             if payload[pos] != 0xFF:
                 raise ValueError(f"MJPEG: expected marker at byte {pos}")
             marker = payload[pos + 1]
@@ -144,11 +147,18 @@ def mjpeg_offsets(payload: bytes) -> list:
             if marker in (0x01,) or 0xD0 <= marker <= 0xD8:       # bare
                 pos += 2
                 continue
+            if pos + 4 > n:
+                raise ValueError(
+                    f"MJPEG: truncated marker segment at byte {pos}")
             (ln,) = _s.unpack_from(">H", payload, pos + 2)
             pos += 2 + ln
             if marker == 0xDA:                                    # SOS
                 while True:                # skip entropy-coded data
-                    nxt = payload.index(b"\xff", pos)
+                    nxt = payload.find(b"\xff", pos)
+                    if nxt < 0 or nxt >= n - 1:
+                        raise ValueError(
+                            "MJPEG: truncated stream (entropy data of frame "
+                            f"at {start} ends without a marker)")
                     m2 = payload[nxt + 1]
                     if m2 == 0x00 or 0xD0 <= m2 <= 0xD7:
                         pos = nxt + 2

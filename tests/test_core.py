@@ -635,3 +635,82 @@ def test_proj4_string_parsing():
                       [0.0], [30.0])
     with pytest.raises(ValueError, match="unknown crs"):
         crs.transform("EPSG:4326", "+proj=robin +lon_0=0", [0.0], [30.0])
+
+
+# --- round-4 ADVICE hardening ----------------------------------------------
+
+def test_proj4_whitelist_rejects_meaning_changing_modifiers():
+    """parse_proj4 must fail loudly on modifiers the closed forms ignore
+    (ADVICE r3): +lon_0 on merc/sinu, +k_0 on stere, non-default
+    ellipsoids/spheres anywhere."""
+    bad = [
+        "+proj=merc +lon_0=10",                      # shifted central meridian
+        "+proj=sinu +lon_0=30 +R=6371007.181",       # shifted sinu
+        "+proj=sinu +R=6371000",                     # wrong sphere radius
+        "+proj=stere +lat_0=90 +lat_ts=90 +k_0=0.994 +datum=WGS84",  # EPSG:5041 variant A
+        "+proj=stere +lat_0=90 +a=6378273 +b=6356889.449",           # Hughes (EPSG:3411)
+        "+proj=utm +zone=18 +ellps=intl",            # non-WGS84 ellipsoid
+        "+proj=longlat +ellps=bessel",
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=WGS84",
+        "+proj=merc +towgs84=100,0,0",               # real datum shift
+        "+proj=utm +zone=18 +k_0=1.0",               # UTM scale must stay 0.9996
+    ]
+    for p4 in bad:
+        with pytest.raises(ValueError):
+            crs.parse_proj4(p4)
+    # whitelisted canonical strings still resolve
+    assert crs.parse_proj4(
+        "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 "
+        "+k=1.0 +units=m +nadgrids=@null +wktext +no_defs") == "EPSG:3857"
+    assert crs.parse_proj4(
+        "+proj=utm +zone=18 +k=0.9996 +datum=WGS84 +units=m") == "UTM:18N"
+    assert crs.parse_proj4("+proj=longlat +towgs84=0,0,0") == "EPSG:4326"
+
+
+def test_encode_png_layout_parameter():
+    """encode_png layout control (ADVICE r3): ambiguous shapes raise under
+    inference; planes_first= pins the layout either way."""
+    img = synth.image_pixels_rgb(3, 4, 5, 99)          # (5, 4, 3) channels-last
+    # ambiguous: (3, H, 3) — both axes look like channels
+    amb = np.transpose(np.ascontiguousarray(img[:3, :3]), (2, 0, 1))  # (3, 3, 3)
+    with pytest.raises(ValueError, match="ambiguous"):
+        codecs.encode_png(amb)
+    # explicit layouts round-trip to the same pixels
+    a = codecs.decode_png(codecs.encode_png(amb, planes_first=True))
+    b = codecs.decode_png(codecs.encode_png(
+        np.transpose(amb, (1, 2, 0)), planes_first=False))
+    np.testing.assert_array_equal(a, b)
+    # a planes-first array whose WIDTH is 4 was misrouted by the old
+    # heuristic — explicit planes_first now round-trips it correctly
+    pf = np.transpose(np.ascontiguousarray(img[:5, :4]), (2, 0, 1))  # (3, 5, 4)
+    back = codecs.decode_png(codecs.encode_png(pf, planes_first=True))
+    np.testing.assert_array_equal(back, np.transpose(pf, (1, 2, 0)))
+    with pytest.raises(ValueError, match="planes-first"):
+        codecs.encode_png(np.zeros((5, 6, 3), np.uint8), planes_first=True)
+
+
+def test_triangulate_checked_flags_degenerate_ring():
+    """A ring with a non-consecutive duplicate vertex stalls ear clipping;
+    the checked triangulation must raise instead of returning a partial
+    tiling (ADVICE r3), and clip_rings must propagate it."""
+    # bow-tie through a repeated interior vertex: simple ear clipping
+    # cannot tile this; the stall used to return a partial triangle set
+    ring = np.array([[0.0, 0.0], [2.0, 0.0], [1.0, 1.0], [2.0, 2.0],
+                     [0.0, 2.0], [1.0, 1.0]])
+    try:
+        geometry.triangulate_ring_checked(ring)
+        raised = False
+    except geometry.TriangulationError:
+        raised = True
+    if not raised:  # if ear clipping happens to tile it, coverage must hold
+        tris = geometry.triangulate_ring(ring)
+        cov = sum(abs(geometry.ring_area(np.vstack([t, t[:1]])))
+                  for t in tris)
+        assert np.isclose(cov, abs(geometry.ring_area(
+            geometry.ring_close(ring))), rtol=1e-9)
+    # well-formed concave ring still passes the checked path
+    L = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [1.0, 1.0],
+                  [1.0, 3.0], [0.0, 3.0]])
+    tris = geometry.triangulate_ring_checked(L)
+    cov = sum(abs(geometry.ring_area(np.vstack([t, t[:1]]))) for t in tris)
+    assert np.isclose(cov, 5.0)

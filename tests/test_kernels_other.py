@@ -291,3 +291,27 @@ def test_mosaic_windowed_axis_aligned_unchanged():
         warp.warp_band(arr, info, dinfo, 0.0, out=want)
     np.testing.assert_array_equal(got, want)
     assert (got != 0).sum() > 1000
+
+
+def test_mosaic_refine_falls_back_to_bbox_on_degenerate_ring(monkeypatch):
+    """ADVICE r3: when the reprojected footprint ring is degenerate and
+    ear clipping stalls, footprint_refine must paint the safe bbox window
+    (identical to refine=False) instead of silently SKIPPING the source."""
+    from geo_raster_spark import geometry as g
+
+    def boom(subject, clipper):
+        raise g.TriangulationError("forced degenerate ring")
+
+    monkeypatch.setattr(g, "clip_rings", boom)
+    R = 6371007.181
+    y0, y1 = R * np.radians(50.0), R * np.radians(60.0)
+    w, h = 80, 120
+    src = np.full((h, w), 7.0)
+    sinfo = RasterInfo((2.2e6, 2e5 / w, 0.0, y1, 0.0, -(y1 - y0) / h),
+                       w, h, "SINU")
+    hit = RasterInfo((31.0, 0.02, 0.0, 54.0, 0.0, -0.02), 150, 100,
+                     "EPSG:4326")
+    out_ref = warp.mosaic([(src, sinfo)], hit, 0.0, footprint_refine=True)
+    out_plain = warp.mosaic([(src, sinfo)], hit, 0.0)
+    np.testing.assert_array_equal(out_ref, out_plain)
+    assert out_ref.any()

@@ -94,3 +94,22 @@ def test_frame_sample_real_mjpeg(spark):
     f1 = codecs.decode_png(bytes(a[a["video_id"] == "v1"].iloc[0]["frame"]))
     assert f1.shape == (8, 8, 3)
     assert codecs.psnr(rgb[0], f1) >= 35.0
+
+
+def test_mjpeg_offsets_truncated_stream_raises_descriptively():
+    """ADVICE r3: truncated MJPEG payloads raise a descriptive ValueError
+    instead of leaking index/substring errors."""
+    frames = [synth.image_pixels(j, 16, 12, 7 + j) for j in range(3)]
+    payload = mm.mjpeg_encode(frames, 90)
+    full = mm.mjpeg_offsets(payload)
+    assert len(full) == 3
+    # cut inside the final frame's entropy data
+    cut = payload[: full[-1][1] - 5]
+    with pytest.raises(ValueError, match="MJPEG"):
+        mm.mjpeg_offsets(cut)
+    # stream whose very last byte is a lone 0xFF
+    with pytest.raises(ValueError, match="MJPEG"):
+        mm.mjpeg_offsets(payload[: full[0][1] - 2] + b"\xff")
+    # truncation mid-marker-segment
+    with pytest.raises(ValueError, match="MJPEG"):
+        mm.mjpeg_offsets(payload[:10])

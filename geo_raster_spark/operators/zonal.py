@@ -95,21 +95,40 @@ def zonal_partials(images: DataFrame, zones_pdf: pd.DataFrame,
         rings[int(z["zone_id"])] = allp
     bc = spark.sparkContext.broadcast(rings)
 
-    partial_schema = ("zone_id int, image_id string, psum double, pcount long, "
-                      "pmin double, pmax double")
+    return cand.mapInPandas(_partials_kernel(bc, nodata, res),
+                            schema=PARTIAL_SCHEMA)
 
+
+PARTIAL_SCHEMA = ("zone_id int, image_id string, psum double, pcount long, "
+                  "pmin double, pmax double")
+
+
+def _partials_kernel(bc, nodata: float, res: int):
+    """Arrow-batch kernel for ``zonal_partials`` (module-level so the
+    decode-count test can drive it directly).
+
+    An image spanning k cover cells arrives as k candidate rows; naively
+    decoding per row multiplies the decode (and rasterize + cell-grid) cost
+    by k (k ≈ 2-4 at res 8).  The explode+broadcast-join upstream keeps an
+    image's rows ADJACENT in one partition, so grouping the batch by
+    (image_id, zone_id) lets the kernel decode/rasterize ONCE per pair and
+    then slice per fcell — emitting exactly the same per-(zone, image,
+    fcell) partial rows as the one-row-at-a-time formulation (the fcell
+    subsets partition the image's in-polygon pixels)."""
     def partials(batches):
-        zr = bc.value
+        zr = bc.value if hasattr(bc, "value") else bc
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                arr = codecs.decode(r["bytes"], r["fmt"]).astype(np.float64)
-                info = RasterInfo(tuple(r["gt"]), int(r["w"]), int(r["h"]))
-                parts = zr[int(r["zone_id"])]
-                m = rz.rasterize(parts, info)
-                # keep only pixels whose center cell == this row's join cell:
-                # the k rows of an image spanning k cover cells partition its
-                # pixels exactly (see candidate-join comment above)
+            for (img_id, zid), grp in pdf.groupby(["image_id", "zone_id"],
+                                                  sort=False):
+                r0 = grp.iloc[0]
+                arr = codecs.decode(r0["bytes"], r0["fmt"]).astype(np.float64)
+                info = RasterInfo(tuple(r0["gt"]), int(r0["w"]), int(r0["h"]))
+                m = rz.rasterize(zr[int(zid)], info)
+                # restrict each fcell row to pixels whose center cell ==
+                # that join cell: the k rows of an image spanning k cover
+                # cells partition its pixels exactly (see candidate-join
+                # comment above)
                 gt = info.gt
                 xs = gt[0] + (np.arange(info.width) + 0.5) * gt[1]
                 ys = gt[3] + (np.arange(info.height) + 0.5) * gt[5]
@@ -122,13 +141,16 @@ def zonal_partials(images: DataFrame, zones_pdf: pd.DataFrame,
                 X, Y = np.meshgrid(xs, ys)
                 pc = dggs.latlng_to_cell(((X + 180.0) % 360.0) - 180.0, Y,
                                          res=res)
-                vals = arr[(m == 1) & (pc == int(r["fcell"]))]
-                vals = vals[vals != nodata]
-                if len(vals) == 0:
-                    continue
-                out.append((int(r["zone_id"]), r["image_id"], float(vals.sum()),
-                            int(len(vals)), float(vals.min()), float(vals.max())))
+                inpoly = m == 1
+                for fcell in grp["fcell"]:
+                    vals = arr[inpoly & (pc == int(fcell))]
+                    vals = vals[vals != nodata]
+                    if len(vals) == 0:
+                        continue
+                    out.append((int(zid), img_id, float(vals.sum()),
+                                int(len(vals)), float(vals.min()),
+                                float(vals.max())))
             yield pd.DataFrame(out, columns=["zone_id", "image_id", "psum",
                                              "pcount", "pmin", "pmax"])
 
-    return cand.mapInPandas(partials, schema=partial_schema)
+    return partials

@@ -669,3 +669,46 @@ def test_zones_from_shp_drives_pip_join(spark, tmp_path):
                             keep_zone_name=False) \
         .select("pt_id", "zone_id").toPandas().sort_values("pt_id")
     assert list(zip(got["pt_id"], got["zone_id"])) == [(1, 7), (2, 9)]
+
+
+def test_zonal_kernel_decodes_once_per_image_zone(monkeypatch):
+    """Round-4 efficiency fix: an image spanning k cover cells arrives as k
+    candidate rows but must be decoded/rasterized ONCE per (image, zone) —
+    and the per-fcell partial rows must equal the per-row formulation."""
+    res = dggs.DEFAULT_RES
+    cw = 360.0 / ((1 << res) * 2)
+    # zone spanning two adjacent res-8 cells in lon
+    ring = geometry.bbox_to_ring((0.1, 0.1, 2 * cw - 0.1, 0.6))
+    # image footprint across both cells
+    arr = (np.arange(30 * 120, dtype=np.float64).reshape(30, 120) % 89.0) + 1
+    info_gt = [0.0, 0.012, 0.0, 0.65, 0.0, -0.012]
+    import pandas as _pd
+    from geo_raster_spark.operators.zonal import _partials_kernel
+    c0 = dggs.latlng_to_cell(np.array([0.3]), np.array([0.3]), res=res)[0]
+    c1 = dggs.latlng_to_cell(np.array([cw + 0.3]), np.array([0.3]), res=res)[0]
+    assert c0 != c1
+    base = {"image_id": "imgY", "bytes": bytearray(codecs.encode(arr, "npy")),
+            "fmt": "npy", "w": 120, "h": 30, "gt": info_gt, "zone_id": 5}
+    batch = _pd.DataFrame([dict(base, fcell=int(c0)),
+                           dict(base, fcell=int(c1))])
+
+    calls = {"n": 0}
+    real_decode = codecs.decode
+
+    def counting(data, fmt):
+        calls["n"] += 1
+        return real_decode(data, fmt)
+
+    monkeypatch.setattr(codecs, "decode", counting)
+    zr = {5: [ring]}
+    rows = list(_partials_kernel(zr, -1.0, res)(iter([batch])))[0]
+    assert calls["n"] == 1, "image decoded once despite 2 candidate rows"
+    # parity: same partials as running the kernel on each row separately
+    monkeypatch.setattr(codecs, "decode", real_decode)
+    sep = pd.concat([
+        list(_partials_kernel(zr, -1.0, res)(iter([batch.iloc[[i]]])))[0]
+        for i in range(2)]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(rows.reset_index(drop=True), sep)
+    assert rows["pcount"].sum() > 0
+    # the two fcell rows carry DISJOINT pixel subsets
+    assert len(rows) == 2 and rows["pcount"].iloc[0] != 0

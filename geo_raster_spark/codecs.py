@@ -222,7 +222,77 @@ def decode_jfif(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# dispatch + metrics
+# "grsc" — multi-dataset container (the reference's HDF file#dataset role)
+# ---------------------------------------------------------------------------
+
+_GRSC_MAGIC = b"GRSC\x01"
+CONTAINER_FMT = "grsc"
+
+
+def encode_container(datasets: dict) -> bytes:
+    """``{name: (array_or_bytes, fmt)}`` -> one container payload holding
+    independently-encoded named sub-datasets.
+
+    Closes S16's container gap: the reference resolves ``file#dataset``
+    refs into HDF sub-datasets (path resolution
+    [ref: mod/geo_raster_ex_c.pyx:909-988]; Landsat SR band files
+    [ref: lib/landsat_dataset.py:115-338]).  Here the container is a
+    self-describing payload; a row references one sub-dataset as
+    ``fmt = "grsc#<name>"`` and ``decode`` resolves it."""
+    entries, blobs = [], []
+    for name, (payload, fmt) in datasets.items():
+        if not isinstance(payload, (bytes, bytearray)):
+            payload = encode(payload, fmt)
+        entries.append((name.encode(), fmt.encode(), len(payload)))
+        blobs.append(bytes(payload))
+    hlen = (len(_GRSC_MAGIC) + 2
+            + sum(2 + len(n) + 2 + len(f) + 16 for n, f, _ in entries))
+    head = io.BytesIO()
+    head.write(_GRSC_MAGIC)
+    head.write(struct.pack(">H", len(entries)))
+    off = hlen
+    for n, f, ln in entries:
+        head.write(struct.pack(">H", len(n)) + n)
+        head.write(struct.pack(">H", len(f)) + f)
+        head.write(struct.pack(">QQ", off, ln))
+        off += ln
+    return head.getvalue() + b"".join(blobs)
+
+
+def container_index(data) -> dict:
+    """Container payload -> ``{name: (fmt, offset, length)}``."""
+    data = bytes(data)
+    if data[:5] != _GRSC_MAGIC:
+        raise ValueError("not a GRSC container payload")
+    (cnt,) = struct.unpack_from(">H", data, 5)
+    pos, out = 7, {}
+    for _ in range(cnt):
+        (nl,) = struct.unpack_from(">H", data, pos)
+        pos += 2
+        name = data[pos:pos + nl].decode()
+        pos += nl
+        (fl,) = struct.unpack_from(">H", data, pos)
+        pos += 2
+        fmt = data[pos:pos + fl].decode()
+        pos += fl
+        off, ln = struct.unpack_from(">QQ", data, pos)
+        pos += 16
+        out[name] = (fmt, off, ln)
+    return out
+
+
+def decode_container(data, name: str) -> np.ndarray:
+    """Resolve + decode one named sub-dataset (``file#dataset`` semantics)."""
+    idx = container_index(data)
+    if name not in idx:
+        raise KeyError(
+            f"dataset {name!r} not in container (has {sorted(idx)})")
+    fmt, off, ln = idx[name]
+    return decode(bytes(data)[off:off + ln], fmt)
+
+
+# ---------------------------------------------------------------------------
+# dispatch + pluggable registry + metrics
 # ---------------------------------------------------------------------------
 
 _ENCODERS = {"npy": encode_npy, "png": encode_png, "jpeg": encode_jpeg,
@@ -231,12 +301,49 @@ _DECODERS = {"npy": decode_npy, "png": decode_png, "jpeg": decode_jpeg,
              "jpg": decode_jfif}
 
 
+def register(fmt: str, decode_fn=None, encode_fn=None):
+    """Pluggable codec seam — the deployment hook for the one acknowledged
+    100 TB wall (pure-NumPy JPEG throughput, SCALE.md): a cluster image
+    with a native codec (libjpeg-turbo / GDAL binding) registers it here
+    and every decode/encode dispatch — tile_cut, zonal, multimodal,
+    parity checks — flows through it with no other code change.  The
+    in-repo pure-NumPy implementations stay the defaults.
+
+    Returns the ``(previous_decode, previous_encode)`` pair so tests and
+    scoped overrides can restore it."""
+    prev = (_DECODERS.get(fmt), _ENCODERS.get(fmt))
+    if decode_fn is not None:
+        _DECODERS[fmt] = decode_fn
+    if encode_fn is not None:
+        _ENCODERS[fmt] = encode_fn
+    return prev
+
+
+def registered_formats() -> list:
+    return sorted(set(_DECODERS) | set(_ENCODERS))
+
+
 def encode(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt not in _ENCODERS:
+        raise ValueError(f"no encoder for fmt {fmt!r} "
+                         f"(registered: {registered_formats()})")
     return _ENCODERS[fmt](arr)
 
 
 def decode(data: bytes, fmt: str) -> np.ndarray:
-    """fmt-keyed decode branch (SURVEY.md §2.1 S16's Spark mapping)."""
+    """fmt-keyed decode branch (SURVEY.md §2.1 S16's Spark mapping).
+
+    ``fmt = "grsc#<name>"`` resolves sub-dataset ``name`` out of a
+    container payload (the reference's ``file#dataset`` refs)."""
+    if "#" in fmt:
+        base, name = fmt.split("#", 1)
+        if base != CONTAINER_FMT:
+            raise ValueError(f"dataset ref {fmt!r}: only "
+                             f"'{CONTAINER_FMT}#<name>' payloads supported")
+        return decode_container(data, name)
+    if fmt not in _DECODERS:
+        raise ValueError(f"no decoder for fmt {fmt!r} "
+                         f"(registered: {registered_formats()})")
     return _DECODERS[fmt](data)
 
 

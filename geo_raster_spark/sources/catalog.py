@@ -51,6 +51,51 @@ def load(spark: SparkSession, source, ext=None) -> DataFrame:
     return filter_extent(cat, ext) if ext is not None else cat
 
 
+def split_dataset_ref(ref: str):
+    """``'path#dataset'`` -> ``(path, dataset_or_None)`` — the reference's
+    sub-dataset path resolution [ref: mod/geo_raster_ex_c.pyx:939-948]."""
+    if "#" in ref:
+        path, ds = ref.split("#", 1)
+        return path, ds
+    return ref, None
+
+
+def expand_container_rows(images: DataFrame, band_col: str = "band",
+                          name_col: str = "dataset") -> DataFrame:
+    """S16 container closure: rows whose ``fmt == 'grsc'`` (multi-dataset
+    container payloads, ``codecs.encode_container``) expand MAP-SIDE into
+    one row per sub-dataset with ``fmt = 'grsc#<name>'`` plus a numeric
+    ``band_col`` (index in the container's dataset order) — ready for
+    ``tile_cut(band_col=...)``.  Non-container rows pass through with
+    band 0.
+
+    The reference's Landsat SR HDF reader does this resolution file-side
+    [ref: lib/landsat_dataset.py:115-338]; here it is a column transform:
+    explode happens inside the Arrow batch (no shuffle), and the payload
+    column is shared by reference within the batch.  At 100 TB you would
+    instead store one row per sub-dataset at ingest (container decoded
+    once) — this operator is the query-time equivalent."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.functions import pandas_udf
+
+    from .. import codecs
+
+    @pandas_udf("array<string>")
+    def _names(b: pd.Series) -> pd.Series:
+        return b.map(lambda v: sorted(codecs.container_index(bytes(v))))
+
+    cont = images.where(F.col("fmt") == codecs.CONTAINER_FMT)
+    plain = images.where(F.col("fmt") != codecs.CONTAINER_FMT) \
+                  .withColumn(name_col, SF.lit(None).cast("string")) \
+                  .withColumn(band_col, SF.lit(0))
+    expanded = (cont.withColumn("_nm", _names(F.col("bytes")))
+                    .select("*", SF.posexplode("_nm").alias(band_col, name_col))
+                    .drop("_nm")
+                    .withColumn("fmt", SF.concat(SF.lit(codecs.CONTAINER_FMT + "#"),
+                                                 SF.col(name_col))))
+    return expanded.unionByName(plain.select(expanded.columns))
+
+
 def write_bucketed(df: DataFrame, table: str, path: str,
                    key: str = "cell", buckets: int = 64) -> None:
     """Persist a catalog/table BUCKETED by the spatial cell key.

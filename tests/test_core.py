@@ -714,3 +714,67 @@ def test_triangulate_checked_flags_degenerate_ring():
     tris = geometry.triangulate_ring_checked(L)
     cov = sum(abs(geometry.ring_area(np.vstack([t, t[:1]]))) for t in tris)
     assert np.isclose(cov, 5.0)
+
+
+def test_container_roundtrip_and_dataset_refs():
+    """S16 container: encode_container packs named sub-datasets of mixed
+    formats; decode resolves 'grsc#<name>' refs; missing names fail loudly."""
+    a = (np.arange(12 * 9, dtype=np.float64).reshape(9, 12) % 201.0)
+    b8 = (np.arange(6 * 7, dtype=np.uint8).reshape(7, 6) * 3) % 251
+    payload = codecs.encode_container({
+        "sr_band5": (a, "npy"),
+        "qa": (b8, "png"),
+        "raw": (codecs.encode_npy(b8), "npy"),   # pre-encoded bytes accepted
+    })
+    idx = codecs.container_index(payload)
+    assert set(idx) == {"sr_band5", "qa", "raw"}
+    assert idx["sr_band5"][0] == "npy" and idx["qa"][0] == "png"
+    np.testing.assert_array_equal(codecs.decode(payload, "grsc#sr_band5"), a)
+    np.testing.assert_array_equal(codecs.decode(payload, "grsc#qa"), b8)
+    np.testing.assert_array_equal(codecs.decode(payload, "grsc#raw"), b8)
+    with pytest.raises(KeyError, match="sr_band9"):
+        codecs.decode(payload, "grsc#sr_band9")
+    with pytest.raises(ValueError, match="GRSC"):
+        codecs.container_index(b"not a container")
+    with pytest.raises(ValueError, match="grsc"):
+        codecs.decode(payload, "hdf#sr_band5")
+
+
+def test_codec_registry_seam():
+    """Pluggable codec seam: register() overrides dispatch for every caller
+    (the native-codec deployment hook) and restores cleanly; unknown fmts
+    list what IS registered."""
+    calls = {"n": 0}
+    base_decode = codecs.decode_png
+
+    def counting(data):
+        calls["n"] += 1
+        return base_decode(data)
+
+    prev = codecs.register("png", decode_fn=counting)
+    try:
+        img = (np.arange(64, dtype=np.uint8).reshape(8, 8))
+        out = codecs.decode(codecs.encode(img, "png"), "png")
+        np.testing.assert_array_equal(out, img)
+        assert calls["n"] == 1
+        # container sub-decodes flow through the seam too
+        payload = codecs.encode_container({"b1": (img, "png")})
+        codecs.decode(payload, "grsc#b1")
+        assert calls["n"] == 2
+    finally:
+        codecs.register("png", decode_fn=prev[0], encode_fn=prev[1])
+    assert codecs.decode(codecs.encode(img, "png"), "png").shape == (8, 8)
+    assert calls["n"] == 2
+    # a brand-new format registers end to end
+    prev2 = codecs.register("raw16",
+                            decode_fn=lambda d: np.frombuffer(d, np.uint16),
+                            encode_fn=lambda a: a.astype(np.uint16).tobytes())
+    try:
+        v = np.array([1, 500, 65535], dtype=np.uint16)
+        np.testing.assert_array_equal(codecs.decode(codecs.encode(v, "raw16"),
+                                                    "raw16"), v)
+        assert "raw16" in codecs.registered_formats()
+    finally:
+        codecs._DECODERS.pop("raw16"), codecs._ENCODERS.pop("raw16")
+    with pytest.raises(ValueError, match="registered"):
+        codecs.decode(b"x", "tiff")

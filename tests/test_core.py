@@ -778,3 +778,59 @@ def test_codec_registry_seam():
         codecs._DECODERS.pop("raw16"), codecs._ENCODERS.pop("raw16")
     with pytest.raises(ValueError, match="registered"):
         codecs.decode(b"x", "tiff")
+
+
+_WKT = {
+    "EPSG:4326": '''GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]''',
+    "EPSG:3857": '''PROJCS["WGS 84 / Pseudo-Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3857"]]''',
+    "EPSG:32618": '''PROJCS["WGS 84 / UTM zone 18N",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",-75],PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],PARAMETER["false_northing",0],UNIT["metre",1]]''',
+    "EPSG:32718": '''PROJCS["WGS 84 / UTM zone 18S",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",-75],PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],PARAMETER["false_northing",10000000],UNIT["metre",1]]''',
+    "EPSG:5070": '''PROJCS["NAD83 / Conus Albers",GEOGCS["NAD83",DATUM["North_American_Datum_1983",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Albers_Conic_Equal_Area"],PARAMETER["latitude_of_center",23],PARAMETER["longitude_of_center",-96],PARAMETER["standard_parallel_1",29.5],PARAMETER["standard_parallel_2",45.5],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1]]''',
+    "EPSG:3978": '''PROJCS["NAD83 / Canada Atlas Lambert",GEOGCS["NAD83",DATUM["North_American_Datum_1983",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic_2SP"],PARAMETER["standard_parallel_1",49],PARAMETER["standard_parallel_2",77],PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-95],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1]]''',
+    "EPSG:3413": '''PROJCS["WGS 84 / NSIDC Sea Ice Polar Stereographic North",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Polar_Stereographic"],PARAMETER["latitude_of_origin",70],PARAMETER["central_meridian",-45],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1]]''',
+    "EPSG:3031": '''PROJCS["WGS 84 / Antarctic Polar Stereographic",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Polar_Stereographic"],PARAMETER["latitude_of_origin",-71],PARAMETER["central_meridian",0],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1]]''',
+    "SINU": '''PROJCS["MODIS Sinusoidal",GEOGCS["Unknown datum based upon the custom spheroid",DATUM["Not_specified",SPHEROID["Custom spheroid",6371007.181,0]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Sinusoidal"],PARAMETER["longitude_of_center",0],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["Meter",1]]''',
+}
+
+
+def test_wkt_parsing_bit_identical_to_epsg_ids():
+    """P6 WKT leg: GEOGCS/PROJCS WKT1 of the 7 families resolves to
+    transforms BIT-IDENTICAL to the canonical EPSG ids (VERDICT r3 #6)."""
+    lon = np.array([-120.0, 3.0, 45.0])
+    for canon, wkt in _WKT.items():
+        if canon in ("EPSG:3413",):
+            lat = np.array([70.0, 80.0, 60.0])
+        elif canon in ("EPSG:3031",):
+            lat = np.array([-70.0, -80.0, -60.0])
+        else:
+            lat = np.array([40.0, 45.0, -33.0])
+        xa, ya = crs.transform("EPSG:4326", wkt, lon, lat)
+        xb, yb = crs.transform("EPSG:4326", canon, lon, lat)
+        np.testing.assert_array_equal(xa, xb, err_msg=canon)
+        np.testing.assert_array_equal(ya, yb, err_msg=canon)
+        lo, lt = crs.transform(wkt, "EPSG:4326", xa, ya)
+        np.testing.assert_allclose(lo, lon, atol=1e-8, err_msg=canon)
+        np.testing.assert_allclose(lt, lat, atol=1e-8, err_msg=canon)
+
+
+def test_wkt_rejects_unsupported_loudly():
+    bad_cases = [
+        # non-UTM transverse mercator (k=1)
+        _WKT["EPSG:32618"].replace('"scale_factor",0.9996', '"scale_factor",1'),
+        # Bessel ellipsoid
+        _WKT["EPSG:4326"].replace("6378137,298.257223563",
+                                  "6377397.155,299.1528128"),
+        # unsupported projection family
+        _WKT["EPSG:3978"].replace("Lambert_Conformal_Conic_2SP", "Robinson"),
+        # polar stereographic variant A (scaled pole)
+        _WKT["EPSG:3413"].replace('PARAMETER["central_meridian",-45]',
+                                  'PARAMETER["central_meridian",-45],'
+                                  'PARAMETER["scale_factor",0.994]'),
+        # nonzero false easting
+        _WKT["EPSG:5070"].replace('"false_easting",0', '"false_easting",1500'),
+    ]
+    for wkt in bad_cases:
+        with pytest.raises(ValueError):
+            crs.normalize_crs(wkt)
+    with pytest.raises(ValueError, match="WKT2"):
+        crs.normalize_crs('PROJCRS["x",BASEGEOGCRS["WGS 84"]]')

@@ -292,6 +292,12 @@ def test_knn_pairs_exact_finds_planted_dups(spark):
     capped = similarity.knn_pairs_exact(emb, dim=16, n_planes=6,
                                         threshold=0.95, max_bucket=1).toPandas()
     assert len(capped) == 0
+    # center= accepts a precomputed vector (no data_mean full pass) and,
+    # with the true mean, returns the identical pair set
+    mu = X.mean(axis=0)
+    pre = similarity.knn_pairs_exact(emb, dim=16, n_planes=6,
+                                     threshold=0.95, center=mu).toPandas()
+    assert set(zip(pre["id_a"], pre["id_b"])) == got
 
 
 def test_ivf_index_persisted_pruned_and_equal(spark, sf_dir, tmp_path):

@@ -365,10 +365,16 @@ def _shipped(fn):
 # directly.
 _REGISTRY_MAX = 50
 
-_ROWS_ONLY_KEYS = [
-    "m2_frame_sample", "g11_composite", "t4_stack_median", "g12_overviews",
-    "g10_warp", "x3_parity",
-]
+# The three residual rows-only queries are all CODEC-bound — their values
+# are pinned by byte-exact pytests, and an ANSI-SQL oracle would have to
+# re-implement a DCT/Huffman or warp gather DuckDB cannot express:
+# - m2_frame_sample: real MJPEG split + baseline JPEG decode
+#   (tests/test_multimodal.py::test_frame_sample_real_mjpeg is exact)
+# - g10_warp: cross-CRS sinusoidal warp — trig transform per pixel
+#   (tests/test_kernels_other.py warp oracles are exact)
+# - x3_parity: the per-row PSNR/caption invariant itself (the check IS the
+#   oracle; rows report pass counts over real JFIF/PNG codecs)
+_ROWS_ONLY_KEYS = ["m2_frame_sample", "g10_warp", "x3_parity"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -390,10 +396,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool.update(local_q)
     oracled = set(oracle_sql())
     out = {name: _shipped(fn) for name, fn in pool.items() if name in oracled}
+    # headroom guard (round-3 VERDICT #9): every oracle-backed key MUST get
+    # a report row — rows-only keys are the only thing allowed to rotate out
+    missing = oracled - set(out)
+    assert not missing, (
+        f"oracle-backed queries missing from the pool: {sorted(missing)}")
     out.update({name: _shipped(pool[name]) for name in _ROWS_ONLY_KEYS})
     assert len(out) <= _REGISTRY_MAX, (
         f"{len(out)} queries exceed the driver's {_REGISTRY_MAX}-row "
-        f"correctness-report cap — trim _ROWS_ONLY_KEYS")
+        f"correctness-report cap — trim _ROWS_ONLY_KEYS (never the "
+        f"oracle-backed set)")
     return out
 
 

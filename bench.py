@@ -28,11 +28,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "1000000"))
 
+# j6 now benches the ENGINE k-ring kNN plan (k1_knn_kring) rather than its
+# crossJoin oracle twin — the headline number should reflect the scale plan
+# (round-3 VERDICT #3); k1 stays hash-checked by the driver.
 BENCH_QUERIES = ["q1_pricing", "g2_tile_assign", "j1_pip_rect", "j2_bbox_join",
-                 "j6_knn", "a9_value_counts", "a15_regression", "d1_exact_dedup"]
+                 "k1_knn_kring", "a9_value_counts", "a15_regression",
+                 "d1_exact_dedup"]
 
 
 def main():
+    # oracle aux-artifact dumps are correctness scaffolding, not engine
+    # cost — skip them so the bench times the operators (VERDICT r3 #2)
+    os.environ["GSR_BENCH"] = "1"
     import __spark_entry__ as em
     from geo_raster_spark.session import get_spark
     from geo_raster_spark.plans.flagship import run_flagship_synthetic

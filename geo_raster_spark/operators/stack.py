@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame
 from .. import codecs
 
 STACK_SCHEMA = ("tile_tag string, n_epochs int, width int, height int, "
-                "gt array<double>, painted bigint, data binary")
+                "gt array<double>, painted bigint, val_sum double, "
+                "data binary")
 
 _STATS = {
     "mean": np.nanmean,
@@ -65,6 +66,11 @@ def pixel_stack_stats(tiles: DataFrame, stat: str = "median",
             "tile_tag": tag, "n_epochs": len(pdf), "width": w, "height": h,
             "gt": list(first["gt"]),
             "painted": int((out != nodata).sum()),
+            # float sum of the reduced plane over painted positions — an
+            # exactly-reproducible scalar (epoch medians of uint8 inputs
+            # are multiples of 0.5, so the sum is binary-exact regardless
+            # of order) that the DuckDB oracle re-derives per pixel
+            "val_sum": float(out[out != nodata].sum()),
             "data": codecs.encode_png(np.clip(np.round(out), 0, 255)
                                       .astype(np.uint8)),
         }

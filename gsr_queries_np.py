@@ -10,7 +10,18 @@ operators synthesize their deterministic images input (BASELINE.json
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
+
+
+def _aux_enabled() -> bool:
+    """Oracle aux-artifact dumps are CORRECTNESS scaffolding, not engine
+    cost: bench.py sets GSR_BENCH=1 so the timed queries skip the parquet
+    dumps (and the dump->read round-trips) and the bench times the
+    operator alone.  The driver's correctness runs leave the flag unset,
+    so every oracle always reads a fresh artifact."""
+    return os.environ.get("GSR_BENCH") != "1"
 
 
 def _t(spark, sf_dir, name):
@@ -49,7 +60,7 @@ def q_g5_tile_cut_agg(spark, sf_dir):
     base = mosaic.tile_cut(_images(spark, 200), nodata=0.0)
     path = f"{AUX_DIR}/g5_pixels"
 
-    def dump(it):
+    def dump(it):  # oracle scaffolding — skipped under GSR_BENCH=1
         for pdf in it:
             outs = []
             for _, r0 in pdf.iterrows():
@@ -65,10 +76,11 @@ def q_g5_tile_cut_agg(spark, sf_dir):
             yield (pd.concat(outs) if outs else
                    pd.DataFrame(columns=["tile_tag", "n_images", "r", "c", "v"]))
 
-    base.mapInPandas(
-        dump,
-        schema="tile_tag string, n_images int, r int, c int, v double") \
-        .write.mode("overwrite").parquet(path)
+    if _aux_enabled():
+        base.mapInPandas(
+            dump,
+            schema="tile_tag string, n_images int, r int, c int, v double") \
+            .write.mode("overwrite").parquet(path)
 
     tiles = mosaic.tile_cut(_images(spark, 200), nodata=0.0,
                             agg_to_cell=CELL_SIZE * 4, agg_func="mean")
@@ -85,10 +97,12 @@ def q_z1_zonal(spark, sf_dir):
     from geo_raster_spark import synth
     from geo_raster_spark.operators import zonal
     zones = synth.zones_pandas(12, hot=True)
-    path = f"{AUX_DIR}/z1_partials"
-    zonal.zonal_partials(_images(spark), zones, nodata=-1.0) \
-        .write.mode("overwrite").parquet(path)
-    out = zonal.zonal_combine(spark.read.parquet(path))
+    part = zonal.zonal_partials(_images(spark), zones, nodata=-1.0)
+    if _aux_enabled():
+        path = f"{AUX_DIR}/z1_partials"
+        part.write.mode("overwrite").parquet(path)
+        part = spark.read.parquet(path)
+    out = zonal.zonal_combine(part)
     return out.select("zone_id", F.round("mean", 6).alias("mean"),
                       F.round("rng", 6).alias("rng"), "n_pixels", "n_images")
 
@@ -158,10 +172,12 @@ def q_d2_minhash(spark, sf_dir):
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
-    path = f"{AUX_DIR}/d2_sig"
-    dedup.minhash_signatures_np(d).write.mode("overwrite").parquet(path)
-    return dedup.minhash_pairs_from_sig(spark.read.parquet(path),
-                                        jaccard_threshold=0.5)
+    sig = dedup.minhash_signatures_np(d)
+    if _aux_enabled():
+        path = f"{AUX_DIR}/d2_sig"
+        sig.write.mode("overwrite").parquet(path)
+        sig = spark.read.parquet(path)
+    return dedup.minhash_pairs_from_sig(sig, jaccard_threshold=0.5)
 
 
 # Shared artifact dir: aux-write pattern for the d3/d4/d5 oracles — Spark
@@ -180,9 +196,11 @@ def q_d3_simhash(spark, sf_dir):
     values themselves are pinned by the scalar-parity pytest)."""
     from geo_raster_spark.operators import dedup
     d = _t(spark, sf_dir, "documents")
-    path = f"{AUX_DIR}/d3_sig"
-    dedup.simhash_signature(d).write.mode("overwrite").parquet(path)
-    sig = spark.read.parquet(path)
+    sig = dedup.simhash_signature(d)
+    if _aux_enabled():
+        path = f"{AUX_DIR}/d3_sig"
+        sig.write.mode("overwrite").parquet(path)
+        sig = spark.read.parquet(path)
     return (sig.select(F.expr("CAST((simhash >> 48) & 65535 AS BIGINT)")
                         .alias("prefix"))
                .groupBy("prefix").agg(F.count("*").alias("n")))
@@ -191,11 +209,20 @@ def q_d3_simhash(spark, sf_dir):
 def q_t4_stack_median(spark, sf_dir):
     """Per-pixel MEDIAN across a 3-epoch tile stack (the reference's
     multi-scene compositing role).  Epochs = three disjoint synthetic image
-    slices tiled independently; rows-only (pixel semantics pinned by
-    test_pixel_stack_stats_matches_numpy)."""
+    slices tiled independently.
+
+    ORACLE-CHECKED via the aux artifact: the per-epoch tile pixels are
+    dumped (valid values only + one marker row per (tile, epoch)); DuckDB
+    re-runs the per-pixel median combine with ``quantile_cont(v, 0.5)``
+    (≡ np.nanmedian's linear interpolation) and must reproduce every
+    tile's epoch count, painted count AND the float sum of the median
+    plane (epoch medians of uint8 inputs are multiples of 0.5, so the
+    sum is binary-exact in both engines)."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as SF
 
-    from geo_raster_spark import synth
+    from geo_raster_spark import codecs, synth
     from geo_raster_spark.operators import footprint, mosaic as mz, stack as stk
 
     epochs = []
@@ -205,33 +232,162 @@ def q_t4_stack_median(spark, sf_dir):
         epochs.append(mz.tile_cut(imgs, nodata=0.0)
                       .withColumn("epoch", SF.lit(e)))
     tiles = epochs[0].unionByName(epochs[1]).unionByName(epochs[2])
+
+    if _aux_enabled():
+        def dump(it):
+            for pdf in it:
+                outs = []
+                for _, r0 in pdf.iterrows():
+                    a = codecs.decode_png(bytes(r0["data"])).astype(np.float64)
+                    rr, cc = np.nonzero(a != 0.0)
+                    outs.append(pd.DataFrame({
+                        "tile_tag": r0["tile_tag"],
+                        "epoch": np.int32(r0["epoch"]),
+                        # marker row (r = -1) keeps fully-nodata epochs in
+                        # the per-tile epoch count
+                        "r": np.concatenate([[-1], rr]).astype(np.int32),
+                        "c": np.concatenate([[-1], cc]).astype(np.int32),
+                        "v": np.concatenate([[0.0], a[rr, cc]])}))
+                yield (pd.concat(outs) if outs else
+                       pd.DataFrame(columns=["tile_tag", "epoch", "r", "c", "v"]))
+
+        tiles.select("tile_tag", "epoch", "data").mapInPandas(
+            dump, schema="tile_tag string, epoch int, r int, c int, v double") \
+            .write.mode("overwrite").parquet(f"{AUX_DIR}/t4_pixels")
+
     out = stk.pixel_stack_stats(tiles, stat="median", nodata=0.0)
     return out.select("tile_tag", "n_epochs", "painted",
-                      F.length("data").alias("nbytes"))
+                      F.round("val_sum", 4).alias("val_sum"))
 
 
 def q_g12_overviews(spark, sf_dir):
     """Tile pyramid: 2 overview levels above the base tile cut (4 children
-    -> 1 parent per level, area-weighted 2x mean).  Rows-only (quadrant/
-    downsample semantics pinned by test_build_overviews_two_levels)."""
+    -> 1 parent per level, area-weighted 2x mean).
+
+    ORACLE-CHECKED via the aux artifact: the LEVEL-0 core pixels are
+    dumped once (valid values + one marker row per child tile); DuckDB
+    re-runs BOTH pyramid levels from them in SQL — quadrant placement,
+    2x nodata-aware mean, the half-to-even uint8 rounding between levels
+    (np.round emulated exactly) — and must reproduce each level's tile
+    count, child count, painted count and stored-pixel value sum."""
+    import numpy as np
+    import pandas as pd
+
+    from geo_raster_spark import codecs
+    from geo_raster_spark.grid import TileGrid
     from geo_raster_spark.operators import mosaic as mz, overviews as ov
+
     tiles = mz.tile_cut(_images(spark, 400), nodata=0.0)
+    size = TileGrid().image_size
+
+    if _aux_enabled():
+        def dump(it):
+            for pdf in it:
+                outs = []
+                for _, r0 in pdf.iterrows():
+                    a = codecs.decode_png(bytes(r0["data"])) \
+                        .astype(np.float64)[:size, :size]   # edge halo dropped
+                    rr, cc = np.nonzero(a != 0.0)
+                    outs.append(pd.DataFrame({
+                        "tile_col": np.int32(r0["tile_col"]),
+                        "tile_row": np.int32(r0["tile_row"]),
+                        "r": np.concatenate([[-1], rr]).astype(np.int32),
+                        "c": np.concatenate([[-1], cc]).astype(np.int32),
+                        "v": np.concatenate([[0.0], a[rr, cc]])}))
+                yield (pd.concat(outs) if outs else
+                       pd.DataFrame(columns=["tile_col", "tile_row",
+                                             "r", "c", "v"]))
+
+        tiles.select("tile_col", "tile_row", "data").mapInPandas(
+            dump, schema="tile_col int, tile_row int, r int, c int, v double") \
+            .write.mode("overwrite").parquet(f"{AUX_DIR}/g12_pixels")
+
     out = ov.build_overviews(tiles, levels=2, nodata=0.0)
-    return (out.groupBy("level")
-               .agg(F.count("*").alias("n_tiles"),
-                    F.sum("n_children").alias("children"),
-                    F.sum("painted").alias("painted")))
+
+    def pix_sum(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["val_sum"] = [int(codecs.decode_png(bytes(d)).sum())
+                              for d in pdf["data"]]
+            yield pdf[["level", "n_children", "painted", "val_sum"]]
+
+    per_tile = out.mapInPandas(
+        pix_sum, schema="level int, n_children int, painted long, val_sum long")
+    return (per_tile.groupBy("level")
+                    .agg(F.count("*").alias("n_tiles"),
+                         F.sum("n_children").alias("children"),
+                         F.sum("painted").alias("painted"),
+                         F.sum("val_sum").alias("val_sum")))
 
 
 def q_g11_composite(spark, sf_dir):
     """G11/J7 priority composite: freshest-pixel mosaic — candidates paint
-    in ascending (priority, image_id); per-tile stats.  Rows-only (pixel
-    semantics pinned by test_tile_cut_priority_composite)."""
+    in ascending (priority, image_id); per-tile stats.
+
+    ORACLE-CHECKED via the aux artifact: every candidate's SINGLE-SOURCE
+    paint (tile pixel -> its value, before any compositing) is dumped plus
+    one marker row per (tile, image); DuckDB re-picks each pixel's winner
+    by min(priority, image_id) — the first-wins order
+    [ref: mod/geo_raster_ex_c.pyx:1241-1243, order fixed per SURVEY.md §4]
+    — and must reproduce every tile's candidate count, painted count and
+    painted-pixel value sum."""
+    import numpy as np
+    import pandas as pd
+
+    from geo_raster_spark import codecs
+    from geo_raster_spark.grid import RasterInfo, TileGrid
+    from geo_raster_spark.kernels import warp as warp_k
     from geo_raster_spark.operators import mosaic as mz
+    from geo_raster_spark.operators.tile_assign import assign_tiles
+
     imgs = _images(spark, 400).withColumn(
         "prio", F.pmod(F.xxhash64("image_id"), F.lit(7)).cast("double"))
+
+    if _aux_enabled():
+        g = TileGrid()
+        assigned = assign_tiles(imgs, g.image_size, g.cell_size, g.edge,
+                                p=g.p)
+
+        def dump(it):
+            for pdf in it:
+                outs = []
+                for _, r0 in pdf.iterrows():
+                    info = g.tile_info(int(r0["tile_col"]),
+                                       int(r0["tile_row"]))
+                    arr = codecs.decode(bytes(r0["bytes"]), r0["fmt"]) \
+                        .astype(np.float64)
+                    src = RasterInfo(tuple(r0["gt"]), int(r0["w"]),
+                                     int(r0["h"]))
+                    single = warp_k.warp_band(arr, src, info, 0.0)
+                    rr, cc = np.nonzero(single != 0.0)
+                    outs.append(pd.DataFrame({
+                        "tile_tag": r0["tile_tag"],
+                        "prio": float(r0["prio"]),
+                        "image_id": r0["image_id"],
+                        "r": np.concatenate([[-1], rr]).astype(np.int32),
+                        "c": np.concatenate([[-1], cc]).astype(np.int32),
+                        "v": np.concatenate([[0.0], single[rr, cc]])}))
+                yield (pd.concat(outs) if outs else
+                       pd.DataFrame(columns=["tile_tag", "prio", "image_id",
+                                             "r", "c", "v"]))
+
+        assigned.mapInPandas(
+            dump, schema=("tile_tag string, prio double, image_id string, "
+                          "r int, c int, v double")) \
+            .write.mode("overwrite").parquet(f"{AUX_DIR}/g11_pixels")
+
     t = mz.tile_cut(imgs, nodata=0.0, priority_col="prio")
-    return t.select("tile_tag", "n_images", "painted", F.length("data").alias("nbytes"))
+
+    def pix_sum(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["val_sum"] = [int(codecs.decode_png(bytes(d)).sum())
+                              for d in pdf["data"]]
+            yield pdf[["tile_tag", "n_images", "painted", "val_sum"]]
+
+    return t.mapInPandas(
+        pix_sum,
+        schema="tile_tag string, n_images int, painted long, val_sum long")
 
 
 def q_m1_image_features(spark, sf_dir):
@@ -269,9 +425,11 @@ def q_m1_image_features(spark, sf_dir):
             yield (pd.concat(outs) if outs else
                    pd.DataFrame(columns=["image_id", "fmt", "r", "c", "v"]))
 
-    imgs.mapInPandas(
-        dump, schema="image_id string, fmt string, r int, c int, v double") \
-        .write.mode("overwrite").parquet(path)
+    if _aux_enabled():
+        imgs.mapInPandas(
+            dump,
+            schema="image_id string, fmt string, r int, c int, v double") \
+            .write.mode("overwrite").parquet(path)
 
     feats = mm.image_features(_images(spark, 200))
     meta = _images(spark, 200).select("image_id", "fmt")
@@ -329,10 +487,13 @@ def q_d5_simhash_pairs(spark, sf_dir):
                         F.concat(F.col("text"), F.lit(" almostidentical"))
                         .alias("text")))
     both = d.unionByName(planted)
-    path = f"{AUX_DIR}/d5_sig"
-    dedup.simhash_signature(both).write.mode("overwrite").parquet(path)
-    sig = spark.read.parquet(path).withColumnRenamed("doc_id", "_id")
-    return dedup.simhash_pairs_from_sig(sig, max_hamming=6)
+    sig = dedup.simhash_signature(both)
+    if _aux_enabled():
+        path = f"{AUX_DIR}/d5_sig"
+        sig.write.mode("overwrite").parquet(path)
+        sig = spark.read.parquet(path)
+    return dedup.simhash_pairs_from_sig(
+        sig.withColumnRenamed("doc_id", "_id"), max_hamming=6)
 
 
 def q_d4_ngram_jaccard(spark, sf_dir):
@@ -343,10 +504,12 @@ def q_d4_ngram_jaccard(spark, sf_dir):
     pair from the raw documents table with list functions."""
     from geo_raster_spark.operators import dedup
     d = _t(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh(d, jaccard_threshold=0.3)
-    path = f"{AUX_DIR}/d4_pairs"
-    cand.select("id_a", "id_b").write.mode("overwrite").parquet(path)
-    return dedup.ngram_jaccard(d, spark.read.parquet(path))
+    cand = dedup.minhash_lsh(d, jaccard_threshold=0.3).select("id_a", "id_b")
+    if _aux_enabled():
+        path = f"{AUX_DIR}/d4_pairs"
+        cand.write.mode("overwrite").parquet(path)
+        cand = spark.read.parquet(path)
+    return dedup.ngram_jaccard(d, cand)
 
 
 def q_e2_lsh_topk(spark, sf_dir):
@@ -370,8 +533,10 @@ def q_e2_lsh_topk(spark, sf_dir):
     planes = similarity.random_planes(64, 6)
     b0 = similarity._bucket_of(probe, planes, mu)
     cand = sorted(similarity._multiprobe_buckets(b0, 6, 1))
-    spark.createDataFrame(pd.DataFrame({"bucket": [int(b) for b in cand]})) \
-        .write.mode("overwrite").parquet(f"{AUX_DIR}/e2_probe")
+    if _aux_enabled():
+        spark.createDataFrame(
+            pd.DataFrame({"bucket": [int(b) for b in cand]})) \
+            .write.mode("overwrite").parquet(f"{AUX_DIR}/e2_probe")
     return (similarity.lsh_topk_indexed(spark, path, probe,
                                         k=10, multiprobe_bits=1)
             .select("vec_id", "rank", F.round("cosine", 4).alias("cosine")))
@@ -393,8 +558,10 @@ def q_e4_ivf_topk(spark, sf_dir):
     C = similarity.build_ivf_index(emb, 64, path, n_centroids=16)
     probe = np.asarray(gsr_queries._probe_vec(), dtype=np.float64)
     order = np.argsort(((C - probe) ** 2).sum(1))[:4]
-    spark.createDataFrame(pd.DataFrame({"ivf": [int(i) for i in order]})) \
-        .write.mode("overwrite").parquet(f"{AUX_DIR}/e4_probe")
+    if _aux_enabled():
+        spark.createDataFrame(
+            pd.DataFrame({"ivf": [int(i) for i in order]})) \
+            .write.mode("overwrite").parquet(f"{AUX_DIR}/e4_probe")
     return (similarity.ivf_topk_indexed(spark, path, probe, k=10, nprobe=4)
             .select("vec_id", "rank", F.round("cosine", 4).alias("cosine")))
 
@@ -910,6 +1077,114 @@ GROUP BY 1
 """
 
 
+SQL_G11 = f"""
+WITH px AS (
+  SELECT * FROM read_parquet('{AUX_DIR}/g11_pixels/*.parquet')
+), w AS (
+  -- first-wins == the candidate with MIN (priority, image_id) per pixel
+  SELECT tile_tag, r, c, v,
+         ROW_NUMBER() OVER (PARTITION BY tile_tag, r, c
+                            ORDER BY prio, image_id) AS rn
+  FROM px WHERE r >= 0
+), t AS (
+  SELECT tile_tag, CAST(COUNT(DISTINCT image_id) AS INT) AS n_images
+  FROM px GROUP BY 1
+), p AS (
+  SELECT tile_tag, COUNT(*) AS painted, CAST(SUM(v) AS BIGINT) AS val_sum
+  FROM w WHERE rn = 1 GROUP BY 1
+)
+SELECT t.tile_tag, t.n_images,
+       CAST(COALESCE(p.painted, 0) AS BIGINT) AS painted,
+       CAST(COALESCE(p.val_sum, 0) AS BIGINT) AS val_sum
+FROM t LEFT JOIN p USING (tile_tag)
+"""
+
+
+SQL_T4 = f"""
+WITH px AS (
+  SELECT * FROM read_parquet('{AUX_DIR}/t4_pixels/*.parquet')
+), med AS (
+  -- quantile_cont(0.5) == np.nanmedian's linear interpolation
+  SELECT tile_tag, r, c, quantile_cont(v, 0.5) AS m
+  FROM px WHERE r >= 0 GROUP BY 1, 2, 3
+), t AS (
+  SELECT tile_tag, CAST(COUNT(DISTINCT epoch) AS INT) AS n_epochs
+  FROM px GROUP BY 1
+), p AS (
+  SELECT tile_tag, COUNT(*) AS painted, SUM(m) AS val_sum
+  FROM med WHERE m != 0.0 GROUP BY 1
+)
+SELECT t.tile_tag, t.n_epochs,
+       CAST(COALESCE(p.painted, 0) AS BIGINT) AS painted,
+       ROUND(CAST(COALESCE(p.val_sum, 0.0) AS DOUBLE), 4) AS val_sum
+FROM t LEFT JOIN p USING (tile_tag)
+"""
+
+
+def _sql_g12(size: int) -> str:
+    half = size // 2
+    # np.round emulation (half-to-even): FLOOR(m+0.5), minus 1 when the
+    # fraction is exactly .5 and that lands on an odd integer
+    rnd = ("CASE WHEN {m} - FLOOR({m}) = 0.5 "
+           "AND CAST(FLOOR({m} + 0.5) AS BIGINT) % 2 = 1 "
+           "THEN CAST(FLOOR({m} + 0.5) AS BIGINT) - 1 "
+           "ELSE CAST(FLOOR({m} + 0.5) AS BIGINT) END")
+    return f"""
+WITH px AS (
+  SELECT * FROM read_parquet('{AUX_DIR}/g12_pixels/*.parquet')
+), l1 AS (
+  -- level-1 cells: quadrant placement + nodata-aware 2x mean (valid rows
+  -- only reach the dump, so COUNT(*) == n_valid and min_rate = 0 holds)
+  SELECT CAST(FLOOR(tile_col / 2) AS INT) AS pcol,
+         CAST(FLOOR(tile_row / 2) AS INT) AS prow,
+         (tile_row - 2 * CAST(FLOOR(tile_row / 2) AS INT)) * {half}
+           + CAST(FLOOR(r / 2) AS INT) AS R,
+         (tile_col - 2 * CAST(FLOOR(tile_col / 2) AS INT)) * {half}
+           + CAST(FLOOR(c / 2) AS INT) AS C,
+         SUM(v) / COUNT(*) AS m
+  FROM px WHERE r >= 0
+  GROUP BY 1, 2, 3, 4
+), ch1 AS (
+  SELECT CAST(SUM(nch) AS BIGINT) AS children FROM (
+    SELECT COUNT(DISTINCT tile_col * 100000 + tile_row) AS nch
+    FROM px GROUP BY CAST(FLOOR(tile_col / 2) AS INT),
+                     CAST(FLOOR(tile_row / 2) AS INT))
+), u1 AS (
+  SELECT pcol, prow, R, C, {rnd.format(m='m')} AS u FROM l1
+), l2 AS (
+  -- level 2 reads the ROUNDED level-1 pixels; u = 0 is nodata there
+  SELECT CAST(FLOOR(pcol / 2) AS INT) AS p2col,
+         CAST(FLOOR(prow / 2) AS INT) AS p2row,
+         (prow - 2 * CAST(FLOOR(prow / 2) AS INT)) * {half}
+           + CAST(FLOOR(R / 2) AS INT) AS R2,
+         (pcol - 2 * CAST(FLOOR(pcol / 2) AS INT)) * {half}
+           + CAST(FLOOR(C / 2) AS INT) AS C2,
+         SUM(u) * 1.0 / COUNT(*) AS m2
+  FROM u1 WHERE u > 0
+  GROUP BY 1, 2, 3, 4
+)
+SELECT 1 AS level,
+       -- tile counts come from the MARKER-inclusive px rows: a parent
+       -- whose children are all-nodata still yields a (painted = 0) tile
+       CAST((SELECT COUNT(DISTINCT CAST(FLOOR(tile_col / 2) AS INT) * 100000
+                          + CAST(FLOOR(tile_row / 2) AS INT)) FROM px)
+            AS BIGINT) AS n_tiles,
+       (SELECT children FROM ch1) AS children,
+       CAST((SELECT COUNT(*) FROM u1) AS BIGINT) AS painted,
+       CAST((SELECT SUM(u) FROM u1) AS BIGINT) AS val_sum
+UNION ALL
+SELECT 2 AS level,
+       CAST((SELECT COUNT(DISTINCT CAST(FLOOR(tile_col / 4) AS INT) * 100000
+                          + CAST(FLOOR(tile_row / 4) AS INT)) FROM px)
+            AS BIGINT) AS n_tiles,
+       CAST((SELECT COUNT(DISTINCT CAST(FLOOR(tile_col / 2) AS INT) * 100000
+                          + CAST(FLOOR(tile_row / 2) AS INT)) FROM px)
+            AS BIGINT) AS children,
+       CAST((SELECT COUNT(*) FROM l2) AS BIGINT) AS painted,
+       CAST((SELECT SUM({rnd.format(m='m2')}) FROM l2) AS BIGINT) AS val_sum
+"""
+
+
 ORACLES = {
     "d2_minhash": _sql_d2(),
     "g5_tile_cut_agg": SQL_G5_AGG,
@@ -925,7 +1200,18 @@ ORACLES = {
     "d4_ngram_jaccard": SQL_D4,
     "d5_simhash_pairs": _sql_d5(),
     "e3_embedding_dups": SQL_E3,
+    "g11_composite": SQL_G11,
+    "t4_stack_median": SQL_T4,
 }
+
+
+def _late_oracles():
+    """Oracles needing runtime constants (TileGrid size)."""
+    from geo_raster_spark.grid import TileGrid
+    return {"g12_overviews": _sql_g12(TileGrid().image_size)}
+
+
+ORACLES.update(_late_oracles())
 
 
 QUERIES = {

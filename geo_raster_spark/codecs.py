@@ -18,7 +18,13 @@ in this environment, so the engine ships self-contained codecs:
 Functions operate on 2-D uint8 arrays (single band — the reference's
 byte-band common case [ref: mod/geo_raster_c.pyx:33-70 pixel type 1 =
 uint8]) and, round 3, on (H, W, 3) RGB: PNG color type 2 and true color
-baseline JFIF (4:4:4 YCbCr) — a real image+caption corpus is RGB.
+baseline JFIF (4:4:4 / 4:2:2 / 4:2:0 YCbCr; the decoder accepts any
+power-of-two sampling factors) — a real image+caption corpus is RGB.
+
+Round 4: every fmt dispatches through a PLUGGABLE registry
+(``register``) so a native codec can replace the hot decode path at
+deployment, and ``grsc`` container payloads resolve ``file#dataset``
+refs (``decode(data, "grsc#<name>")``).
 """
 
 from __future__ import annotations

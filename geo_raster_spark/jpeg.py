@@ -1,11 +1,13 @@
 """Baseline JPEG (JFIF) codec — pure NumPy, no imaging library.
 
 Implements the ITU-T T.81 baseline sequential process for 8-bit GRAYSCALE
-and 4:4:4 YCbCr COLOR: SOI/APP0/DQT/SOF0/DHT/SOS/EOI, 8x8 forward/inverse
-DCT (orthonormal matrix form), Annex-K luminance + chrominance quantization
-tables with libjpeg-style quality scaling, Annex-K Huffman tables,
-per-component DC prediction, interleaved MCUs, zigzag, and 0xFF byte
-stuffing.  Everything here is from the public JPEG spec.
+and YCbCr COLOR (4:4:4, 4:2:2 and 4:2:0 chroma subsampling):
+SOI/APP0/DQT/SOF0/DHT/SOS/EOI, 8x8 forward/inverse DCT (orthonormal matrix
+form), Annex-K luminance + chrominance quantization tables with
+libjpeg-style quality scaling, Annex-K Huffman tables, per-component DC
+prediction, interleaved MCUs with general (Hi, Vi) sampling factors,
+zigzag, and 0xFF byte stuffing.  Everything here is from the public JPEG
+spec.
 
 Role: the reference reads real lossy imagery through GDAL
 [ref: mod/geo_raster_c.pyx:1149-1174]; this closes the "lossy fmt" gap so
@@ -13,11 +15,15 @@ the x3 parity contract (decoded-pixel PSNR >= 40 dB) runs on genuinely
 DCT-coded bytes instead of the JPGQ quantize stub — and (round 3) carries a
 real image+caption corpus's RGB payloads, not just grayscale bands.
 
-Scope: encoder emits 1-component (grayscale) or 3-component 4:4:4 baseline
-(JFIF YCbCr; all components share the Annex-K luminance Huffman tables —
-spec-legal, simplifies the vectorized coder); decoder handles baseline
-sequential 1-component and 3-component 4:4:4, WITH restart intervals
+Scope: encoder emits 1-component (grayscale) or 3-component baseline at
+4:4:4, 4:2:2 or 4:2:0 (JFIF YCbCr; all components share the Annex-K
+luminance Huffman tables — spec-legal, simplifies the vectorized coder);
+decoder handles baseline sequential 1- and 3-component scans with ANY
+power-of-two (Hi, Vi) sampling factors ≤ 4 (4:2:0 — the dominant layout
+in real photo corpora — 4:2:2, 4:4:0, 4:1:1 all included; component
+planes replicate up to full resolution), WITH restart intervals
 (DRI/RSTn), and arbitrary per-component quant/Huffman table ids.
+Progressive (SOF2) still raises.
 """
 
 from __future__ import annotations
@@ -334,19 +340,21 @@ def _plane_zz(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
 
 
 def _headers(h: int, w: int, qts_zz: list, comps: list,
-             restart_interval: int = 0) -> bytes:
+             restart_interval: int = 0, sampling: list | None = None) -> bytes:
     """SOI..SOS header bytes.  ``qts_zz`` = zigzagged uint8 quant tables by
-    id; ``comps`` = [(component_id, quant_table_id)] (sampling 1x1 each; all
-    components use Huffman table 0 — the Annex-K luminance pair).  A
-    nonzero ``restart_interval`` emits a DRI segment."""
+    id; ``comps`` = [(component_id, quant_table_id)]; ``sampling`` =
+    [(hi, vi)] per component (default 1x1 each; all components use Huffman
+    table 0 — the Annex-K luminance pair).  A nonzero
+    ``restart_interval`` emits a DRI segment."""
     out = bytearray()
     out += b"\xFF\xD8"                                           # SOI
     out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, qt_zz in enumerate(qts_zz):
         out += b"\xFF\xDB" + struct.pack(">HB", 67, tq) + qt_zz.tobytes()
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
-    for cid, tq in comps:
-        sof += bytes([cid, 0x11, tq])
+    for k, (cid, tq) in enumerate(comps):
+        hi, vi = sampling[k] if sampling else (1, 1)
+        sof += bytes([cid, (hi << 4) | vi, tq])
     out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
     out += b"\xFF\xC4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00) \
         + bytes(_DC_BITS) + bytes(_DC_VALS)
@@ -362,65 +370,103 @@ def _headers(h: int, w: int, qts_zz: list, comps: list,
     return bytes(out)
 
 
-def _interleaved_dc(zz: np.ndarray, ncomp: int) -> np.ndarray:
+def _interleaved_dc(zz: np.ndarray, pattern) -> np.ndarray:
     """Per-block DC diffs with per-component prediction chains over
-    interleaved MCU rows."""
+    interleaved MCU rows.  ``pattern`` = component index of each block
+    within one MCU (e.g. [0, 1, 2] @4:4:4, [0, 0, 0, 0, 1, 2] @4:2:0)."""
+    pattern = np.asarray(pattern)
+    comp = np.tile(pattern, zz.shape[0] // len(pattern))
     dc = np.empty(zz.shape[0], dtype=np.int64)
-    for c in range(ncomp):
-        z = zz[c::ncomp]
+    for c in np.unique(pattern):
+        m = comp == c
+        z = zz[m]
         d = z[:, 0].astype(np.int64).copy()
         d[1:] -= z[:-1, 0]
-        dc[c::ncomp] = d
+        dc[m] = d
     return dc
 
 
-def _encode_scan(zz: np.ndarray, ncomp: int, restart_interval: int,
+def _encode_scan(zz: np.ndarray, pattern, restart_interval: int,
                  _scalar: bool) -> bytes:
     """Entropy-coded scan, optionally split at restart intervals: every Ri
     MCUs the DC predictors reset, the bitstream 1-pads to a byte boundary,
     and an RSTn marker (n cycling 0..7) separates the segments — T.81
     §B.2.1.2 (restart markers are emitted RAW, never byte-stuffed)."""
     coder = _entropy_scalar if _scalar else _entropy_vector
-    n_mcu = zz.shape[0] // ncomp
+    bpm = len(pattern)
+    n_mcu = zz.shape[0] // bpm
     if not restart_interval:
-        return coder(zz, _interleaved_dc(zz, ncomp))
+        return coder(zz, _interleaved_dc(zz, pattern))
     out = bytearray()
     n = seg = 0
     while n < n_mcu:
         m = min(restart_interval, n_mcu - n)
-        chunk = zz[n * ncomp:(n + m) * ncomp]
+        chunk = zz[n * bpm:(n + m) * bpm]
         if n:
             out += bytes([0xFF, 0xD0 + ((seg - 1) % 8)])
-        out += coder(chunk, _interleaved_dc(chunk, ncomp))
+        out += coder(chunk, _interleaved_dc(chunk, pattern))
         n += m
         seg += 1
     return bytes(out)
 
 
+_SUBSAMPLINGS = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
 def encode(arr: np.ndarray, quality: int = 90, _scalar: bool = False,
-           restart_interval: int = 0) -> bytes:
+           restart_interval: int = 0, subsampling: str = "444") -> bytes:
     """(H, W) uint8 grayscale or (H, W, 3) uint8 RGB -> baseline JFIF bytes.
 
-    Color: JFIF YCbCr, 4:4:4 (one block per component per MCU, interleaved
-    Y Cb Cr), Annex-K luma + chroma quant tables, Huffman tables shared.
+    Color: JFIF YCbCr with Annex-K luma + chroma quant tables and shared
+    Huffman tables.  ``subsampling``: "444" (one block per component per
+    MCU), "422" (Y 2x1) or "420" (Y 2x2 — the dominant layout in real
+    photo corpora; chroma box-averaged over the sampling window).
     ``restart_interval``: emit DRI + RSTn markers every Ri MCUs (error
     resilience; also exercises the decoder's restart path)."""
     arr = np.asarray(arr)
     if arr.ndim == 3 and arr.shape[2] == 3:
         h, w, _ = arr.shape
+        if subsampling not in _SUBSAMPLINGS:
+            raise ValueError(f"subsampling must be one of "
+                             f"{sorted(_SUBSAMPLINGS)}")
+        hy, vy = _SUBSAMPLINGS[subsampling]
         qt_l, qt_c = quant_table(quality), quant_table_chroma(quality)
         y, cb, cr = rgb_to_ycbcr(arr)
-        zzs = [_plane_zz(y, qt_l), _plane_zz(cb, qt_c), _plane_zz(cr, qt_c)]
-        nb = zzs[0].shape[0]
-        # interleave MCUs: rows [Y0, Cb0, Cr0, Y1, ...]
-        zz = np.empty((nb * 3, 64), dtype=np.int64)
-        for c, z in enumerate(zzs):
-            zz[c::3] = z
-        scan = _encode_scan(zz, 3, restart_interval, _scalar)
-        head = _headers(h, w,
-                        [qt_l.reshape(64)[_ZZ].astype(np.uint8),
-                         qt_c.reshape(64)[_ZZ].astype(np.uint8)],
-                        [(1, 0), (2, 1), (3, 1)], restart_interval)
+        qts = [qt_l.reshape(64)[_ZZ].astype(np.uint8),
+               qt_c.reshape(64)[_ZZ].astype(np.uint8)]
+        comps = [(1, 0), (2, 1), (3, 1)]
+        if (hy, vy) == (1, 1):
+            zzs = [_plane_zz(y, qt_l), _plane_zz(cb, qt_c),
+                   _plane_zz(cr, qt_c)]
+            nb = zzs[0].shape[0]
+            # interleave MCUs: rows [Y0, Cb0, Cr0, Y1, ...]
+            zz = np.empty((nb * 3, 64), dtype=np.int64)
+            for c, z in enumerate(zzs):
+                zz[c::3] = z
+            scan = _encode_scan(zz, [0, 1, 2], restart_interval, _scalar)
+            head = _headers(h, w, qts, comps, restart_interval)
+            return head + scan + b"\xFF\xD9"
+        # subsampled: MCU = (8*vy, 8*hy) px of Y + one block per chroma.
+        # Pad everything to the MCU grid (edge replication), box-average
+        # the chroma over each (vy, hy) window, then interleave per MCU:
+        # vy*hy Y blocks in raster order, Cb, Cr (T.81 A.2.3).
+        mx, my = -(-w // (8 * hy)), -(-h // (8 * vy))
+        pw, ph = mx * 8 * hy, my * 8 * vy
+        pad = ((0, ph - h), (0, pw - w))
+        yp = np.pad(y.astype(np.float64), pad, mode="edge")
+        sub = [np.pad(p.astype(np.float64), pad, mode="edge")
+               .reshape(my * 8, vy, mx * 8, hy).mean(axis=(1, 3))
+               for p in (cb, cr)]
+        zzy = (_plane_zz(yp, qt_l)
+               .reshape(my, vy, mx, hy, 64).transpose(0, 2, 1, 3, 4)
+               .reshape(my * mx, vy * hy, 64))
+        zzc = [_plane_zz(p, qt_c).reshape(my * mx, 1, 64) for p in sub]
+        zz = np.concatenate([zzy] + zzc, axis=1) \
+            .reshape(my * mx * (vy * hy + 2), 64).astype(np.int64)
+        pattern = [0] * (vy * hy) + [1, 2]
+        scan = _encode_scan(zz, pattern, restart_interval, _scalar)
+        head = _headers(h, w, qts, comps, restart_interval,
+                        sampling=[(hy, vy), (1, 1), (1, 1)])
         return head + scan + b"\xFF\xD9"
 
     if arr.ndim != 2:
@@ -428,7 +474,7 @@ def encode(arr: np.ndarray, quality: int = 90, _scalar: bool = False,
     h, w = arr.shape
     qt = quant_table(quality)
     zz = _plane_zz(arr.astype(np.float64), qt)
-    scan = _encode_scan(zz.astype(np.int64), 1, restart_interval, _scalar)
+    scan = _encode_scan(zz.astype(np.int64), [0], restart_interval, _scalar)
     head = _headers(h, w, [qt.reshape(64)[_ZZ].astype(np.uint8)], [(1, 0)],
                     restart_interval)
     return head + scan + b"\xFF\xD9"
@@ -625,9 +671,13 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
                 raise NotImplementedError("1- or 3-component baseline only")
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError("4:4:4 sampling only")
-                sof_comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if ncomp == 1:
+                    hi = vi = 1   # sampling ignored in single-component scans
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
+                    raise NotImplementedError(
+                        f"sampling factors {hi}x{vi} out of range")
+                sof_comps.append((cid, tq, hi, vi))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("baseline sequential (SOF0) only")
@@ -646,7 +696,8 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
             ns = seg[0]
             if ns != len(sof_comps):
                 raise NotImplementedError("interleaved single scan only")
-            cid_to_idx = {cid: i for i, (cid, _tq) in enumerate(sof_comps)}
+            cid_to_idx = {cid: i
+                          for i, (cid, _tq, _hi, _vi) in enumerate(sof_comps)}
             for c in range(ns):
                 cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_comps.append((cid_to_idx[cid], tids >> 4, tids & 0x0F))
@@ -657,10 +708,18 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
         raise ValueError("truncated JPEG")
 
     ncomp = len(sof_comps)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    n_mcu = bh * bw
-    n_blocks = n_mcu * ncomp
-    # interleaved coefficient rows: [c0_mcu0, c1_mcu0, ..., c0_mcu1, ...]
+    # general sampling (T.81 A.1.1, A.2.3): MCU covers 8*Hmax x 8*Vmax
+    # pixels; component c contributes hi x vi raster-ordered blocks per MCU
+    hmax = max(hi for _c, _t, hi, _v in sof_comps)
+    vmax = max(vi for _c, _t, _h, vi in sof_comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcu = mcus_y * mcus_x
+    comp_of = [c for c, (_cid, _tq, hi, vi) in enumerate(sof_comps)
+               for _ in range(hi * vi)]
+    bpm = len(comp_of)        # blocks per MCU (1 gray, 3 @4:4:4, 6 @4:2:0)
+    n_blocks = n_mcu * bpm
+    # interleaved coefficient rows, MCU-major, comp_of order within the MCU
     zz = np.zeros((n_blocks, 64), dtype=np.float64)
     scan_bytes = data[scan_start:]
     # restart intervals: RSTn markers are NEVER byte-stuffed, so a raw
@@ -678,8 +737,8 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
             m = min(restart_ri, n_mcu - mcu_done) if restart_ri else n_mcu
             preds = [0] * ncomp
             br = _BitReader(seg_bytes)
-            for i in range(mcu_done * ncomp, (mcu_done + m) * ncomp):
-                c = i % ncomp
+            for i in range(mcu_done * bpm, (mcu_done + m) * bpm):
+                c = comp_of[i % bpm]
                 s = _huff_read(br, dcts[c])
                 diff = _extend(br.read(s), s) if s else 0
                 preds[c] += diff
@@ -713,10 +772,10 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
             Wl = _scan_windows(seg_bytes).tolist()  # plain-int indexing
             nW = len(Wl)
             cur = 0
-            for i in range(mcu_done * ncomp, (mcu_done + m) * ncomp):
+            for i in range(mcu_done * bpm, (mcu_done + m) * bpm):
                 if cur >= nW:
                     break  # truncated stream: remaining blocks stay zero
-                c = i % ncomp
+                c = comp_of[i % bpm]
                 dlen, dsym = dluts[c]
                 alen, asym = aluts[c]
                 idx = Wl[cur]
@@ -758,13 +817,31 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
         zz.ravel()[oi] = ov
 
     planes = []
-    for c, (_cid, tq) in enumerate(sof_comps):
-        blocks = np.zeros((bh * bw, 64), dtype=np.float64)
-        blocks[:, _ZZ] = zz[c::ncomp]                            # de-zigzag
-        blocks = blocks.reshape(bh, bw, 8, 8) * qts[tq]
+    zz4 = zz.reshape(mcus_y, mcus_x, bpm, 64)
+    off = 0
+    for c, (_cid, tq, hi, vi) in enumerate(sof_comps):
+        cnt = hi * vi
+        # component block grid: MCU (my, mx) block (iy, ix) -> row
+        # my*vi + iy, col mx*hi + ix (raster order within the MCU)
+        zc = (zz4[:, :, off:off + cnt, :]
+              .reshape(mcus_y, mcus_x, vi, hi, 64)
+              .transpose(0, 2, 1, 3, 4)
+              .reshape(mcus_y * vi, mcus_x * hi, 64))
+        off += cnt
+        blocks = np.zeros(zc.shape, dtype=np.float64)
+        blocks[:, :, _ZZ] = zc                                   # de-zigzag
+        blocks = blocks.reshape(zc.shape[0], zc.shape[1], 8, 8) * qts[tq]
         pix = np.einsum("ji,xyjk,kl->xyil", _DCT_M, blocks, _DCT_M)
-        planes.append(pix.transpose(0, 2, 1, 3)
-                      .reshape(bh * 8, bw * 8)[:h, :w] + 128.0)
+        plane = (pix.transpose(0, 2, 1, 3)
+                 .reshape(zc.shape[0] * 8, zc.shape[1] * 8) + 128.0)
+        # component dims (T.81 A.1.1) then replicate up to full resolution
+        ch = -(-h * vi // vmax)
+        cw = -(-w * hi // hmax)
+        plane = plane[:ch, :cw]
+        if vi != vmax or hi != hmax:
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
+                              hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -165,3 +165,76 @@ def test_restart_intervals_roundtrip_and_parity():
             d = jpeg.decode(b)
             np.testing.assert_array_equal(d, jpeg.decode(b, _scalar=True))
             np.testing.assert_array_equal(d, plain)
+
+
+# --- chroma subsampling (round 4) -------------------------------------------
+
+def test_subsampled_roundtrip_and_parity():
+    """4:2:0 / 4:2:2 encode+decode: scalar and vectorized paths byte- and
+    pixel-identical; smooth content clears a PSNR floor; odd (non-MCU-
+    aligned) dims handled by edge padding."""
+    yy, xx = np.mgrid[0:52, 0:70]
+    smooth = np.stack([(xx * 3) % 256, (yy * 4) % 256,
+                       ((xx + yy) * 2) % 256], -1).astype(np.uint8)
+    for ss, floor in [("444", 50.0), ("422", 46.0), ("420", 43.0)]:
+        b = jpeg.encode(smooth, 92, subsampling=ss)
+        assert b == jpeg.encode(smooth, 92, subsampling=ss, _scalar=True)
+        d = jpeg.decode(b)
+        np.testing.assert_array_equal(d, jpeg.decode(b, _scalar=True))
+        assert d.shape == smooth.shape
+        assert codecs.psnr(smooth, d) >= floor, ss
+    # each sampling shrinks the payload
+    b444 = jpeg.encode(smooth, 92, subsampling="444")
+    b422 = jpeg.encode(smooth, 92, subsampling="422")
+    b420 = jpeg.encode(smooth, 92, subsampling="420")
+    assert len(b444) > len(b422) > len(b420)
+    # SOF sampling byte is standard: Y Hi<<4|Vi, chroma 1x1
+    i = b420.index(b"\xFF\xC0")
+    assert b420[i + 11] == 0x22 and b420[i + 14] == 0x11
+
+
+def test_subsampled_restart_intervals():
+    rgb = _rgb_fixture(33, 41, seed=9)
+    b = jpeg.encode(rgb, 92, subsampling="420", restart_interval=2)
+    assert b"\xFF\xDD" in b
+    np.testing.assert_array_equal(
+        jpeg.decode(b), jpeg.decode(jpeg.encode(rgb, 92, subsampling="420")))
+
+
+def test_sampling_orientation_matches_t81():
+    """Hi is the HORIZONTAL factor (T.81 §B.2.2): 4:2:2 (2x1) halves chroma
+    in x only — 1-row chroma stripes survive 4:2:2 but not 4:2:0, and
+    1-col stripes survive neither; an h/v swap in either the header writer
+    or the decoder geometry would invert this."""
+    h, w = 48, 64
+    y = np.full((h, w), 128.0)
+    cr = np.full((h, w), 128.0)
+    cb_v = 128 + 30 * (np.arange(h)[:, None] % 2) * np.ones((1, w))
+    cb_h = 128 + 30 * (np.arange(w)[None, :] % 2) * np.ones((h, 1))
+    rows = jpeg.ycbcr_to_rgb(y, cb_v, cr)
+    cols = jpeg.ycbcr_to_rgb(y, cb_h, cr)
+    p = {ss: codecs.psnr(rows, jpeg.decode(jpeg.encode(rows, 95, subsampling=ss)))
+         for ss in ("422", "420")}
+    q = {ss: codecs.psnr(cols, jpeg.decode(jpeg.encode(cols, 95, subsampling=ss)))
+         for ss in ("444", "422")}
+    assert p["422"] > p["420"] + 5     # vertical chroma detail kept by 2x1
+    assert q["444"] > q["422"] + 5     # horizontal detail lost by 2x1
+
+
+def test_decode_foreign_sampling_combinations():
+    """Decoder handles sampling headers beyond what our encoder emits (the
+    dispatch envelope is decode-side): e.g. grayscale with a nontrivial
+    sampling byte (ignored per T.81 for single-component scans)."""
+    from geo_raster_spark import synth
+    g = synth.image_pixels(7, 24, 18, 4242)
+    b = bytearray(jpeg.encode(g, 95))
+    i = bytes(b).index(b"\xFF\xC0")
+    assert b[i + 11] == 0x11
+    b[i + 11] = 0x22          # sampling byte must be IGNORED for 1-comp
+    np.testing.assert_array_equal(jpeg.decode(bytes(b)), jpeg.decode(jpeg.encode(g, 95)))
+    with pytest.raises(NotImplementedError, match="sampling"):
+        b[i + 11] = 0x33      # factor 3 unsupported -> loud
+        bb = bytearray(jpeg.encode(_rgb_fixture(16, 16, seed=1), 90))
+        j = bytes(bb).index(b"\xFF\xC0")
+        bb[j + 11] = 0x33
+        jpeg.decode(bytes(bb))

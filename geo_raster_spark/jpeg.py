@@ -22,8 +22,13 @@ decoder handles baseline sequential 1- and 3-component scans with ANY
 power-of-two (Hi, Vi) sampling factors ≤ 4 (4:2:0 — the dominant layout
 in real photo corpora — 4:2:2, 4:4:0, 4:1:1 all included; component
 planes replicate up to full resolution), WITH restart intervals
-(DRI/RSTn), and arbitrary per-component quant/Huffman table ids.
-Progressive (SOF2) still raises.
+(DRI/RSTn), and arbitrary per-component quant/Huffman table ids — AND
+(round 4) PROGRESSIVE (SOF2) streams: spectral selection, successive
+approximation, DC/AC refinement scans, EOB runs, interleaved or
+single-component DC scans with sampling factors (T.81 Annex G).
+``encode_progressive`` emits a 4-mode scan script as the decoder's
+cross-path parity twin.  Arithmetic coding and hierarchical (SOF9+)
+still raise.
 """
 
 from __future__ import annotations
@@ -480,6 +485,159 @@ def encode(arr: np.ndarray, quality: int = 90, _scalar: bool = False,
     return head + scan + b"\xFF\xD9"
 
 
+def _sos_hdr(specs, ss, se, ah, al) -> bytes:
+    b = bytes([len(specs)])
+    for cid, td, ta in specs:
+        b += bytes([cid, (td << 4) | ta])
+    b += bytes([ss, se, (ah << 4) | al])
+    return b"\xFF\xDA" + struct.pack(">H", 2 + len(b)) + b
+
+
+def encode_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Progressive JFIF (SOF2) encoder — the parity twin that lets the
+    progressive DECODER be validated against a very different code path:
+    the coefficients are identical to the baseline encoder's at the same
+    quality, so progressive decode must reproduce baseline decode EXACTLY.
+
+    Scan script (exercises BOTH progressive modes of T.81 Annex G):
+      1. DC, all components interleaved, successive approximation Al=1
+      2. DC refinement (Ah=1, Al=0) — raw LSB bits, no Huffman
+      3. per component: AC spectral selection 1..63, Al=1 (EOB runs are
+         flushed per block as EOB0 — the Annex-K AC table defines no
+         EOBn>0 symbols, which is spec-legal, just less compressed)
+      4. per component: AC refinement 1..63 (Ah=1, Al=0) with ZRL +
+         buffered-correction-bit semantics
+    Grayscale or RGB 4:4:4."""
+    arr = np.asarray(arr)
+    color = arr.ndim == 3
+    if color and arr.shape[2] != 3:
+        raise ValueError("grayscale (H, W) or RGB (H, W, 3) only")
+    h, w = arr.shape[:2]
+    qt_l = quant_table(quality)
+    if color:
+        qt_c = quant_table_chroma(quality)
+        y, cb, cr = rgb_to_ycbcr(arr)
+        zzs = [_plane_zz(y, qt_l), _plane_zz(cb, qt_c), _plane_zz(cr, qt_c)]
+        comps = [(1, 0), (2, 1), (3, 1)]
+        qts = [qt_l, qt_c]
+    else:
+        zzs = [_plane_zz(arr.astype(np.float64), qt_l)]
+        comps = [(1, 0)]
+        qts = [qt_l]
+    ncomp = len(zzs)
+    n_blocks = zzs[0].shape[0]
+
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += (b"\xFF\xE0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, qt in enumerate(qts):
+        out += (b"\xFF\xDB" + struct.pack(">HB", 67, tq)
+                + qt.reshape(64)[_ZZ].astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid, tq in comps:
+        sof += bytes([cid, 0x11, tq])
+    out += b"\xFF\xC2" + struct.pack(">H", 2 + len(sof)) + sof
+    out += b"\xFF\xC4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00) \
+        + bytes(_DC_BITS) + bytes(_DC_VALS)
+    out += b"\xFF\xC4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10) \
+        + bytes(_AC_BITS) + bytes(_AC_VALS)
+
+    all_specs = [(cid, 0, 0) for cid, _tq in comps]
+
+    # scan 1: DC first, interleaved, Al=1 (point transform = arith shift)
+    bw_ = _BitWriter()
+    preds = [0] * ncomp
+    for i in range(n_blocks):
+        for c in range(ncomp):
+            v = int(zzs[c][i, 0]) >> 1
+            diff = v - preds[c]
+            preds[c] = v
+            s = int(abs(diff)).bit_length()
+            code, ln = _DC_ENC[s]
+            bw_.write(code, ln)
+            if s:
+                bw_.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    bw_.flush()
+    out += _sos_hdr(all_specs, 0, 0, 0, 1) + bytes(bw_.buf)
+
+    # scan 2: DC refinement (raw LSB per block, two's-complement bit)
+    bw_ = _BitWriter()
+    for i in range(n_blocks):
+        for c in range(ncomp):
+            bw_.write(int(zzs[c][i, 0]) & 1, 1)
+    bw_.flush()
+    out += _sos_hdr(all_specs, 0, 0, 1, 0) + bytes(bw_.buf)
+
+    # scans 3..: AC first (Al=1), one scan per component
+    for c in range(ncomp):
+        bw_ = _BitWriter()
+        for i in range(n_blocks):
+            row = zzs[c][i]
+            r = 0
+            for k in range(1, 64):
+                v = int(row[k])
+                t = abs(v) >> 1
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = _AC_ENC[0xF0]
+                    bw_.write(code, ln)
+                    r -= 16
+                s = t.bit_length()
+                code, ln = _AC_ENC[(r << 4) | s]
+                bw_.write(code, ln)
+                tv = t if v > 0 else -t
+                bw_.write(tv if tv > 0 else tv + (1 << s) - 1, s)
+                r = 0
+            if r:
+                code, ln = _AC_ENC[0x00]                         # EOB0
+                bw_.write(code, ln)
+        bw_.flush()
+        out += _sos_hdr([(comps[c][0], 0, 0)], 1, 63, 0, 1) + bytes(bw_.buf)
+
+    # scans ..: AC refinement (Ah=1, Al=0), one scan per component
+    for c in range(ncomp):
+        bw_ = _BitWriter()
+        for i in range(n_blocks):
+            row = zzs[c][i]
+            r, pend = 0, []
+            for k in range(1, 64):
+                v = int(row[k])
+                t = abs(v)                    # >> Al with Al = 0
+                if t == 0:
+                    r += 1
+                    continue
+                # any nonzero bounds pending ZRLs (libjpeg emission order)
+                while r > 15:
+                    code, ln = _AC_ENC[0xF0]
+                    bw_.write(code, ln)
+                    for b in pend:
+                        bw_.write(b, 1)
+                    pend = []
+                    r -= 16
+                if t >> 1:                    # history-nonzero: correction
+                    pend.append(t & 1)
+                    continue
+                code, ln = _AC_ENC[(r << 4) | 1]   # newly significant (±1)
+                bw_.write(code, ln)
+                bw_.write(1 if v > 0 else 0, 1)
+                for b in pend:
+                    bw_.write(b, 1)
+                pend = []
+                r = 0
+            if r or pend:
+                code, ln = _AC_ENC[0x00]                         # EOB0
+                bw_.write(code, ln)
+                for b in pend:
+                    bw_.write(b, 1)
+        bw_.flush()
+        out += _sos_hdr([(comps[c][0], 0, 0)], 1, 63, 1, 0) + bytes(bw_.buf)
+
+    return bytes(out + b"\xFF\xD9")
+
+
 # --- decoder ------------------------------------------------------------------
 
 class _BitReader:
@@ -622,6 +780,183 @@ def _split_restart_segments(scan: bytes) -> list:
     return segs
 
 
+def _entropy_end(data: bytes, pos: int) -> int:
+    """Index just past an entropy-coded segment: the next marker that is
+    neither a stuffed 0x00 nor an RSTn."""
+    n = len(data)
+    while True:
+        nxt = data.find(b"\xff", pos)
+        if nxt < 0 or nxt >= n - 1:
+            return n
+        m2 = data[nxt + 1]
+        if m2 == 0x00 or 0xD0 <= m2 <= 0xD7:
+            pos = nxt + 2
+            continue
+        return nxt
+
+
+def _ac_first_block(blk, br, tab, ss, se, al, eobrun):
+    """Progressive AC first scan (Ah == 0) for one block — T.81 G.1.2.2:
+    EOBn codes carry a run of all-ends-here blocks; values are scaled by
+    the point transform (<< Al)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_read(br, tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:                                          # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read(r)
+            break
+        k += r
+        if k > se:
+            break
+        blk[k] = _extend(br.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(blk, br, tab, ss, se, al, eobrun):
+    """Progressive AC refinement scan (Ah = Al + 1) for one block — T.81
+    G.1.2.3: newly-significant coefficients arrive as ±1<<Al; every
+    history-nonzero coefficient traversed consumes one correction bit."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_read(br, tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                cv = int(blk[k])
+                if cv != 0:
+                    if br.read(1) and (cv & p1) == 0:
+                        blk[k] = cv + (p1 if cv >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            cv = int(blk[k])
+            if cv != 0:
+                if br.read(1) and (cv & p1) == 0:
+                    blk[k] = cv + (p1 if cv >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _comp_block_dims(ci, sof_comps, h, w, hmax, vmax):
+    """Non-interleaved scan geometry (T.81 A.2.2): the component's OWN
+    block grid, ceil(comp_dim / 8) — smaller than the padded MCU grid."""
+    _cid, _tq, hi, vi = sof_comps[ci]
+    cw = -(-w * hi // hmax)
+    ch = -(-h * vi // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _progressive_scan(scan_bytes, scan_comps, sof_comps, coefs, huff_dc,
+                      huff_ac, ss, se, ah, al, restart_ri, mcus_x,
+                      h, w, hmax, vmax):
+    """Decode one progressive scan into the per-component coefficient
+    grids.  DC scans (Ss == 0) may be interleaved (MCU order with sampling
+    factors) or single-component; AC scans are always single-component
+    over the component's own block raster.  Restart intervals reset DC
+    predictors and the EOB run."""
+    segments = (_split_restart_segments(scan_bytes) if restart_ri
+                else [scan_bytes])
+    if ss == 0:                                                  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se == 0")
+        if len(scan_comps) > 1:
+            per_mcu = []
+            for ci, td, _ta in scan_comps:
+                _cid, _tq, hi, vi = sof_comps[ci]
+                for iy in range(vi):
+                    for ix in range(hi):
+                        per_mcu.append((ci, td, iy, ix, hi, vi))
+            # MCU count straight from the padded grid: rows/vi x cols/hi
+            _c0, _t0, h0, v0 = sof_comps[0]
+            n_units = (coefs[0].shape[0] // v0) * (coefs[0].shape[1] // h0)
+
+            def units(start, count):
+                for m in range(start, start + count):
+                    my, mx = divmod(m, mcus_x)
+                    for ci, td, iy, ix, hi, vi in per_mcu:
+                        yield ci, td, my * vi + iy, mx * hi + ix
+        else:
+            ci0, td0, _ta0 = scan_comps[0]
+            bh_i, bw_i = _comp_block_dims(ci0, sof_comps, h, w, hmax, vmax)
+            n_units = bh_i * bw_i
+
+            def units(start, count):
+                for u in range(start, start + count):
+                    yield ci0, td0, u // bw_i, u % bw_i
+
+        done = 0
+        for seg_b in segments:
+            if done >= n_units:
+                break
+            m = min(restart_ri, n_units - done) if restart_ri else n_units
+            br = _BitReader(seg_b)
+            if ah == 0:
+                tabs = {td: _build_decode(*huff_dc[td])
+                        for _ci, td, _ta in scan_comps}
+                preds = [0] * len(sof_comps)
+                for ci, td, by, bx in units(done, m):
+                    s = _huff_read(br, tabs[td])
+                    preds[ci] += _extend(br.read(s), s) if s else 0
+                    coefs[ci][by, bx, 0] = preds[ci] << al
+            else:                                                # refinement
+                p1 = 1 << al
+                for ci, _td, by, bx in units(done, m):
+                    if br.read(1):
+                        coefs[ci][by, bx, 0] = int(coefs[ci][by, bx, 0]) | p1
+            done += m
+        return
+
+    if len(scan_comps) != 1:                                     # AC scan
+        raise ValueError("progressive AC scans are single-component")
+    ci0, _td0, ta0 = scan_comps[0]
+    bh_i, bw_i = _comp_block_dims(ci0, sof_comps, h, w, hmax, vmax)
+    n_units = bh_i * bw_i
+    tab = _build_decode(*huff_ac[ta0])
+    done = 0
+    for seg_b in segments:
+        if done >= n_units:
+            break
+        m = min(restart_ri, n_units - done) if restart_ri else n_units
+        br = _BitReader(seg_b)
+        eobrun = 0
+        for u in range(done, done + m):
+            blk = coefs[ci0][u // bw_i, u % bw_i]
+            if ah == 0:
+                eobrun = _ac_first_block(blk, br, tab, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(blk, br, tab, ss, se, al, eobrun)
+        done += m
+
+
 def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
     """Baseline sequential JFIF -> (H, W) uint8 grayscale or (H, W, 3)
     uint8 RGB (1-component, or interleaved 3-component 4:4:4 YCbCr).
@@ -635,10 +970,13 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
     qts = {}
     huff_dc, huff_ac = {}, {}
     h = w = None
-    sof_comps = []         # [(cid, tq)] in SOF order
+    sof_comps = []         # [(cid, tq, hi, vi)] in SOF order
     scan_comps = []        # [(comp_index, td, ta)] in SOS order
     scan_start = None
     restart_ri = 0
+    progressive = False
+    coefs = None           # progressive: per-comp (gh, gw, 64) zigzag coefs
+    hmax = vmax = mcus_x = mcus_y = None
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -665,7 +1003,8 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
                 full = np.empty(64)
                 full[_ZZ] = tab                                  # de-zigzag
                 qts[tq] = full.reshape(8, 8)
-        elif marker == 0xC0:                                     # SOF0
+        elif marker in (0xC0, 0xC2):                 # SOF0 / SOF2 (progressive)
+            progressive = marker == 0xC2
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if ncomp not in (1, 3):
                 raise NotImplementedError("1- or 3-component baseline only")
@@ -678,9 +1017,19 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
                     raise NotImplementedError(
                         f"sampling factors {hi}x{vi} out of range")
                 sof_comps.append((cid, tq, hi, vi))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if progressive:
+                # per-component zigzag coefficient grids, padded to the
+                # interleaved-MCU geometry; scans accumulate into them
+                hmax = max(hi for _c, _t, hi, _v in sof_comps)
+                vmax = max(vi for _c, _t, _h, vi in sof_comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                coefs = [np.zeros((mcus_y * vi, mcus_x * hi, 64), np.int32)
+                         for _cid, _tq, hi, vi in sof_comps]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("baseline sequential (SOF0) only")
+            raise NotImplementedError(
+                "baseline sequential (SOF0) or progressive (SOF2) only")
         elif marker == 0xC4:                                     # DHT
             off = 0
             while off < len(seg):
@@ -694,16 +1043,33 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
             (restart_ri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:                                     # SOS
             ns = seg[0]
-            if ns != len(sof_comps):
-                raise NotImplementedError("interleaved single scan only")
             cid_to_idx = {cid: i
                           for i, (cid, _tq, _hi, _vi) in enumerate(sof_comps)}
+            this_scan = []
             for c in range(ns):
                 cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_comps.append((cid_to_idx[cid], tids >> 4, tids & 0x0F))
+                this_scan.append((cid_to_idx[cid], tids >> 4, tids & 0x0F))
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                end = _entropy_end(data, pos + seg_len)
+                _progressive_scan(
+                    data[pos + seg_len:end], this_scan, sof_comps, coefs,
+                    huff_dc, huff_ac, ss, se, ahal >> 4, ahal & 0x0F,
+                    restart_ri, mcus_x, h, w, hmax, vmax)
+                pos = end
+                continue
+            if ns != len(sof_comps):
+                raise NotImplementedError("interleaved single scan only")
+            scan_comps = this_scan
             scan_start = pos + seg_len
             break
         pos += seg_len
+
+    if progressive:
+        if coefs is None:
+            raise ValueError("truncated JPEG (no SOF2 frame header)")
+        return _pixels_from_zc(coefs, sof_comps, qts, h, w, hmax, vmax)
     if scan_start is None or h is None:
         raise ValueError("truncated JPEG")
 
@@ -816,25 +1182,32 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
             mcu_done += m
         zz.ravel()[oi] = ov
 
-    planes = []
     zz4 = zz.reshape(mcus_y, mcus_x, bpm, 64)
-    off = 0
-    for c, (_cid, tq, hi, vi) in enumerate(sof_comps):
+    zc_list, off = [], 0
+    for c, (_cid, _tq, hi, vi) in enumerate(sof_comps):
         cnt = hi * vi
         # component block grid: MCU (my, mx) block (iy, ix) -> row
         # my*vi + iy, col mx*hi + ix (raster order within the MCU)
-        zc = (zz4[:, :, off:off + cnt, :]
-              .reshape(mcus_y, mcus_x, vi, hi, 64)
-              .transpose(0, 2, 1, 3, 4)
-              .reshape(mcus_y * vi, mcus_x * hi, 64))
+        zc_list.append(zz4[:, :, off:off + cnt, :]
+                       .reshape(mcus_y, mcus_x, vi, hi, 64)
+                       .transpose(0, 2, 1, 3, 4)
+                       .reshape(mcus_y * vi, mcus_x * hi, 64))
         off += cnt
+    return _pixels_from_zc(zc_list, sof_comps, qts, h, w, hmax, vmax)
+
+
+def _pixels_from_zc(zc_list, sof_comps, qts, h, w, hmax, vmax):
+    """Per-component zigzag coefficient grids (gh, gw, 64) -> decoded
+    uint8 image (dequantize, IDCT, crop to component dims per T.81 A.1.1,
+    replicate subsampled planes up to full resolution)."""
+    planes = []
+    for zc, (_cid, tq, hi, vi) in zip(zc_list, sof_comps):
         blocks = np.zeros(zc.shape, dtype=np.float64)
         blocks[:, :, _ZZ] = zc                                   # de-zigzag
         blocks = blocks.reshape(zc.shape[0], zc.shape[1], 8, 8) * qts[tq]
         pix = np.einsum("ji,xyjk,kl->xyil", _DCT_M, blocks, _DCT_M)
         plane = (pix.transpose(0, 2, 1, 3)
                  .reshape(zc.shape[0] * 8, zc.shape[1] * 8) + 128.0)
-        # component dims (T.81 A.1.1) then replicate up to full resolution
         ch = -(-h * vi // vmax)
         cw = -(-w * hi // hmax)
         plane = plane[:ch, :cw]
@@ -842,6 +1215,6 @@ def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
             plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
                               hmax // hi, axis=1)
         planes.append(plane[:h, :w])
-    if ncomp == 1:
+    if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -76,8 +76,13 @@ def test_decode_rejects_unsupported():
     img = _noisy(16, 16, 2)
     data = bytearray(jpeg.encode(img, 90))
     sof = data.index(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    data[sof + 1] = 0xC9  # arithmetic-coded sequential -> unsupported
     with pytest.raises(NotImplementedError):
+        jpeg.decode(bytes(data))
+    # a BASELINE scan relabeled SOF2 is a malformed progressive stream
+    # (Ss=0, Se=63 is illegal for a DC scan) -> loud, not garbage pixels
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se == 0"):
         jpeg.decode(bytes(data))
     with pytest.raises(ValueError):
         jpeg.decode(b"not a jpeg")
@@ -238,3 +243,108 @@ def test_decode_foreign_sampling_combinations():
         j = bytes(bb).index(b"\xFF\xC0")
         bb[j + 11] = 0x33
         jpeg.decode(bytes(bb))
+
+
+# --- progressive (SOF2), round 4 --------------------------------------------
+
+def test_progressive_decode_equals_baseline_decode():
+    """Cross-path parity: encode_progressive produces the SAME quantized
+    coefficients as the baseline encoder, through a completely different
+    entropy layer (spectral selection + successive approximation with DC
+    and AC refinement scans) — so progressive decode must equal baseline
+    decode EXACTLY, pixel for pixel, across contents and qualities."""
+    from geo_raster_spark import synth
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = ((xx * 5 + yy * 3) % 256).astype(np.uint8)
+    cases = [
+        _noisy(24, 24, 0), smooth, synth.image_pixels(9, 33, 47, 777),
+        np.zeros((16, 16), np.uint8), np.full((8, 24), 255, np.uint8),
+    ]
+    for q in (25, 50, 90, 97):
+        for img in cases:
+            bp = jpeg.encode_progressive(img, q)
+            assert b"\xFF\xC2" in bp and bp.count(b"\xFF\xDA") == 4
+            np.testing.assert_array_equal(
+                jpeg.decode(bp), jpeg.decode(jpeg.encode(img, q)))
+    for q in (30, 90):
+        rgb = _rgb_fixture(37, 29, seed=q)
+        bp = jpeg.encode_progressive(rgb, q)
+        assert bp.count(b"\xFF\xDA") == 8     # 2 DC + 3 AC first + 3 refine
+        np.testing.assert_array_equal(
+            jpeg.decode(bp), jpeg.decode(jpeg.encode(rgb, q)))
+
+
+def test_progressive_eob_runs_with_custom_table():
+    """Decoder EOBn>0 path (T.81 G.1.2.2): a hand-crafted SOF2 stream with
+    a custom AC Huffman table containing EOB1 — one EOB-run symbol must
+    terminate the current block AND skip whole following blocks."""
+    import struct
+    bw = 6   # 48x8 image -> 6 blocks, 1 component
+    h, w = 8, 48
+    qt = np.ones((8, 8))
+    out = bytearray(b"\xFF\xD8")
+    out += (b"\xFF\xDB" + struct.pack(">HB", 67, 0)
+            + np.ones(64, np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xFF\xC2" + struct.pack(">H", 2 + len(sof)) + sof
+    # DC: Annex-K table
+    out += b"\xFF\xC4" + struct.pack(">HB", 2 + 1 + 16 + len(jpeg._DC_VALS),
+                                     0x00) \
+        + bytes(jpeg._DC_BITS) + bytes(jpeg._DC_VALS)
+    # custom AC table: 4 symbols, all 2-bit codes: EOB0, EOB1, (0,1), ZRL
+    ac_bits = [0, 4] + [0] * 14
+    ac_vals = [0x00, 0x10, 0x01, 0xF0]
+    out += b"\xFF\xC4" + struct.pack(">HB", 2 + 1 + 16 + 4, 0x10) \
+        + bytes(ac_bits) + bytes(ac_vals)
+    codes = {v: (i, 2) for i, v in enumerate(ac_vals)}   # canonical 2-bit
+
+    # scan 1: DC first Al=0 — category-0 symbol per block (all DC = 0)
+    w1 = jpeg._BitWriter()
+    c0, l0 = jpeg._DC_ENC[0]
+    for _ in range(bw):
+        w1.write(c0, l0)
+    w1.flush()
+    out += jpeg._sos_hdr([(1, 0, 0)], 0, 0, 0, 0) + bytes(w1.buf)
+
+    # scan 2: AC first Ss=1 Se=63 Al=0 with the custom table:
+    # block0: coef k=1 -> +1 (sym 0x01, sign/mag bit 1), then EOB1 with
+    # extra bit 1 -> EOBRUN covers rest of block0 + skips blocks 1 and 2;
+    # block3: coef k=1 -> +2? no — s must be 1 with this table; use +1,
+    # then EOB0; blocks 4,5: EOB0 each.
+    w2 = jpeg._BitWriter()
+    w2.write(*codes[0x01]); w2.write(1, 1)        # block0 k=1 = +1
+    w2.write(*codes[0x10]); w2.write(1, 1)        # EOB1, bits=1 -> run 2+1-1=2
+    w2.write(*codes[0x01]); w2.write(1, 1)        # block3 k=1 = +1
+    w2.write(*codes[0x00])                        # EOB0 ends block3
+    w2.write(*codes[0x00])                        # block4
+    w2.write(*codes[0x00])                        # block5
+    w2.flush()
+    out += jpeg._sos_hdr([(1, 0, 0)], 1, 63, 0, 0) + bytes(w2.buf)
+    out += b"\xFF\xD9"
+
+    got = jpeg.decode(bytes(out))
+    # expectation: blocks 0 and 3 have AC(k=1)=1 (zigzag k=1 -> (0,1)),
+    # others all-zero; dequant by the identity table, IDCT, +128
+    blk = np.zeros(64)
+    blk[jpeg._ZZ[1]] = 1.0
+    pix = jpeg._DCT_M.T @ blk.reshape(8, 8) @ jpeg._DCT_M + 128.0
+    want = np.tile(np.round(np.clip(128.0, 0, 255)), (8, 48))
+    want = np.full((8, 48), 128.0)
+    for b in (0, 3):
+        want[:, b * 8:(b + 1) * 8] = np.clip(np.round(pix), 0, 255)
+    np.testing.assert_array_equal(got, want.astype(np.uint8))
+
+
+def test_progressive_rejects_invalid_scans():
+    from geo_raster_spark import synth
+    g = synth.image_pixels(2, 16, 16, 5)
+    b = bytearray(jpeg.encode_progressive(g, 90))
+    # corrupt an SOS into a multi-component AC scan header is hard to craft
+    # here; instead check the public envelope: progressive encoder rejects
+    # non-image shapes, decoder rejects non-baseline SOF markers
+    with pytest.raises(ValueError):
+        jpeg.encode_progressive(np.zeros((4, 4, 2), np.uint8))
+    i = bytes(b).index(b"\xFF\xC2")
+    b[i + 1] = 0xC3   # lossless sequential -> loud
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        jpeg.decode(bytes(b))

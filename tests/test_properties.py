@@ -134,3 +134,70 @@ def test_clip_rings_area_matches_monte_carlo(seed):
     est = inside.mean() * (xs[1] - xs[0]) * (ys[1] - ys[0])
     tol = max(0.06 * max(est, got), 0.02)  # grid discretization error
     assert abs(got - est) <= tol, (got, est)
+
+
+@SET
+@given(st.integers(0, 2**31 - 1))
+def test_progressive_equals_baseline_any_image(seed):
+    """Progressive decode == baseline decode for ANY image/quality — the
+    two entropy layers (sequential vs spectral-selection + successive
+    approximation with refinement scans) must converge bit-for-bit."""
+    from geo_raster_spark import jpeg
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 48))
+    w = int(rng.integers(1, 48))
+    q = int(rng.integers(20, 99))
+    arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        jpeg.decode(jpeg.encode_progressive(arr, q)),
+        jpeg.decode(jpeg.encode(arr, q)))
+
+
+@SET
+@given(st.integers(0, 2**31 - 1))
+def test_subsampled_color_roundtrip_any_image(seed):
+    """4:2:0/4:2:2 color: dims/dtype always preserved, scalar == vector
+    decode, and a CONSTANT-chroma image loses nothing to subsampling
+    (its decode matches the 4:4:4 decode exactly)."""
+    from geo_raster_spark import jpeg
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 40))
+    w = int(rng.integers(1, 40))
+    ss = ("420", "422")[int(rng.integers(0, 2))]
+    rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    b = jpeg.encode(rgb, 90, subsampling=ss)
+    d = jpeg.decode(b)
+    assert d.shape == rgb.shape and d.dtype == np.uint8
+    np.testing.assert_array_equal(d, jpeg.decode(b, _scalar=True))
+    # constant-chroma content loses nothing to subsampling itself: the
+    # decode matches 4:4:4 to within the +-1 quantization jitter (the
+    # different pad-to-MCU shapes reorder einsum float sums, which can
+    # flip a coefficient rounding exactly at a .5 boundary)
+    gray3 = np.repeat(rng.integers(0, 256, (h, w, 1)), 3, axis=2).astype(np.uint8)
+    d1 = jpeg.decode(jpeg.encode(gray3, 90, subsampling=ss)).astype(int)
+    d2 = jpeg.decode(jpeg.encode(gray3, 90, subsampling="444")).astype(int)
+    assert np.abs(d1 - d2).max() <= 1
+
+
+@SET
+@given(st.integers(0, 2**31 - 1))
+def test_container_roundtrip_any_datasets(seed):
+    """grsc container: any mix of dataset names/formats/shapes round-trips
+    exactly; index order and byte offsets always consistent."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 6))
+    datasets, truth = {}, {}
+    for i in range(n):
+        name = f"d{i}_{int(rng.integers(0, 1000))}"
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        fmt = ("npy", "png")[int(rng.integers(0, 2))]
+        datasets[name] = (arr, fmt)
+        truth[name] = arr
+    payload = codecs.encode_container(datasets)
+    idx = codecs.container_index(payload)
+    assert set(idx) == set(truth)
+    for name, arr in truth.items():
+        np.testing.assert_array_equal(
+            codecs.decode(payload, f"grsc#{name}"), arr)

@@ -762,3 +762,27 @@ def test_container_rows_flow_through_tile_cut(spark):
     p, ds = cat.split_dataset_ref("s3://bkt/scene42.grsc#band2")
     assert (p, ds) == ("s3://bkt/scene42.grsc", "band2")
     assert cat.split_dataset_ref("plain.png") == ("plain.png", None)
+
+
+def test_progressive_jpeg_payloads_flow_through_tile_cut(spark):
+    """End-to-end envelope: images whose fmt='jpg' payloads are PROGRESSIVE
+    (SOF2) decode inside the distributed tile_cut and produce tiles
+    byte-identical to baseline-encoded payloads of the same pixels
+    (progressive decode == baseline decode, so the pipelines converge)."""
+    from geo_raster_spark import jpeg, synth
+    rows_b, rows_p = [], []
+    for j in range(4):
+        px = synth.image_pixels(j, 50, 50, j * 31 + 5)
+        minx, maxy = 40.1 + 0.07 * j, 20.2 - 0.07 * j
+        meta = {"image_id": f"p{j}", "w": 50, "h": 50,
+                "minx": minx, "miny": maxy - 0.5,
+                "maxx": minx + 0.5, "maxy": maxy,
+                "gt": [minx, 0.01, 0.0, maxy, 0.0, -0.01], "fmt": "jpg"}
+        rows_b.append(dict(meta, bytes=bytearray(jpeg.encode(px, 95))))
+        rows_p.append(dict(meta,
+                           bytes=bytearray(jpeg.encode_progressive(px, 95))))
+    got_b = {r["tile_tag"]: bytes(r["data"]) for r in mosaic.tile_cut(
+        spark.createDataFrame(pd.DataFrame(rows_b)), nodata=0.0).collect()}
+    got_p = {r["tile_tag"]: bytes(r["data"]) for r in mosaic.tile_cut(
+        spark.createDataFrame(pd.DataFrame(rows_p)), nodata=0.0).collect()}
+    assert got_b == got_p and len(got_b) > 0

@@ -266,25 +266,33 @@ def encode_container(datasets: dict) -> bytes:
 
 
 def container_index(data) -> dict:
-    """Container payload -> ``{name: (fmt, offset, length)}``."""
+    """Container payload -> ``{name: (fmt, offset, length)}``.
+    Truncated/corrupt headers raise a descriptive ValueError."""
     data = bytes(data)
     if data[:5] != _GRSC_MAGIC:
         raise ValueError("not a GRSC container payload")
-    (cnt,) = struct.unpack_from(">H", data, 5)
-    pos, out = 7, {}
-    for _ in range(cnt):
-        (nl,) = struct.unpack_from(">H", data, pos)
-        pos += 2
-        name = data[pos:pos + nl].decode()
-        pos += nl
-        (fl,) = struct.unpack_from(">H", data, pos)
-        pos += 2
-        fmt = data[pos:pos + fl].decode()
-        pos += fl
-        off, ln = struct.unpack_from(">QQ", data, pos)
-        pos += 16
-        out[name] = (fmt, off, ln)
-    return out
+    try:
+        (cnt,) = struct.unpack_from(">H", data, 5)
+        pos, out = 7, {}
+        for _ in range(cnt):
+            (nl,) = struct.unpack_from(">H", data, pos)
+            pos += 2
+            name = data[pos:pos + nl].decode()
+            pos += nl
+            (fl,) = struct.unpack_from(">H", data, pos)
+            pos += 2
+            fmt = data[pos:pos + fl].decode()
+            pos += fl
+            off, ln = struct.unpack_from(">QQ", data, pos)
+            pos += 16
+            if off + ln > len(data):
+                raise ValueError(
+                    f"GRSC container truncated: dataset {name!r} claims "
+                    f"bytes [{off}, {off + ln}) of a {len(data)}-byte payload")
+            out[name] = (fmt, off, ln)
+        return out
+    except (struct.error, UnicodeDecodeError) as e:
+        raise ValueError(f"corrupt GRSC container header ({e})") from e
 
 
 def decode_container(data, name: str) -> np.ndarray:

@@ -958,12 +958,30 @@ def _progressive_scan(scan_bytes, scan_comps, sof_comps, coefs, huff_dc,
 
 
 def decode(data: bytes, _scalar: bool = False) -> np.ndarray:
-    """Baseline sequential JFIF -> (H, W) uint8 grayscale or (H, W, 3)
-    uint8 RGB (1-component, or interleaved 3-component 4:4:4 YCbCr).
+    """Baseline-sequential or progressive JFIF -> (H, W) uint8 grayscale
+    or (H, W, 3) uint8 RGB.
 
     Entropy decode uses a 16-bit-peek LUT over a precomputed bit-window
     array (one O(1) lookup per symbol); ``_scalar=True`` selects the
-    reference per-bit reader kept as the parity oracle."""
+    reference per-bit reader kept as the parity oracle (progressive scans
+    always use the per-bit reader).
+
+    Corrupt/truncated streams fail CLEANLY: mechanical errors from
+    malformed headers or impossible symbols (short segment buffers,
+    missing table ids, out-of-range indices) are translated to a
+    descriptive ValueError at this boundary — a 100 TB corpus always
+    contains dirty payloads, and executors must raise, not leak
+    struct/index internals."""
+    try:
+        return _decode_impl(data, _scalar)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(
+            f"corrupt or truncated JPEG ({type(e).__name__}: {e})") from e
+
+
+def _decode_impl(data: bytes, _scalar: bool) -> np.ndarray:
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2

@@ -834,3 +834,17 @@ def test_wkt_rejects_unsupported_loudly():
             crs.normalize_crs(wkt)
     with pytest.raises(ValueError, match="WKT2"):
         crs.normalize_crs('PROJCRS["x",BASEGEOGCRS["WGS 84"]]')
+
+
+def test_container_truncation_fails_cleanly():
+    payload = codecs.encode_container({
+        "a": (np.ones((3, 3), np.uint8), "npy"),
+        "b": (np.zeros((2, 5), np.uint8), "png")})
+    for cut in range(0, len(payload), 3):
+        try:
+            codecs.container_index(payload[:cut])
+        except ValueError:
+            pass
+    # index claims bytes beyond the payload -> descriptive error
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.container_index(payload[:len(payload) - 2])

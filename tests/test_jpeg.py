@@ -348,3 +348,29 @@ def test_progressive_rejects_invalid_scans():
     b[i + 1] = 0xC3   # lossless sequential -> loud
     with pytest.raises(NotImplementedError, match="SOF0"):
         jpeg.decode(bytes(b))
+
+
+def test_dirty_streams_always_fail_cleanly():
+    """100 TB corpora contain dirty payloads: ANY truncation or single-byte
+    corruption of a baseline or progressive stream must either decode or
+    raise ValueError/NotImplementedError — never leak struct/index/key
+    internals (executor hygiene)."""
+    from geo_raster_spark import synth
+    g = synth.image_pixels(3, 24, 16, 99)
+    for b in (jpeg.encode(g, 85), jpeg.encode_progressive(g, 85)):
+        for cut in range(2, len(b), 5):
+            try:
+                out = jpeg.decode(b[:cut])
+                assert isinstance(out, np.ndarray)
+            except (ValueError, NotImplementedError):
+                pass
+        rng = np.random.default_rng(7)
+        for _ in range(400):
+            i = int(rng.integers(2, len(b)))
+            m = bytearray(b)
+            m[i] = int(rng.integers(0, 256))
+            try:
+                out = jpeg.decode(bytes(m))
+                assert isinstance(out, np.ndarray)
+            except (ValueError, NotImplementedError):
+                pass

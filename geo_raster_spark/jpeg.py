@@ -338,10 +338,13 @@ def _plane_zz(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     ph, pw = -h % 8, -w % 8
     a = np.pad(plane.astype(np.float64), ((0, ph), (0, pw)), mode="edge") - 128.0
     bh, bw = a.shape[0] // 8, a.shape[1] // 8
-    blocks = a.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)      # (bh, bw, 8, 8)
-    coef = np.einsum("ij,xyjk,lk->xyil", _DCT_M, blocks, _DCT_M)
+    nb = bh * bw
+    blocks = np.ascontiguousarray(
+        a.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)).reshape(nb, 8, 8)
+    # M B M^T as one broadcast batched matmul (see _pixels_from_zc)
+    coef = _DCT_M @ blocks @ _DCT_M.T
     q = np.round(coef / qt).astype(np.int32)
-    return q.reshape(bh * bw, 64)[:, _ZZ]                        # zigzag per block
+    return q.reshape(nb, 64)[:, _ZZ]                             # zigzag per block
 
 
 def _headers(h: int, w: int, qts_zz: list, comps: list,
@@ -726,14 +729,17 @@ _LUT_CACHE: dict = {}
 
 
 def _lut_cached(table):
-    """LUTs as plain Python LISTS (scalar indexing is ~5x faster than numpy
-    element access in the per-symbol loop), cached per Huffman table."""
+    """PACKED LUT as one plain Python list — ``(code_len << 8) | symbol``
+    per 16-bit window (entries < 256 are invalid codes).  One list index +
+    shift/mask per symbol; plain-list scalar indexing is ~5x faster than
+    numpy element access in the per-symbol loop.  Cached per table."""
     bits, vals = table
     key = (tuple(bits), tuple(vals))
     hit = _LUT_CACHE.get(key)
     if hit is None:
         ln, sym = _build_lut(bits, vals)
-        hit = (ln.tolist(), sym.tolist())
+        hit = ((ln.astype(np.int32) << 8)
+               | sym.astype(np.int32)).tolist()
         _LUT_CACHE[key] = hit
     return hit
 
@@ -1156,33 +1162,31 @@ def _decode_impl(data: bytes, _scalar: bool) -> np.ndarray:
             Wl = _scan_windows(seg_bytes).tolist()  # plain-int indexing
             nW = len(Wl)
             cur = 0
+            oi_app, ov_app = oi.append, ov.append
             for i in range(mcu_done * bpm, (mcu_done + m) * bpm):
                 if cur >= nW:
                     break  # truncated stream: remaining blocks stay zero
                 c = comp_of[i % bpm]
-                dlen, dsym = dluts[c]
-                alen, asym = aluts[c]
-                idx = Wl[cur]
-                ln = dlen[idx]
-                if ln == 0:
+                apk = aluts[c]
+                p = dluts[c][Wl[cur]]
+                if p < 256:
                     raise ValueError("invalid Huffman code")
-                s = dsym[idx]
-                cur += ln
+                s = p & 0xFF
+                cur += p >> 8
                 if s:
                     v = Wl[cur] >> (16 - s) if cur < nW else 0
                     cur += s
                     preds[c] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                 base = i << 6
-                oi.append(base)
-                ov.append(preds[c])
+                oi_app(base)
+                ov_app(preds[c])
                 k = 1
                 while k < 64 and cur < nW:
-                    idx = Wl[cur]
-                    ln = alen[idx]
-                    if ln == 0:
+                    p = apk[Wl[cur]]
+                    if p < 256:
                         raise ValueError("invalid Huffman code")
-                    rs = asym[idx]
-                    cur += ln
+                    rs = p & 0xFF
+                    cur += p >> 8
                     if rs == 0x00:                                   # EOB
                         break
                     if rs == 0xF0:                                   # ZRL
@@ -1194,8 +1198,8 @@ def _decode_impl(data: bytes, _scalar: bool) -> np.ndarray:
                     cur += s
                     if k > 63:
                         break
-                    oi.append(base + k)
-                    ov.append(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
+                    oi_app(base + k)
+                    ov_app(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
                     k += 1
             mcu_done += m
         zz.ravel()[oi] = ov
@@ -1220,12 +1224,17 @@ def _pixels_from_zc(zc_list, sof_comps, qts, h, w, hmax, vmax):
     replicate subsampled planes up to full resolution)."""
     planes = []
     for zc, (_cid, tq, hi, vi) in zip(zc_list, sof_comps):
-        blocks = np.zeros(zc.shape, dtype=np.float64)
-        blocks[:, :, _ZZ] = zc                                   # de-zigzag
-        blocks = blocks.reshape(zc.shape[0], zc.shape[1], 8, 8) * qts[tq]
-        pix = np.einsum("ji,xyjk,kl->xyil", _DCT_M, blocks, _DCT_M)
-        plane = (pix.transpose(0, 2, 1, 3)
-                 .reshape(zc.shape[0] * 8, zc.shape[1] * 8) + 128.0)
+        gh, gw = zc.shape[:2]
+        nb = gh * gw
+        blocks = np.zeros((nb, 64), dtype=np.float64)
+        blocks[:, _ZZ] = zc.reshape(nb, 64)                      # de-zigzag
+        blocks = blocks.reshape(nb, 8, 8) * qts[tq]
+        # M^T B M as one broadcast batched matmul — ~7x the einsum IDCT;
+        # same math, summation order may differ by 1 ulp (all consumers
+        # are rounded/PSNR-gated)
+        pix = _DCT_M.T @ blocks @ _DCT_M
+        plane = (pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(gh * 8, gw * 8) + 128.0)
         ch = -(-h * vi // vmax)
         cw = -(-w * hi // hmax)
         plane = plane[:ch, :cw]

@@ -38,6 +38,7 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
              agg_func: str = "mean", min_rate: float = 0.1,
              checkpoint=None, stage: str = "tile_cut",
              salt_buckets: int | None = None,
+             salt_threshold: int | None = None,
              priority_col: str | None = None,
              band_col: str | None = None) -> DataFrame:
     """images (with footprint cols + bytes/fmt) -> one row per output tile.
@@ -64,17 +65,23 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
     global paint order is preserved: within a salt group candidates sort by
     (priority, image_id), and the merge phase re-sorts partials so pixel
     precedence is decided by the MINIMUM (priority, image_id) that painted
-    each pixel — asserted equal in tests."""
+    each pixel — asserted equal in tests.
+
+    ``salt_threshold``: ADAPTIVE salting — only tiles with more than this
+    many candidate images take the two-phase salted path; every other tile
+    keeps the cheaper single-phase assemble.  Uniform salting makes EVERY
+    tile pay the partial-mosaic round-trip (an extra shuffle of float64
+    partial planes) to parallelize the few hot ones; with a threshold the
+    cold majority skips it.  Cost: one extra metadata-only aggregation
+    over the candidate keys plus a semi/anti split of the candidate scan
+    (at 100 TB, persist the candidate table or accept the re-scan — the
+    per-tile counts never touch the ``bytes`` payload).  Output is
+    byte-identical either way (asserted in tests)."""
     grid = grid or TileGrid()
     assigned = assign_tiles(images, grid.image_size, grid.cell_size, grid.edge,
                             p=grid.p)
     if checkpoint is not None:
         assigned = checkpoint.filter_pending(assigned, stage, "tile_tag")
-
-    if salt_buckets is not None and salt_buckets > 1:
-        return _tile_cut_salted(assigned, grid, nodata, salt_buckets,
-                                agg_to_cell, agg_func, min_rate, priority_col,
-                                band_col)
 
     g = grid
     sort_cols = ([priority_col, "image_id"] if priority_col else ["image_id"])
@@ -119,10 +126,30 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
             row[band_col] = int(key[1])
         return pd.DataFrame([row])
 
-    return (assigned
-            .repartition(*group_cols)
-            .groupBy(*group_cols)
-            .applyInPandas(assemble, schema=schema))
+    def plain(df: DataFrame) -> DataFrame:
+        return (df.repartition(*group_cols)
+                  .groupBy(*group_cols)
+                  .applyInPandas(assemble, schema=schema))
+
+    if salt_buckets is not None and salt_buckets > 1:
+        if salt_threshold is None:
+            return _tile_cut_salted(assigned, grid, nodata, salt_buckets,
+                                    agg_to_cell, agg_func, min_rate,
+                                    priority_col, band_col)
+        # adaptive: split on a metadata-only per-tile candidate count
+        hot_keys = (assigned.select(*group_cols)
+                            .groupBy(*group_cols)
+                            .agg(F.count("*").alias("_n"))
+                            .where(F.col("_n") > salt_threshold)
+                            .drop("_n"))
+        hot = assigned.join(F.broadcast(hot_keys), group_cols, "left_semi")
+        cold = assigned.join(F.broadcast(hot_keys), group_cols, "left_anti")
+        return _tile_cut_salted(hot, grid, nodata, salt_buckets,
+                                agg_to_cell, agg_func, min_rate,
+                                priority_col, band_col) \
+            .unionByName(plain(cold))
+
+    return plain(assigned)
 
 
 _PARTIAL_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "

@@ -752,12 +752,16 @@ def test_container_rows_flow_through_tile_cut(spark):
                 pd.DataFrame(rows_solo)), nodata=0.0,
                 band_col="band").collect()}
     assert got == want and len(got) > 0
-    # plain (non-container) rows pass through with band 0
-    mixed = cat.expand_container_rows(cont.unionByName(
-        spark.createDataFrame(pd.DataFrame([dict(
-            rows_solo[0], image_id="plain0")])).drop("band"),
-        allowMissingColumns=False) if False else cont)
-    assert mixed.count() == 12
+    # plain (non-container) rows pass through with band 0 and a null name
+    plain_row = {k: v for k, v in rows_solo[0].items() if k != "band"}
+    plain_row["image_id"] = "plain0"
+    mixed = cat.expand_container_rows(
+        cont.unionByName(spark.createDataFrame(pd.DataFrame([plain_row]))))
+    got_plain = mixed.where(F.col("image_id") == "plain0").collect()
+    assert len(got_plain) == 1
+    assert got_plain[0]["band"] == 0 and got_plain[0]["fmt"] == "png"
+    assert got_plain[0]["dataset"] is None
+    assert mixed.count() == 13
     # manifest refs: 'path#dataset' round-trips through split_dataset_ref
     p, ds = cat.split_dataset_ref("s3://bkt/scene42.grsc#band2")
     assert (p, ds) == ("s3://bkt/scene42.grsc", "band2")
@@ -786,3 +790,47 @@ def test_progressive_jpeg_payloads_flow_through_tile_cut(spark):
     got_p = {r["tile_tag"]: bytes(r["data"]) for r in mosaic.tile_cut(
         spark.createDataFrame(pd.DataFrame(rows_p)), nodata=0.0).collect()}
     assert got_b == got_p and len(got_b) > 0
+
+
+def test_tile_cut_adaptive_salting_byte_identical(spark):
+    """salt_threshold: only hot tiles take the two-phase salted path; the
+    fixture has one genuinely hot tile and several cold ones, and the
+    adaptive output must be byte-identical to BOTH the unsalted and the
+    uniformly-salted runs."""
+    from geo_raster_spark import synth
+    rows = []
+    # 8 images stacked on ONE tile (hot) ...
+    for j in range(8):
+        arr = synth.image_pixels(j, 50, 50, j * 131 + 7)
+        minx, maxy = 70.1 + 0.04 * j, -30.2 - 0.04 * j
+        rows.append({"image_id": f"hot{j}",
+                     "bytes": bytearray(codecs.encode(arr, "png")),
+                     "fmt": "png", "w": 50, "h": 50,
+                     "minx": minx, "miny": maxy - 0.5,
+                     "maxx": minx + 0.5, "maxy": maxy,
+                     "gt": [minx, 0.01, 0.0, maxy, 0.0, -0.01]})
+    # ... and 5 solo images on far-apart tiles (cold)
+    for j in range(5):
+        arr = synth.image_pixels(100 + j, 40, 40, j * 977 + 3)
+        minx, maxy = -150.0 + 10.0 * j, 55.0
+        rows.append({"image_id": f"cold{j}",
+                     "bytes": bytearray(codecs.encode(arr, "png")),
+                     "fmt": "png", "w": 40, "h": 40,
+                     "minx": minx, "miny": maxy - 0.4,
+                     "maxx": minx + 0.4, "maxy": maxy,
+                     "gt": [minx, 0.01, 0.0, maxy, 0.0, -0.01]})
+    imgs = spark.createDataFrame(pd.DataFrame(rows))
+
+    def run(**kw):
+        return {(r["tile_tag"]): (bytes(r["data"]), r["n_images"],
+                                  r["painted"])
+                for r in mosaic.tile_cut(imgs, nodata=0.0, **kw).collect()}
+
+    base = run()
+    uniform = run(salt_buckets=3)
+    adaptive = run(salt_buckets=3, salt_threshold=4)
+    assert adaptive == base == uniform
+    # the fixture genuinely exercises BOTH branches
+    n_hot = sum(1 for _b, n, _p in base.values() if n > 4)
+    n_cold = sum(1 for _b, n, _p in base.values() if n <= 4)
+    assert n_hot >= 1 and n_cold >= 4

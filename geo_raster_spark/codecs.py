@@ -72,7 +72,22 @@ def encode_png(arr: np.ndarray, planes_first: bool | None = None) -> bytes:
     reference's band-stack layout; False = channels-last).  The default
     infers it from the shape — but a (3, H, 3/4) or (4, H, 3/4) array is
     AMBIGUOUS under inference (both axes look like channels), so it raises
-    rather than guess a scrambled image; pass ``planes_first`` there."""
+    rather than guess a scrambled image; pass ``planes_first`` there.
+
+    A 2-D uint16 array encodes as 16-BIT grayscale (big-endian samples per
+    the PNG spec) — the DEM/thermal-band case the reference reads through
+    GDAL's wider pixel types [ref: mod/geo_raster_c.pyx:33-70]."""
+    a16 = np.asarray(arr)
+    if a16.ndim == 2 and a16.dtype == np.uint16:
+        h, w = a16.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+        body = np.ascontiguousarray(a16.astype(">u2")).view(np.uint8) \
+            .reshape(h, w * 2)
+        buf = np.zeros((h, w * 2 + 1), dtype=np.uint8)
+        buf[:, 1:] = body
+        return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(buf.tobytes(), 6))
+                + _chunk(b"IEND", b""))
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 3:
         if planes_first is None:
@@ -119,27 +134,37 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
         if tag == b"IHDR":
             w, h, depth, ctype = struct.unpack_from(">IIBB", payload, 0)
-            if depth != 8 or ctype not in (0, 2, 6):
+            if ctype not in (0, 2, 6) or depth not in (8, 16) \
+                    or (depth == 16 and ctype != 0):
                 raise NotImplementedError(
-                    "only 8-bit grayscale/RGB/RGBA PNG supported")
+                    "only 8-bit gray/RGB/RGBA or 16-bit gray PNG supported")
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
     nch = {0: 1, 2: 3, 6: 4}[ctype]
+    bpp = nch * (depth // 8)   # filter lag is BYTES per pixel (PNG spec)
+    rb = w * bpp               # row bytes
     raw = zlib.decompress(idat)
-    stride = w * nch + 1
+    stride = rb + 1
     flat = np.frombuffer(raw, dtype=np.uint8)
+
+    def finish(bytes2d: np.ndarray) -> np.ndarray:
+        if depth == 16:
+            return np.ascontiguousarray(bytes2d).view(">u2") \
+                .astype(np.uint16).reshape(h, w)
+        return bytes2d.reshape(h, w, nch) if nch > 1 else bytes2d
+
     ftypes = flat[::stride]
     if not ftypes.any():  # all filter-0 rows (our own encoder's output):
         # one strided slice instead of a per-row Python loop
         body = flat.reshape(h, stride)[:, 1:]
-        return body.reshape(h, w, nch).copy() if nch > 1 else body.copy()
+        return finish(body.copy())
     if not (ftypes > 2).any():  # only None/Sub/Up: cumulative forms, no loop
         body = flat.reshape(h, stride)[:, 1:].copy()
         sub_rows = ftypes == 1
-        if sub_rows.any():  # Sub inverts to per-channel cumsum mod 256
-            b3 = body.reshape(h, w, nch)
+        if sub_rows.any():  # Sub inverts to per-byte-lane cumsum mod 256
+            b3 = body.reshape(h, w, bpp)
             b3[sub_rows] = np.cumsum(b3[sub_rows], axis=1, dtype=np.uint64) \
                 .astype(np.uint8)
         if (ftypes == 2).any():  # Up inverts to cumsum over maximal runs
@@ -147,30 +172,30 @@ def decode_png(data: bytes) -> np.ndarray:
             body = np.concatenate([
                 np.cumsum(g, axis=0, dtype=np.uint64).astype(np.uint8)
                 for g in np.split(body, np.unique(run_id, return_index=True)[1][1:])])
-        return body.reshape(h, w, nch) if nch > 1 else body
-    out = np.empty((h, w * nch), dtype=np.uint8)
-    prev = np.zeros(w * nch, dtype=np.uint8)
+        return finish(body)
+    out = np.empty((h, rb), dtype=np.uint8)
+    prev = np.zeros(rb, dtype=np.uint8)
     for r in range(h):
         ftype = raw[r * stride]
-        line = np.frombuffer(raw, dtype=np.uint8, count=w * nch, offset=r * stride + 1)
+        line = np.frombuffer(raw, dtype=np.uint8, count=rb, offset=r * stride + 1)
         if ftype == 0:
             row = line.copy()
-        elif ftype == 1:  # Sub: recurrence collapses to per-channel cumsum mod 256
-            row = line.reshape(w, nch).astype(np.uint8)
+        elif ftype == 1:  # Sub: recurrence collapses to per-byte-lane cumsum
+            row = line.reshape(w, bpp).astype(np.uint8)
             row = np.cumsum(row, axis=0, dtype=np.uint64).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up
             row = (line.astype(np.int16) + prev).astype(np.uint8)
         elif ftype == 3:  # Average (sequential in x)
-            row = np.zeros(w * nch, dtype=np.uint8)
-            for x in range(w * nch):
-                a = int(row[x - nch]) if x >= nch else 0
+            row = np.zeros(rb, dtype=np.uint8)
+            for x in range(rb):
+                a = int(row[x - bpp]) if x >= bpp else 0
                 row[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth (sequential in x)
-            row = np.zeros(w * nch, dtype=np.uint8)
-            for x in range(w * nch):
-                a = int(row[x - nch]) if x >= nch else 0
+            row = np.zeros(rb, dtype=np.uint8)
+            for x in range(rb):
+                a = int(row[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - nch]) if x >= nch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -179,9 +204,7 @@ def decode_png(data: bytes) -> np.ndarray:
             raise NotImplementedError(f"PNG filter {ftype} not supported")
         out[r] = row
         prev = row
-    if nch > 1:
-        return out.reshape(h, w, nch)
-    return out
+    return finish(out)
 
 
 # ---------------------------------------------------------------------------

@@ -848,3 +848,52 @@ def test_container_truncation_fails_cleanly():
     # index claims bytes beyond the payload -> descriptive error
     with pytest.raises(ValueError, match="truncated"):
         codecs.container_index(payload[:len(payload) - 2])
+
+
+def test_png_16bit_grayscale_roundtrip():
+    """16-bit grayscale PNG (DEM/thermal bands): lossless roundtrip with
+    big-endian samples per the spec, byte-wise filter inversion (bpp=2),
+    and readable by the filter-0 fast path AND hand-filtered rows."""
+    import struct
+    import zlib
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 65536, (23, 17)).astype(np.uint16)
+    enc = codecs.encode_png(a)
+    # header declares depth 16, gray
+    ih = enc.index(b"IHDR") + 4
+    w, h, depth, ctype = struct.unpack_from(">IIBB", enc, ih)
+    assert (w, h, depth, ctype) == (17, 23, 16, 0)
+    back = codecs.decode_png(enc)
+    assert back.dtype == np.uint16
+    np.testing.assert_array_equal(back, a)
+    # dispatch through the registry seam
+    np.testing.assert_array_equal(codecs.decode(codecs.encode(a, "png"),
+                                                "png"), a)
+
+    # foreign encoder: Sub(1) + Up(2) + Paeth(4) filtered 16-bit rows must
+    # invert byte-wise with a 2-byte pixel lag
+    raw = np.ascontiguousarray(a.astype(">u2")).view(np.uint8).reshape(23, -1)
+    rows = []
+    prev = np.zeros(raw.shape[1], np.uint8)
+    for r in range(23):
+        line = raw[r].astype(np.int16)
+        if r % 3 == 1:    # Sub
+            f = line.copy()
+            f[2:] = (line[2:] - line[:-2]) % 256
+            rows.append(bytes([1]) + bytes(f.astype(np.uint8)))
+        elif r % 3 == 2:  # Up
+            rows.append(bytes([2]) + bytes(((line - prev) % 256).astype(np.uint8)))
+        else:             # None
+            rows.append(bytes([0]) + bytes(line.astype(np.uint8)))
+        prev = raw[r].astype(np.int16)
+    ihdr = struct.pack(">IIBBBBB", 17, 23, 16, 0, 0, 0, 0)
+    foreign = (codecs._PNG_SIG + codecs._chunk(b"IHDR", ihdr)
+               + codecs._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + codecs._chunk(b"IEND", b""))
+    np.testing.assert_array_equal(codecs.decode_png(foreign), a)
+    # 16-bit color remains a loud reject
+    ihdr_rgb = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    with pytest.raises(NotImplementedError):
+        codecs.decode_png(codecs._PNG_SIG + codecs._chunk(b"IHDR", ihdr_rgb)
+                          + codecs._chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+                          + codecs._chunk(b"IEND", b""))

@@ -18,7 +18,8 @@ real image+caption corpus's RGB payloads, not just grayscale bands.
 Scope: encoder emits 1-component (grayscale) or 3-component baseline at
 4:4:4, 4:2:2 or 4:2:0 (JFIF YCbCr; all components share the Annex-K
 luminance Huffman tables — spec-legal, simplifies the vectorized coder);
-decoder handles baseline sequential 1- and 3-component scans with ANY
+decoder handles baseline sequential 1- and 3-component scans —
+interleaved OR non-interleaved (one scan per component) — with ANY
 power-of-two (Hi, Vi) sampling factors ≤ 4 (4:2:0 — the dominant layout
 in real photo corpora — 4:2:2, 4:4:0, 4:1:1 all included; component
 planes replicate up to full resolution), WITH restart intervals
@@ -881,6 +882,47 @@ def _comp_block_dims(ci, sof_comps, h, w, hmax, vmax):
     return -(-ch // 8), -(-cw // 8)
 
 
+def _sequential_scan(scan_bytes, scan_comps, sof_comps, coefs, huff_dc,
+                     huff_ac, restart_ri, h, w, hmax, vmax):
+    """Non-interleaved BASELINE scan (SOF0, ns == 1): full DC+AC coding of
+    one component over its own block raster (T.81 A.2.2 — the grid is the
+    component's ceil(dim/8) blocks, NOT the padded MCU grid)."""
+    ci, td, ta = scan_comps[0]
+    bh_i, bw_i = _comp_block_dims(ci, sof_comps, h, w, hmax, vmax)
+    n_units = bh_i * bw_i
+    dct = _build_decode(*huff_dc[td])
+    act = _build_decode(*huff_ac[ta])
+    segments = (_split_restart_segments(scan_bytes) if restart_ri
+                else [scan_bytes])
+    done = 0
+    for seg_b in segments:
+        if done >= n_units:
+            break
+        m = min(restart_ri, n_units - done) if restart_ri else n_units
+        br = _BitReader(seg_b)
+        pred = 0
+        for u in range(done, done + m):
+            blk = coefs[ci][u // bw_i, u % bw_i]
+            s = _huff_read(br, dct)
+            pred += _extend(br.read(s), s) if s else 0
+            blk[0] = pred
+            k = 1
+            while k < 64:
+                rs = _huff_read(br, act)
+                if rs == 0x00:                                   # EOB
+                    break
+                if rs == 0xF0:                                   # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    break
+                s2 = rs & 0x0F
+                blk[k] = _extend(br.read(s2), s2)
+                k += 1
+        done += m
+
+
 def _progressive_scan(scan_bytes, scan_comps, sof_comps, coefs, huff_dc,
                       huff_ac, ss, se, ah, al, restart_ri, mcus_x,
                       h, w, hmax, vmax):
@@ -999,7 +1041,8 @@ def _decode_impl(data: bytes, _scalar: bool) -> np.ndarray:
     scan_start = None
     restart_ri = 0
     progressive = False
-    coefs = None           # progressive: per-comp (gh, gw, 64) zigzag coefs
+    seq_scans = False      # non-interleaved baseline (one scan per comp)
+    coefs = None           # multi-scan: per-comp (gh, gw, 64) zigzag coefs
     hmax = vmax = mcus_x = mcus_y = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -1084,15 +1127,33 @@ def _decode_impl(data: bytes, _scalar: bool) -> np.ndarray:
                 pos = end
                 continue
             if ns != len(sof_comps):
-                raise NotImplementedError("interleaved single scan only")
+                # NON-INTERLEAVED baseline: one scan per component
+                if ns != 1:
+                    raise NotImplementedError(
+                        "baseline scans must cover one or all components")
+                if coefs is None:
+                    hmax = max(hi for _c, _t, hi, _v in sof_comps)
+                    vmax = max(vi for _c, _t, _h, vi in sof_comps)
+                    mcus_x = -(-w // (8 * hmax))
+                    mcus_y = -(-h // (8 * vmax))
+                    coefs = [np.zeros((mcus_y * vi, mcus_x * hi, 64),
+                                      np.int32)
+                             for _cid, _tq, hi, vi in sof_comps]
+                seq_scans = True
+                end = _entropy_end(data, pos + seg_len)
+                _sequential_scan(data[pos + seg_len:end], this_scan,
+                                 sof_comps, coefs, huff_dc, huff_ac,
+                                 restart_ri, h, w, hmax, vmax)
+                pos = end
+                continue
             scan_comps = this_scan
             scan_start = pos + seg_len
             break
         pos += seg_len
 
-    if progressive:
+    if progressive or seq_scans:
         if coefs is None:
-            raise ValueError("truncated JPEG (no SOF2 frame header)")
+            raise ValueError("truncated JPEG (no frame header before scans)")
         return _pixels_from_zc(coefs, sof_comps, qts, h, w, hmax, vmax)
     if scan_start is None or h is None:
         raise ValueError("truncated JPEG")

@@ -374,3 +374,61 @@ def test_dirty_streams_always_fail_cleanly():
                 assert isinstance(out, np.ndarray)
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_baseline_noninterleaved_scans_decode():
+    """SOF0 with ONE SCAN PER COMPONENT (legal non-interleaved baseline,
+    T.81 A.2.2): the decoder must accumulate per-component scans and
+    reproduce the interleaved baseline decode EXACTLY (same coefficients,
+    different scan structure); restart intervals per scan supported."""
+    import struct
+    from geo_raster_spark import synth
+    rgb = synth.image_pixels_rgb(4, 37, 26, 13579)
+    q = 90
+    qt_l, qt_c = jpeg.quant_table(q), jpeg.quant_table_chroma(q)
+    y, cb, cr = jpeg.rgb_to_ycbcr(rgb)
+    zzs = [jpeg._plane_zz(y, qt_l), jpeg._plane_zz(cb, qt_c),
+           jpeg._plane_zz(cr, qt_c)]
+    h, w = rgb.shape[:2]
+
+    def build(restart=0):
+        out = bytearray(b"\xFF\xD8")
+        out += (b"\xFF\xE0" + struct.pack(">H", 16)
+                + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        for tq, qt in enumerate((qt_l, qt_c)):
+            out += (b"\xFF\xDB" + struct.pack(">HB", 67, tq)
+                    + qt.reshape(64)[jpeg._ZZ].astype(np.uint8).tobytes())
+        sof = struct.pack(">BHHB", 8, h, w, 3)
+        for cid, tq in ((1, 0), (2, 1), (3, 1)):
+            sof += bytes([cid, 0x11, tq])
+        out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
+        out += b"\xFF\xC4" + struct.pack(
+            ">HB", 2 + 1 + 16 + len(jpeg._DC_VALS), 0x00) \
+            + bytes(jpeg._DC_BITS) + bytes(jpeg._DC_VALS)
+        out += b"\xFF\xC4" + struct.pack(
+            ">HB", 2 + 1 + 16 + len(jpeg._AC_VALS), 0x10) \
+            + bytes(jpeg._AC_BITS) + bytes(jpeg._AC_VALS)
+        if restart:
+            out += b"\xFF\xDD" + struct.pack(">HH", 4, restart)
+        for c, cid in ((0, 1), (1, 2), (2, 3)):
+            zz = zzs[c].astype(np.int64)
+            # sequential DC prediction within the single-component scan
+            out += jpeg._sos_hdr([(cid, 0, 0)], 0, 63, 0, 0)
+            out += jpeg._encode_scan(zz, [0], restart, True)
+        return bytes(out + b"\xFF\xD9")
+
+    want = jpeg.decode(jpeg.encode(rgb, q))
+    got = jpeg.decode(build())
+    np.testing.assert_array_equal(got, want)
+    got_rst = jpeg.decode(build(restart=3))
+    np.testing.assert_array_equal(got_rst, want)
+    # a 2-component scan stays a loud reject
+    bad = bytearray(build())
+    i = bytes(bad).index(b"\xFF\xDA")
+    # SOS: len(2) ns(1) cid tids Ss Se AhAl -> extend to 2 comps
+    bad[i + 2:i + 4] = struct.pack(">H", 10)
+    bad[i + 4] = 2
+    bad.insert(i + 7, 0x00)
+    bad.insert(i + 7, 0x02)
+    with pytest.raises((NotImplementedError, ValueError)):
+        jpeg.decode(bytes(bad))

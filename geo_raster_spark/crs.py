@@ -552,6 +552,14 @@ def parse_wkt(s: str):
     proj_nodes = _wkt_children(node, "PROJECTION")
     if not proj_nodes:
         raise ValueError(f"WKT: PROJCS without PROJECTION: {s[:80]}")
+    # the PROJCS's own (linear) UNIT must be metres — a kilometre/foot unit
+    # would silently rescale every coordinate (same silent-wrong class as
+    # the proj4 modifier whitelist)
+    for u in _wkt_children(node, "UNIT"):
+        if abs(float(u[1][1]) - 1.0) > 1e-12:
+            raise ValueError(
+                f"WKT: projected UNIT must be metre (factor 1), got "
+                f"{u[1][0]!r} = {u[1][1]}: {s[:80]}")
     proj = proj_nodes[0][1][0].lower()
     par = _wkt_params(node)
     fam = _wkt_datum_family(node, s)

@@ -65,9 +65,9 @@ def expand_container_rows(images: DataFrame, band_col: str = "band",
     """S16 container closure: rows whose ``fmt == 'grsc'`` (multi-dataset
     container payloads, ``codecs.encode_container``) expand MAP-SIDE into
     one row per sub-dataset with ``fmt = 'grsc#<name>'`` plus a numeric
-    ``band_col`` (index in the container's dataset order) — ready for
-    ``tile_cut(band_col=...)``.  Non-container rows pass through with
-    band 0.
+    ``band_col`` (index in SORTED dataset-name order — stable regardless
+    of writer insertion order) — ready for ``tile_cut(band_col=...)``.
+    Non-container rows pass through with band 0.
 
     The reference's Landsat SR HDF reader does this resolution file-side
     [ref: lib/landsat_dataset.py:115-338]; here it is a column transform:

@@ -897,3 +897,17 @@ def test_png_16bit_grayscale_roundtrip():
         codecs.decode_png(codecs._PNG_SIG + codecs._chunk(b"IHDR", ihdr_rgb)
                           + codecs._chunk(b"IDAT", zlib.compress(b"\x00" * 100))
                           + codecs._chunk(b"IEND", b""))
+
+
+def test_wkt_rejects_non_metre_projected_unit():
+    """A PROJCS carrying a kilometre/foot linear UNIT would silently
+    rescale every coordinate — must raise (round-4 review find); the
+    nested GEOGCS degree UNIT must NOT trip the check."""
+    ok = _WKT["EPSG:32618"]
+    assert crs.parse_wkt(ok) == "UTM:18N"   # degree UNIT inside GEOGCS fine
+    km = ok.replace('UNIT["metre",1]', 'UNIT["kilometre",1000]')
+    with pytest.raises(ValueError, match="metre"):
+        crs.parse_wkt(km)
+    ft = ok.replace('UNIT["metre",1]', 'UNIT["US survey foot",0.3048006096]')
+    with pytest.raises(ValueError, match="metre"):
+        crs.parse_wkt(ft)

@@ -88,6 +88,14 @@ def encode_png(arr: np.ndarray, planes_first: bool | None = None) -> bytes:
         return (_PNG_SIG + _chunk(b"IHDR", ihdr)
                 + _chunk(b"IDAT", zlib.compress(buf.tobytes(), 6))
                 + _chunk(b"IEND", b""))
+    if a16.dtype.kind == "i" or (a16.dtype.kind == "u"
+                                 and a16.dtype.itemsize > 1):
+        # a silent uint8 cast would WRAP wider integer samples mod 256;
+        # floats keep the legacy cast (every internal caller pre-clips)
+        raise ValueError(
+            f"encode_png: dtype {a16.dtype} would wrap in the uint8 cast "
+            "(supported: uint8, float pre-clipped to [0,255], or 2-D "
+            "uint16 for 16-bit grayscale) — cast explicitly")
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 3:
         if planes_first is None:

@@ -911,3 +911,17 @@ def test_wkt_rejects_non_metre_projected_unit():
     ft = ok.replace('UNIT["metre",1]', 'UNIT["US survey foot",0.3048006096]')
     with pytest.raises(ValueError, match="metre"):
         crs.parse_wkt(ft)
+
+
+def test_encode_png_rejects_wrapping_integer_dtypes():
+    """Wider integer inputs would silently wrap mod 256 in the uint8 cast
+    (round-4 review find) — reject; float and uint8/uint16 paths intact."""
+    with pytest.raises(ValueError, match="wrap"):
+        codecs.encode_png(np.array([[300, 5]], dtype=np.int32))
+    with pytest.raises(ValueError, match="wrap"):
+        codecs.encode_png(np.zeros((4, 4, 3), dtype=np.uint16))
+    with pytest.raises(ValueError, match="wrap"):
+        codecs.encode_png(np.array([[-1, 0]], dtype=np.int8))
+    f = np.array([[3.7, 250.0]])
+    np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png(f)),
+                                  np.array([[3, 250]], dtype=np.uint8))

@@ -547,6 +547,10 @@ def parse_wkt(s: str):
         for pm in _wkt_children(node, "PRIMEM"):
             if float(pm[1][1]) != 0.0:
                 raise ValueError(f"WKT: non-Greenwich prime meridian: {s[:80]}")
+        for u in _wkt_children(node, "UNIT"):
+            if abs(float(u[1][1]) - math.pi / 180.0) > 1e-9:
+                raise ValueError(f"WKT: geographic UNIT must be degree, "
+                                 f"got {u[1][0]!r} = {u[1][1]}: {s[:80]}")
         return GEOGRAPHIC
 
     proj_nodes = _wkt_children(node, "PROJECTION")

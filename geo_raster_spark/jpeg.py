@@ -961,6 +961,8 @@ def _progressive_scan(scan_bytes, scan_comps, sof_comps, coefs, huff_dc,
                 for u in range(start, start + count):
                     yield ci0, td0, u // bw_i, u % bw_i
 
+        tabs = ({td: _build_decode(*huff_dc[td])
+                 for _ci, td, _ta in scan_comps} if ah == 0 else {})
         done = 0
         for seg_b in segments:
             if done >= n_units:
@@ -968,8 +970,6 @@ def _progressive_scan(scan_bytes, scan_comps, sof_comps, coefs, huff_dc,
             m = min(restart_ri, n_units - done) if restart_ri else n_units
             br = _BitReader(seg_b)
             if ah == 0:
-                tabs = {td: _build_decode(*huff_dc[td])
-                        for _ci, td, _ta in scan_comps}
                 preds = [0] * len(sof_comps)
                 for ci, td, by, bx in units(done, m):
                     s = _huff_read(br, tabs[td])

@@ -925,3 +925,12 @@ def test_encode_png_rejects_wrapping_integer_dtypes():
     f = np.array([[3.7, 250.0]])
     np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png(f)),
                                   np.array([[3, 250]], dtype=np.uint8))
+
+
+def test_wkt_rejects_non_degree_geographic_unit():
+    grads = _WKT["EPSG:4326"].replace(
+        'UNIT["degree",0.0174532925199433]',
+        'UNIT["grad",0.01570796326794897]')
+    with pytest.raises(ValueError, match="degree"):
+        crs.parse_wkt(grads)
+    assert crs.parse_wkt(_WKT["EPSG:4326"]) == "EPSG:4326"

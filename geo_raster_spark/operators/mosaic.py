@@ -40,8 +40,17 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
              salt_buckets: int | None = None,
              salt_threshold: int | None = None,
              priority_col: str | None = None,
-             band_col: str | None = None) -> DataFrame:
+             band_col: str | None = None,
+             src_crs_col: str | None = None,
+             footprint_refine: bool = False) -> DataFrame:
     """images (with footprint cols + bytes/fmt) -> one row per output tile.
+
+    ``src_crs_col``: optional column naming each source's CRS (default:
+    sources share the grid CRS).  ``footprint_refine``: for cross-CRS
+    sources, polygon-clip the densified reprojected footprint against the
+    tile before painting (``kernels.warp.mosaic`` semantics) — skips
+    bbox-only overlaps and trims diagonal slivers; a no-op for same-CRS
+    sources.
 
     ``agg_to_cell``: optional coarser output cell size (A1/A2 aggregation
     after the mosaic, like the reference's --cell-size).
@@ -100,9 +109,12 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
             # with 10^4 candidates holds ONE decoded array, not all of them
             for _, r in pdf.iterrows():
                 arr = codecs.decode(r["bytes"], r["fmt"]).astype(np.float64)
-                yield arr, RasterInfo(tuple(r["gt"]), int(r["w"]), int(r["h"]))
+                crs_ = r[src_crs_col] if src_crs_col else g.crs
+                yield arr, RasterInfo(tuple(r["gt"]), int(r["w"]),
+                                      int(r["h"]), crs_)
 
-        out = warp_k.mosaic(decoded(), info, nodata=nodata, dtype=np.float64)
+        out = warp_k.mosaic(decoded(), info, nodata=nodata, dtype=np.float64,
+                            footprint_refine=footprint_refine)
         out_info = info
         if agg_to_cell is not None:
             scaled = info.scale(cell_size=agg_to_cell)

@@ -834,3 +834,40 @@ def test_tile_cut_adaptive_salting_byte_identical(spark):
     n_hot = sum(1 for _b, n, _p in base.values() if n > 4)
     n_cold = sum(1 for _b, n, _p in base.values() if n <= 4)
     assert n_hot >= 1 and n_cold >= 4
+
+
+def test_tile_cut_cross_crs_sources(spark):
+    """src_crs_col + footprint_refine: a SINU-meters source cuts onto the
+    geographic tile grid through the same cross-CRS warp the kernel path
+    uses — tile bytes equal the direct kernel mosaic, refine on or off."""
+    from geo_raster_spark import crs as crs_mod
+    R = 6371007.181
+    y0, y1 = R * np.radians(20.0), R * np.radians(21.0)
+    x0 = R * np.radians(30.0) * np.cos(np.radians(20.5))
+    w, h = 90, 110
+    arr = (np.arange(h * w, dtype=np.float64).reshape(h, w) % 199.0) + 1
+    gt = [x0, 1.1e5 / w, 0.0, y1, 0.0, -(y1 - y0) / h]
+    ext = crs_mod.transform_extent(
+        "SINU", "EPSG:4326", (x0, y0, x0 + 1.1e5, y1))
+    row = {"image_id": "sinu0", "bytes": bytearray(codecs.encode(
+               arr.astype(np.uint8), "png")),
+           "fmt": "png", "w": w, "h": h, "crs": "SINU",
+           "minx": ext[0], "miny": ext[1], "maxx": ext[2], "maxy": ext[3],
+           "gt": gt}
+    imgs = spark.createDataFrame(pd.DataFrame([row]))
+    for refine in (False, True):
+        tiles = mosaic.tile_cut(imgs, nodata=0.0, src_crs_col="crs",
+                                footprint_refine=refine).collect()
+        assert len(tiles) >= 1
+        g = TileGrid()
+        painted_total = 0
+        for t in tiles:
+            info = g.tile_info(int(t["tile_col"]), int(t["tile_row"]))
+            src = RasterInfo(tuple(gt), w, h, "SINU")
+            want = warp_k.mosaic([(arr, src)], info, 0.0,
+                                 footprint_refine=refine)
+            got = codecs.decode_png(bytes(t["data"])).astype(np.float64)
+            np.testing.assert_array_equal(
+                got, np.clip(want, 0, 255).astype(np.uint8))
+            painted_total += int(t["painted"])
+        assert painted_total > 0, "cross-CRS source genuinely painted"

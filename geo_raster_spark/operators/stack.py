@@ -44,9 +44,20 @@ def pixel_stack_stats(tiles: DataFrame, stat: str = "median",
     ``band_col``: multi-band stacks (tiles from ``tile_cut(band_col=...)``)
     reduce per (tile, band) — epochs of one band never mix with another's.
     """
-    if stat not in _STATS:
-        raise ValueError(f"stat must be one of {sorted(_STATS)}")
-    fn = _STATS[stat]
+    if stat.startswith("p") and stat[1:].replace(".", "", 1).isdigit():
+        # arbitrary per-pixel percentile across epochs, e.g. "p25" / "p97.5"
+        # (np.nanpercentile linear interpolation — "p50" ≡ "median")
+        q = float(stat[1:])
+        if not 0.0 <= q <= 100.0:
+            raise ValueError(f"percentile out of range: {stat}")
+
+        def fn(a, axis=0):
+            return np.nanpercentile(a, q, axis=axis)
+    elif stat in _STATS:
+        fn = _STATS[stat]
+    else:
+        raise ValueError(
+            f"stat must be one of {sorted(_STATS)} or 'p<0-100>'")
     group_cols = ["tile_tag"] + ([band_col] if band_col else [])
     schema = STACK_SCHEMA + (f", {band_col} int" if band_col else "")
 

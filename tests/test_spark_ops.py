@@ -871,3 +871,48 @@ def test_tile_cut_cross_crs_sources(spark):
                 got, np.clip(want, 0, 255).astype(np.uint8))
             painted_total += int(t["painted"])
         assert painted_total > 0, "cross-CRS source genuinely painted"
+
+
+def test_pixel_stack_percentile_stats(spark):
+    """stat='pXX': per-pixel percentiles across epochs — p50 equals the
+    median path exactly; p100 equals max; p25 matches np.nanpercentile."""
+    from geo_raster_spark.operators import stack as stk
+    rng = np.random.default_rng(5)
+    tiles = []
+    planes = [rng.integers(1, 250, (30, 30)).astype(np.uint8)
+              for _ in range(4)]
+    for e, a in enumerate(planes):
+        a = a.copy()
+        a[e * 3:(e * 3) + 4, :] = 0          # per-epoch nodata stripes
+        tiles.append({"tile_tag": "h001v001", "epoch": e, "width": 30,
+                      "height": 30, "gt": [0.0] * 6,
+                      "data": bytearray(codecs.encode_png(a))})
+    df = spark.createDataFrame(pd.DataFrame(tiles))
+
+    def run(stat):
+        r = stk.pixel_stack_stats(df, stat=stat, nodata=0.0).collect()[0]
+        return codecs.decode_png(bytes(r["data"])), r["val_sum"]
+
+    p50, s50 = run("p50")
+    med, smed = run("median")
+    np.testing.assert_array_equal(p50, med)
+    assert s50 == smed
+    p100, _ = run("p100")
+    mx, _ = run("max")
+    np.testing.assert_array_equal(p100, mx)
+    # independent oracle for p25
+    got, _ = run("p25")
+    st = np.full((4, 30, 30), np.nan)
+    for e, a in enumerate(planes):
+        a = a.astype(np.float64).copy()
+        a[e * 3:(e * 3) + 4, :] = np.nan
+        st[e] = a
+    want = np.nanpercentile(st, 25.0, axis=0)
+    want = np.where(np.isnan(want), 0.0, want)
+    np.testing.assert_array_equal(
+        got, np.clip(np.round(want), 0, 255).astype(np.uint8))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        stk.pixel_stack_stats(df, stat="p101")
+    with _pt.raises(ValueError):
+        stk.pixel_stack_stats(df, stat="bogus")

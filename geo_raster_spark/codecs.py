@@ -330,7 +330,10 @@ def decode_container(data, name: str) -> np.ndarray:
     """Resolve + decode one named sub-dataset (``file#dataset`` semantics)."""
     idx = container_index(data)
     if name not in idx:
-        raise KeyError(
+        # ValueError, not KeyError: executors see ONE exception class for
+        # corrupt/mismatched payloads (same boundary contract as the JPEG
+        # decoder's struct/index/key translation — advice r4)
+        raise ValueError(
             f"dataset {name!r} not in container (has {sorted(idx)})")
     fmt, off, ln = idx[name]
     return decode(bytes(data)[off:off + ln], fmt)

@@ -396,7 +396,10 @@ def parse_proj4(s: str):
         check({**meters, "lon_0": lambda v: float(v) == 0.0,
                "R": sph, "a": sph, "b": sph})
         return SINUSOIDAL
-    if proj in ("merc", "webmerc"):
+    if proj == "webmerc":
+        # +proj=webmerc is spherical web mercator by definition (PROJ
+        # computes on the sphere even with +datum=WGS84 present), so the
+        # datum decoration is harmless here
         sph = lambda v: float(v) == R_MERC
         check({**meters, **wgs84,
                "lon_0": lambda v: float(v) == 0.0,
@@ -404,6 +407,26 @@ def parse_proj4(s: str):
                "k": lambda v: float(v) == 1.0,
                "k_0": lambda v: float(v) == 1.0,
                "a": sph, "b": sph})
+        return MERCATOR
+    if proj == "merc":
+        # plain +proj=merc with +datum/+ellps=WGS84 is ELLIPSOIDAL
+        # Mercator (canonical EPSG:3395) — northing differs from the
+        # spherical closed form by up to ~0.5% (tens of km at high
+        # latitude).  Require an explicit sphere (+R, or +a=+b=6378137)
+        # so the canonical 3395 strings are rejected loudly instead of
+        # silently mapped to 3857 math (advice r4).
+        sph = lambda v: float(v) == R_MERC
+        check({**meters,
+               "lon_0": lambda v: float(v) == 0.0,
+               "lat_ts": lambda v: float(v) == 0.0,
+               "k": lambda v: float(v) == 1.0,
+               "k_0": lambda v: float(v) == 1.0,
+               "R": sph, "a": sph, "b": sph})
+        if "R" not in kv and not ("a" in kv and "b" in kv):
+            raise ValueError(
+                "+proj=merc without an explicit sphere (+R or +a=+b="
+                f"{R_MERC:.0f}) is ellipsoidal Mercator (EPSG:3395) — "
+                f"not the implemented spherical web mercator: {s}")
         return MERCATOR
     if proj == "utm":
         check({**meters, **wgs84,
@@ -602,9 +625,24 @@ def parse_wkt(s: str):
                 or num("scale_factor", 1.0) != 1.0 \
                 or num("standard_parallel_1") != 0.0:
             raise ValueError(f"WKT: non-3857 Mercator: {s[:80]}")
-        a, _ = _wkt_spheroid(node)
+        a, invf = _wkt_spheroid(node)
         if a != R_MERC:
             raise ValueError(f"WKT: Mercator sphere must be {R_MERC}: {s[:80]}")
+        if invf != 0.0 and proj == "mercator_1sp":
+            # Mercator_1SP over the WGS84 ELLIPSOID is EPSG:3395
+            # (ellipsoidal northing, ~0.5% off the spherical form) —
+            # accept only nodes identifiable as 3857, where GDAL WKT1
+            # writes the WGS84 spheroid but the math is spherical
+            # ("Pseudo-Mercator" naming or an EPSG:3857 AUTHORITY)
+            # (advice r4)
+            name = str(node[1][0]).lower() if node[1] else ""
+            auth = [t for t in _wkt_children(node, "AUTHORITY")
+                    if [str(x) for x in t[1][:2]] == ["EPSG", "3857"]]
+            if "pseudo-mercator" not in name and not auth:
+                raise ValueError(
+                    f"WKT: Mercator_1SP on an ellipsoid (1/f={invf}) is "
+                    f"EPSG:3395 ellipsoidal Mercator, not the spherical "
+                    f"3857 closed form: {s[:80]}")
         return MERCATOR
     if proj == "albers_conic_equal_area":
         if fam != "GRS80" or fe or fn:
@@ -626,8 +664,20 @@ def parse_wkt(s: str):
             raise ValueError(f"WKT: polar stereographic needs WGS84, zero "
                              f"offsets, k=1 (variant B): {s[:80]}")
         # GDAL WKT1 variant B carries the standard parallel in
-        # latitude_of_origin; its sign picks the pole
+        # latitude_of_origin; ESRI-style variants write latitude_of_origin
+        # = ±90 (the pole) AND standard_parallel_1 = <lat_ts> — prefer the
+        # explicit standard parallel in that case, and fail loudly when
+        # neither parameter exists (advice r4)
+        if "latitude_of_origin" not in par and "standard_parallel_1" not in par:
+            raise ValueError(f"WKT: polar stereographic without "
+                             f"latitude_of_origin or standard_parallel_1: "
+                             f"{s[:80]}")
         lat_ts = num("latitude_of_origin", 90.0, "standard_parallel_1")
+        if abs(lat_ts) == 90.0 and "standard_parallel_1" in par:
+            lat_ts = par["standard_parallel_1"]
+            # the pole parameter's sign still picks the hemisphere
+            if num("latitude_of_origin", lat_ts) < 0 and lat_ts > 0:
+                lat_ts = -lat_ts
         if lat_ts == 0.0:
             raise ValueError(f"WKT: equatorial stereographic unsupported: "
                              f"{s[:80]}")

@@ -111,6 +111,49 @@ def window_for_extent(dst_info: RasterInfo, ext, margin: int = 2):
             max(0, c0), min(dst_info.width, c1))
 
 
+def paint_source(data, info: RasterInfo, dst_info: RasterInfo, nodata, out,
+                 v_min=None, v_max=None, footprint_refine: bool = False):
+    """Paint ONE source into ``out`` first-wins — the shared per-source body
+    of :func:`mosaic`, also used by the salted tile-cut partial phase so
+    both paths honor the source CRS and ``footprint_refine`` identically
+    (round-4 verdict: the salted path silently dropped them).
+
+    Returns ``out``.  Order of operations is exactly the :func:`mosaic`
+    loop body: bbox prefilter → optional densified-footprint clip →
+    windowed first-wins :func:`warp_band`."""
+    from .. import geometry as g
+    de = dst_info.extent()
+    # cheap bbox prefilter before any polygon/per-pixel work
+    se = crs_mod.transform_extent(info.crs, dst_info.crs, info.extent())
+    if se[0] > de[2] or se[2] < de[0] or se[1] > de[3] or se[3] < de[1]:
+        return out
+    clip_ext = se
+    if footprint_refine and info.crs.upper() != dst_info.crs.upper():
+        ring = g.segment_ratio(g.bbox_to_ring(info.extent()), 16)
+        tx, ty = crs_mod.transform(info.crs, dst_info.crs,
+                                   ring[:, 0], ring[:, 1])
+        fin = np.isfinite(tx) & np.isfinite(ty)
+        try:
+            pieces = (g.clip_rings(np.column_stack([tx[fin], ty[fin]]),
+                                   g.bbox_to_ring(de))
+                      if fin.sum() >= 3 else [])
+        except g.TriangulationError:
+            # degenerate reprojected ring (duplicate vertices / pinch):
+            # a partial triangulation could wrongly SKIP an overlapping
+            # source — paint the safe bbox∩bbox window instead
+            win = window_for_extent(dst_info, se, margin=2)
+            return warp_band(data, info, dst_info, nodata, out=out,
+                             v_min=v_min, v_max=v_max, dst_window=win)
+        if not pieces:
+            return out  # bbox overlapped, true footprint does not
+        bbs = [g.ring_bbox(p) for p in pieces]
+        clip_ext = (min(b[0] for b in bbs), min(b[1] for b in bbs),
+                    max(b[2] for b in bbs), max(b[3] for b in bbs))
+    win = window_for_extent(dst_info, clip_ext, margin=2)
+    return warp_band(data, info, dst_info, nodata, out=out,
+                     v_min=v_min, v_max=v_max, dst_window=win)
+
+
 def mosaic(sources, dst_info: RasterInfo, nodata, dtype=None,
            v_min=None, v_max=None, footprint_refine: bool = False):
     """G11: first-wins mosaic of ``sources = [(data, RasterInfo), ...]``
@@ -134,41 +177,12 @@ def mosaic(sources, dst_info: RasterInfo, nodata, dtype=None,
     whose bbox overlaps the tile but whose true footprint misses it is
     SKIPPED, and a diagonal sliver paints only its own window, not the
     whole bbox∩bbox."""
-    from .. import geometry as g
     if dtype is None:
         sources = list(sources)
         dtype = np.asarray(sources[0][0]).dtype if sources else np.float64
     out = np.full((dst_info.height, dst_info.width), nodata, dtype=dtype)
-    de = dst_info.extent()
     for data, info in sources:
-        # cheap bbox prefilter before any polygon/per-pixel work
-        se = crs_mod.transform_extent(info.crs, dst_info.crs, info.extent())
-        if se[0] > de[2] or se[2] < de[0] or se[1] > de[3] or se[3] < de[1]:
-            continue
-        clip_ext = se
-        if footprint_refine and info.crs.upper() != dst_info.crs.upper():
-            ring = g.segment_ratio(g.bbox_to_ring(info.extent()), 16)
-            tx, ty = crs_mod.transform(info.crs, dst_info.crs,
-                                       ring[:, 0], ring[:, 1])
-            fin = np.isfinite(tx) & np.isfinite(ty)
-            try:
-                pieces = (g.clip_rings(np.column_stack([tx[fin], ty[fin]]),
-                                       g.bbox_to_ring(de))
-                          if fin.sum() >= 3 else [])
-            except g.TriangulationError:
-                # degenerate reprojected ring (duplicate vertices / pinch):
-                # a partial triangulation could wrongly SKIP an overlapping
-                # source — paint the safe bbox∩bbox window instead
-                win = window_for_extent(dst_info, se, margin=2)
-                warp_band(data, info, dst_info, nodata, out=out,
-                          v_min=v_min, v_max=v_max, dst_window=win)
-                continue
-            if not pieces:
-                continue  # bbox overlapped, true footprint does not
-            bbs = [g.ring_bbox(p) for p in pieces]
-            clip_ext = (min(b[0] for b in bbs), min(b[1] for b in bbs),
-                        max(b[2] for b in bbs), max(b[3] for b in bbs))
-        win = window_for_extent(dst_info, clip_ext, margin=2)
-        warp_band(data, info, dst_info, nodata, out=out,
-                  v_min=v_min, v_max=v_max, dst_window=win)
+        paint_source(data, info, dst_info, nodata, out,
+                     v_min=v_min, v_max=v_max,
+                     footprint_refine=footprint_refine)
     return out

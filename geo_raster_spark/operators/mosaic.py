@@ -147,7 +147,8 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
         if salt_threshold is None:
             return _tile_cut_salted(assigned, grid, nodata, salt_buckets,
                                     agg_to_cell, agg_func, min_rate,
-                                    priority_col, band_col)
+                                    priority_col, band_col,
+                                    src_crs_col, footprint_refine)
         # adaptive: split on a metadata-only per-tile candidate count
         hot_keys = (assigned.select(*group_cols)
                             .groupBy(*group_cols)
@@ -158,7 +159,8 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
         cold = assigned.join(F.broadcast(hot_keys), group_cols, "left_anti")
         return _tile_cut_salted(hot, grid, nodata, salt_buckets,
                                 agg_to_cell, agg_func, min_rate,
-                                priority_col, band_col) \
+                                priority_col, band_col,
+                                src_crs_col, footprint_refine) \
             .unionByName(plain(cold))
 
     return plain(assigned)
@@ -172,7 +174,9 @@ _PARTIAL_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
 def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
                      k: int, agg_to_cell, agg_func, min_rate,
                      priority_col: str | None = None,
-                     band_col: str | None = None) -> DataFrame:
+                     band_col: str | None = None,
+                     src_crs_col: str | None = None,
+                     footprint_refine: bool = False) -> DataFrame:
     """Two-phase hot-tile mosaic: per-(tile, salt) partials carry a
     per-pixel WINNER plane so the merge reproduces the global
     min-(priority, image_id) first-wins order exactly.
@@ -181,7 +185,14 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
     key list (shipped alongside: one (priority, id) pair per image); the
     merge factorizes the union of key lists into global lexicographic
     ranks and compares those — works for arbitrary image_id strings, and
-    precedence is exactly the unsalted path's (priority, image_id) sort."""
+    precedence is exactly the unsalted path's (priority, image_id) sort.
+
+    ``src_crs_col``/``footprint_refine`` behave exactly as on the plain
+    path: each partial paints through :func:`kernels.warp.paint_source`
+    (the same per-source body ``mosaic`` uses), so cross-CRS sources are
+    reprojected to the grid CRS regardless of salting
+    [ref: mod/geo_raster_ex_c.pyx:1093-1203 — every source is projected
+    to the target CRS on every code path]."""
     salted = assigned.withColumn(
         "salt", F.pmod(F.xxhash64("image_id"), F.lit(k)).cast("int"))
     sort_cols = ([priority_col, "image_id"] if priority_col else ["image_id"])
@@ -200,9 +211,11 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
         winner = np.full(out.shape, -1, dtype=np.int32)   # -1 = unpainted
         for j, (_, r) in enumerate(pdf.iterrows()):
             arr = codecs.decode(r["bytes"], r["fmt"]).astype(np.float64)
-            src = RasterInfo(tuple(r["gt"]), int(r["w"]), int(r["h"]))
+            crs_ = r[src_crs_col] if src_crs_col else g.crs
+            src = RasterInfo(tuple(r["gt"]), int(r["w"]), int(r["h"]), crs_)
             empty_before = out == nodata
-            warp_k.warp_band(arr, src, info, nodata, out=out)
+            warp_k.paint_source(arr, src, info, nodata, out,
+                                footprint_refine=footprint_refine)
             newly = empty_before & (out != nodata)
             winner[newly] = j
         prios = (pdf[priority_col].astype(float).tolist() if priority_col

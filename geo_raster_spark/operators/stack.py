@@ -77,10 +77,12 @@ def pixel_stack_stats(tiles: DataFrame, stat: str = "median",
             "tile_tag": tag, "n_epochs": len(pdf), "width": w, "height": h,
             "gt": list(first["gt"]),
             "painted": int((out != nodata).sum()),
-            # float sum of the reduced plane over painted positions — an
-            # exactly-reproducible scalar (epoch medians of uint8 inputs
-            # are multiples of 0.5, so the sum is binary-exact regardless
-            # of order) that the DuckDB oracle re-derives per pixel
+            # float sum of the reduced plane over painted positions that
+            # the DuckDB oracle re-derives per pixel.  For median/p50 of
+            # uint8 inputs the values are multiples of 0.5, so the sum is
+            # binary-exact regardless of order; arbitrary pXX percentiles
+            # interpolate to non-dyadic values — an oracle comparing a
+            # pXX val_sum must round/tolerance-compare (advice r4)
             "val_sum": float(out[out != nodata].sum()),
             "data": codecs.encode_png(np.clip(np.round(out), 0, 255)
                                       .astype(np.uint8)),

@@ -732,7 +732,7 @@ def test_container_roundtrip_and_dataset_refs():
     np.testing.assert_array_equal(codecs.decode(payload, "grsc#sr_band5"), a)
     np.testing.assert_array_equal(codecs.decode(payload, "grsc#qa"), b8)
     np.testing.assert_array_equal(codecs.decode(payload, "grsc#raw"), b8)
-    with pytest.raises(KeyError, match="sr_band9"):
+    with pytest.raises(ValueError, match="sr_band9"):
         codecs.decode(payload, "grsc#sr_band9")
     with pytest.raises(ValueError, match="GRSC"):
         codecs.container_index(b"not a container")
@@ -934,3 +934,88 @@ def test_wkt_rejects_non_degree_geographic_unit():
     with pytest.raises(ValueError, match="degree"):
         crs.parse_wkt(grads)
     assert crs.parse_wkt(_WKT["EPSG:4326"]) == "EPSG:4326"
+
+
+# --- round-5 ADVICE hardening ----------------------------------------------
+
+def test_merc_whitelist_rejects_ellipsoidal_3395():
+    """+proj=merc with +datum/+ellps=WGS84 is canonical EPSG:3395
+    (ELLIPSOIDAL Mercator, ~0.5% northing error vs the spherical form) —
+    must be rejected, while explicit-sphere merc and webmerc resolve."""
+    for p4 in ("+proj=merc +datum=WGS84 +units=m",
+               "+proj=merc +ellps=WGS84 +units=m",
+               "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +datum=WGS84 "
+               "+units=m +no_defs",      # canonical EPSG:3395 string
+               "+proj=merc +units=m"):   # no sphere given -> ambiguous
+        with pytest.raises(ValueError):
+            crs.parse_proj4(p4)
+    assert crs.parse_proj4("+proj=merc +a=6378137 +b=6378137 +units=m") \
+        == "EPSG:3857"
+    assert crs.parse_proj4("+proj=merc +R=6378137 +units=m") == "EPSG:3857"
+    # webmerc is spherical BY DEFINITION even with the datum decoration
+    assert crs.parse_proj4("+proj=webmerc +datum=WGS84 +units=m") \
+        == "EPSG:3857"
+
+
+def test_wkt_mercator_1sp_ellipsoid_needs_3857_identity():
+    """Mercator_1SP over the WGS84 ellipsoid parses as 3857 ONLY when the
+    node is identifiable as 3857 (Pseudo-Mercator name or EPSG:3857
+    AUTHORITY); an anonymous ellipsoidal Mercator_1SP (EPSG:3395) raises."""
+    tmpl = ('PROJCS["{name}",GEOGCS["WGS 84",DATUM["WGS_1984",'
+            'SPHEROID["WGS 84",6378137,298.257223563]],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],'
+            'PARAMETER["scale_factor",1],PARAMETER["false_easting",0],'
+            'PARAMETER["false_northing",0],UNIT["metre",1]{auth}]')
+    # canonical 3395-shaped node: WGS84 ellipsoid, no 3857 identity
+    with pytest.raises(ValueError, match="3395"):
+        crs.parse_wkt(tmpl.format(name="WGS 84 / World Mercator", auth=""))
+    # 3857 by AUTHORITY
+    assert crs.parse_wkt(tmpl.format(
+        name="WGS 84 / Web", auth=',AUTHORITY["EPSG","3857"]')) == "EPSG:3857"
+    # 3857 by Popular Visualisation naming
+    assert crs.parse_wkt(tmpl.format(
+        name="WGS 84 / Pseudo-Mercator", auth="")) == "EPSG:3857"
+    # a true sphere never needs the identity escape
+    sph = tmpl.format(name="anon", auth="").replace(
+        'SPHEROID["WGS 84",6378137,298.257223563]',
+        'SPHEROID["sphere",6378137,0]')
+    assert crs.parse_wkt(sph) == "EPSG:3857"
+
+
+def test_wkt_polar_stereo_esri_variant_and_missing_params():
+    """ESRI-style polar stereo (latitude_of_origin=±90 AND
+    standard_parallel_1=<lat_ts>) must resolve to the standard parallel,
+    not the pole; a node with NEITHER parameter fails loudly."""
+    tmpl = ('PROJCS["ps",GEOGCS["WGS 84",DATUM["WGS_1984",'
+            'SPHEROID["WGS 84",6378137,298.257223563]],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Polar_Stereographic"],{params}'
+            'PARAMETER["central_meridian",-45],'
+            'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+            'UNIT["metre",1]]')
+    esri_n = tmpl.format(
+        params='PARAMETER["latitude_of_origin",90],'
+               'PARAMETER["standard_parallel_1",70],')
+    assert crs.parse_wkt(esri_n) == "PS:70.0,-45.0"
+    esri_s = tmpl.format(
+        params='PARAMETER["latitude_of_origin",-90],'
+               'PARAMETER["standard_parallel_1",71],')
+    assert crs.parse_wkt(esri_s) == "PS:-71.0,-45.0"
+    # GDAL variant B unchanged: latitude_of_origin IS the std parallel
+    gdal_b = tmpl.format(params='PARAMETER["latitude_of_origin",70],')
+    assert crs.parse_wkt(gdal_b) == "PS:70.0,-45.0"
+    with pytest.raises(ValueError, match="latitude_of_origin"):
+        crs.parse_wkt(tmpl.format(params=""))
+
+
+def test_container_missing_dataset_raises_valueerror():
+    """decode_container on a missing name must raise ValueError (one
+    exception class for bad payloads at the executor boundary), not leak
+    KeyError."""
+    payload = codecs.encode_container(
+        {"b1": (np.arange(12, dtype=np.uint8).reshape(3, 4), "npy")})
+    with pytest.raises(ValueError, match="not in container"):
+        codecs.decode_container(payload, "nope")
+    with pytest.raises(ValueError, match="not in container"):
+        codecs.decode(payload, "grsc#nope")

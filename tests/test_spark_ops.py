@@ -916,3 +916,73 @@ def test_pixel_stack_percentile_stats(spark):
         stk.pixel_stack_stats(df, stat="p101")
     with _pt.raises(ValueError):
         stk.pixel_stack_stats(df, stat="bogus")
+
+
+def test_tile_cut_cross_crs_salted_byte_identical(spark):
+    """Round-4 verdict fix: the salted path must honor src_crs_col +
+    footprint_refine exactly like the plain path — 6 SINU-meters sources
+    stacked on one hot tile, unsalted vs uniform-salted vs adaptive
+    (hot branch) must be byte-identical, refine on or off."""
+    from geo_raster_spark import crs as crs_mod
+    R = 6371007.181
+    rows = []
+    for j in range(6):
+        w, h = 80, 90
+        arr = synth.image_pixels(j, w, h, j * 409 + 11)
+        lat0 = 20.0 + 0.08 * j
+        y0, y1 = R * np.radians(lat0), R * np.radians(lat0 + 0.9)
+        x0 = R * np.radians(30.0 + 0.06 * j) * np.cos(np.radians(lat0))
+        gt = [x0, 1.0e5 / w, 0.0, y1, 0.0, -(y1 - y0) / h]
+        ext = crs_mod.transform_extent(
+            "SINU", "EPSG:4326", (x0, y0, x0 + 1.0e5, y1))
+        rows.append({"image_id": f"sinu{j}",
+                     "bytes": bytearray(codecs.encode(arr, "png")),
+                     "fmt": "png", "w": w, "h": h, "crs": "SINU",
+                     "minx": ext[0], "miny": ext[1],
+                     "maxx": ext[2], "maxy": ext[3], "gt": gt})
+    imgs = spark.createDataFrame(pd.DataFrame(rows))
+
+    for refine in (False, True):
+        def run(**kw):
+            return {r["tile_tag"]: (bytes(r["data"]), r["n_images"],
+                                    r["painted"])
+                    for r in mosaic.tile_cut(
+                        imgs, nodata=0.0, src_crs_col="crs",
+                        footprint_refine=refine, **kw).collect()}
+
+        base = run()
+        assert sum(p for _b, _n, p in base.values()) > 0
+        assert max(n for _b, n, _p in base.values()) >= 4  # genuinely hot
+        assert run(salt_buckets=3) == base
+        assert run(salt_buckets=3, salt_threshold=2) == base
+
+
+def test_tile_cut_sinu_grid_salted_byte_identical(spark):
+    """Round-4 verdict case (b): on a non-4326 (SINU) grid, salted
+    same-CRS sources must NOT pick up a spurious 4326->SINU transform —
+    salted output byte-identical to unsalted."""
+    g = TileGrid(image_size=100, cell_size=1000.0, is_geog=False,
+                 crs="SINU")
+    rows = []
+    for j in range(5):
+        w, h = 60, 60
+        arr = synth.image_pixels(j, w, h, j * 271 + 5)
+        minx = 1.0e6 + 9.0e3 * j
+        maxy = 2.0e6 - 7.0e3 * j
+        rows.append({"image_id": f"m{j}",
+                     "bytes": bytearray(codecs.encode(arr, "png")),
+                     "fmt": "png", "w": w, "h": h,
+                     "minx": minx, "miny": maxy - 6.0e4,
+                     "maxx": minx + 6.0e4, "maxy": maxy,
+                     "gt": [minx, 6.0e4 / w, 0.0, maxy, 0.0, -6.0e4 / h]})
+    imgs = spark.createDataFrame(pd.DataFrame(rows))
+
+    def run(**kw):
+        return {r["tile_tag"]: (bytes(r["data"]), r["painted"])
+                for r in mosaic.tile_cut(imgs, grid=g, nodata=0.0,
+                                         **kw).collect()}
+
+    base = run()
+    assert sum(p for _b, p in base.values()) > 0
+    assert run(salt_buckets=3) == base
+    assert run(salt_buckets=3, salt_threshold=1) == base

@@ -365,16 +365,11 @@ def _shipped(fn):
 # directly.
 _REGISTRY_MAX = 50
 
-# The three residual rows-only queries are all CODEC-bound — their values
-# are pinned by byte-exact pytests, and an ANSI-SQL oracle would have to
-# re-implement a DCT/Huffman or warp gather DuckDB cannot express:
-# - m2_frame_sample: real MJPEG split + baseline JPEG decode
-#   (tests/test_multimodal.py::test_frame_sample_real_mjpeg is exact)
-# - g10_warp: cross-CRS sinusoidal warp — trig transform per pixel
-#   (tests/test_kernels_other.py warp oracles are exact)
+# The one residual rows-only query (g10/m2 were promoted to aux-artifact
+# oracles in round 5 — verdict r4 #3/#4):
 # - x3_parity: the per-row PSNR/caption invariant itself (the check IS the
 #   oracle; rows report pass counts over real JFIF/PNG codecs)
-_ROWS_ONLY_KEYS = ["m2_frame_sample", "g10_warp", "x3_parity"]
+_ROWS_ONLY_KEYS = ["x3_parity"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

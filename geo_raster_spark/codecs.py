@@ -343,10 +343,20 @@ def decode_container(data, name: str) -> np.ndarray:
 # dispatch + pluggable registry + metrics
 # ---------------------------------------------------------------------------
 
+def _encode_tif(arr):
+    from . import tiff
+    return tiff.encode_tiff(arr)
+
+
+def _decode_tif(data):
+    from . import tiff
+    return tiff.decode_tiff(data)
+
+
 _ENCODERS = {"npy": encode_npy, "png": encode_png, "jpeg": encode_jpeg,
-             "jpg": encode_jfif}
+             "jpg": encode_jfif, "tif": _encode_tif, "tiff": _encode_tif}
 _DECODERS = {"npy": decode_npy, "png": decode_png, "jpeg": decode_jpeg,
-             "jpg": decode_jfif}
+             "jpg": decode_jfif, "tif": _decode_tif, "tiff": _decode_tif}
 
 
 def register(fmt: str, decode_fn=None, encode_fn=None):
@@ -396,7 +406,7 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
 
 
 def is_lossless(fmt: str) -> bool:
-    return fmt in ("npy", "png")
+    return fmt in ("npy", "png", "tif", "tiff")
 
 
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:

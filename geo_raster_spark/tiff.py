@@ -1,0 +1,448 @@
+"""Minimal from-scratch TIFF / GeoTIFF codec (TIFF 6.0, public spec).
+
+The reference's native on-disk format is GeoTIFF written through GDAL with
+``predictor=2, tiled, lzw`` as the default creation options
+[ref: mod/geo_raster_c.pyx:91-92, 1177-1268].  This module implements the
+subset a real image table carrying those payloads needs, with zero native
+dependencies:
+
+- container: little-endian ("II") encode; II + big-endian ("MM") decode,
+  first IFD, inline/offset tag values;
+- layout: STRIPED and TILED (RowsPerStrip / TileWidth+TileLength), both
+  directions;
+- compression: none (1) and LZW (5) with the TIFF "early change" code
+  widths, encode + decode;
+- predictor: horizontal differencing (2) for integer samples;
+- samples: uint8 / uint16 gray, uint8 RGB (contiguous planar config),
+  float32 gray (SampleFormat=3, predictor auto-disabled);
+- geo: ModelPixelScaleTag (33550) + ModelTiepointTag (33922) so the
+   6-element geotransform round-trips (north-up only, like the
+  reference's writer).
+
+Anything outside this subset raises ``ValueError`` loudly (same boundary
+contract as the JPEG/PNG codecs: executors see one exception class for
+unsupported/corrupt payloads).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_CLEAR, _EOI = 256, 257
+
+
+# ---------------------------------------------------------------------------
+# LZW (TIFF 6.0 §13): MSB-first bit packing, 9->12 bit codes, early change
+# ---------------------------------------------------------------------------
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW.  Width bumps when the NEXT code to assign would be
+    511/1023/2047 (one earlier than GIF — the spec's "early change"); the
+    table resets via a Clear code when code 4094 would be assigned."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_CLEAR, width)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == 511:
+            width = 10
+        elif next_code == 1023:
+            width = 11
+        elif next_code == 2047:
+            width = 12
+        elif next_code == 4094:
+            emit(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(_EOI, width)
+    if nbits:
+        emit(0, 8 - nbits)  # flush
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, expected: int | None = None) -> bytes:
+    """Inverse of :func:`lzw_encode`.  The decoder's width bump trails the
+    encoder's by one table add, so it fires at next==510/1022/2046."""
+    out = bytearray()
+    pos = 0          # bit position
+    nbytes = len(data)
+
+    def read(width):
+        nonlocal pos
+        end = pos + width
+        if end > nbytes * 8:
+            return _EOI  # truncated stream: stop cleanly
+        code = 0
+        p = pos
+        while p < end:
+            byte = data[p >> 3]
+            take = min(8 - (p & 7), end - p)
+            shift = 8 - (p & 7) - take
+            code = (code << take) | ((byte >> shift) & ((1 << take) - 1))
+            p += take
+        pos = end
+        return code
+
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    next_code = 258
+    width = 9
+    old: bytes | None = None
+    while True:
+        code = read(width)
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            next_code = 258
+            width = 9
+            old = None
+            continue
+        if old is None:
+            if code >= 256:
+                raise ValueError("LZW: first code after clear not a literal")
+            entry = table[code]
+        elif code < next_code and code < len(table):
+            entry = table[code]
+        elif code == next_code:
+            entry = old + old[:1]
+        else:
+            raise ValueError(f"LZW: code {code} out of range")
+        out += entry
+        if old is not None:
+            table.append(old + entry[:1])
+            next_code += 1
+            if next_code == 510:
+                width = 10
+            elif next_code == 1022:
+                width = 11
+            elif next_code == 2046:
+                width = 12
+        old = entry
+        if expected is not None and len(out) >= expected:
+            break
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# predictor 2 (horizontal differencing, per sample, per row)
+# ---------------------------------------------------------------------------
+
+def _predict(block: np.ndarray) -> np.ndarray:
+    """(rows, w[, spp]) int array -> horizontally-differenced copy."""
+    d = block.copy()
+    if d.ndim == 2:
+        d[:, 1:] = block[:, 1:] - block[:, :-1]
+    else:
+        d[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
+    return d
+
+
+def _unpredict(block: np.ndarray) -> np.ndarray:
+    return np.add.accumulate(block, axis=1, dtype=block.dtype)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+_TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE = 3, 4, 12
+_TYPE_SIZES = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8}
+
+
+def _pack_values(typ, values):
+    fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}[typ]
+    return struct.pack("<" + fmt * len(values), *values)
+
+
+def encode_tiff(arr: np.ndarray, compression: str = "lzw",
+                predictor: int = 2, tiled: bool = True,
+                tile_size: int = 256, rows_per_strip: int | None = None,
+                gt=None) -> bytes:
+    """Array -> TIFF bytes (little-endian, single IFD).
+
+    Defaults mirror the reference's creation options (tiled + LZW +
+    predictor 2, [ref: mod/geo_raster_c.pyx:91-92]).  ``gt`` (optional
+    6-element geotransform, north-up) is stored as
+    ModelPixelScale + ModelTiepoint."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        spp = 1
+    elif arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8:
+        spp = 3
+    else:
+        raise ValueError(f"unsupported TIFF array shape {arr.shape} / "
+                         f"dtype {arr.dtype} (gray 2-D or uint8 RGB)")
+    if arr.dtype == np.uint8:
+        bps, sample_format = 8, 1
+    elif arr.dtype == np.uint16:
+        bps, sample_format = 16, 1
+    elif arr.dtype == np.float32:
+        bps, sample_format = 32, 3
+        predictor = 1  # horizontal differencing is integer-only
+    else:
+        raise ValueError(f"unsupported TIFF dtype {arr.dtype} "
+                         "(uint8/uint16/float32)")
+    if compression not in ("none", "lzw"):
+        raise ValueError(f"unsupported TIFF compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    h, w = arr.shape[:2]
+
+    def block_bytes(block):
+        if predictor == 2:
+            block = _predict(block)
+        raw = np.ascontiguousarray(block.astype(arr.dtype.newbyteorder("<"),
+                                                copy=False)).tobytes()
+        return lzw_encode(raw) if compression == "lzw" else raw
+
+    blocks = []
+    if tiled:
+        if tile_size % 16:
+            raise ValueError("TIFF tile size must be a multiple of 16")
+        tw = th = tile_size
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                t = arr[ty:ty + th, tx:tx + tw]
+                if t.shape[0] != th or t.shape[1] != tw:
+                    pad = [(0, th - t.shape[0]), (0, tw - t.shape[1])]
+                    if spp == 3:
+                        pad.append((0, 0))
+                    t = np.pad(t, pad)
+                blocks.append(block_bytes(t))
+    else:
+        if rows_per_strip is None:
+            row_bytes = max(1, w * spp * bps // 8)
+            rows_per_strip = max(1, min(h, 65536 // row_bytes))
+        for y in range(0, h, rows_per_strip):
+            blocks.append(block_bytes(arr[y:y + rows_per_strip]))
+
+    tags = [
+        (256, _TYPE_LONG, [w]),
+        (257, _TYPE_LONG, [h]),
+        (258, _TYPE_SHORT, [bps] * spp),
+        (259, _TYPE_SHORT, [5 if compression == "lzw" else 1]),
+        (262, _TYPE_SHORT, [2 if spp == 3 else 1]),
+        (277, _TYPE_SHORT, [spp]),
+        (284, _TYPE_SHORT, [1]),
+        (339, _TYPE_SHORT, [sample_format] * spp),
+    ]
+    if predictor == 2:
+        tags.append((317, _TYPE_SHORT, [2]))
+    if tiled:
+        tags += [(322, _TYPE_LONG, [tw]), (323, _TYPE_LONG, [th]),
+                 (324, _TYPE_LONG, None),   # offsets, filled below
+                 (325, _TYPE_LONG, [len(b) for b in blocks])]
+    else:
+        tags += [(273, _TYPE_LONG, None),
+                 (278, _TYPE_LONG, [rows_per_strip]),
+                 (279, _TYPE_LONG, [len(b) for b in blocks])]
+    if gt is not None:
+        gt = [float(v) for v in gt]
+        if gt[2] != 0.0 or gt[4] != 0.0:
+            raise ValueError("TIFF geotransform must be north-up "
+                             "(no rotation terms)")
+        tags += [(33550, _TYPE_DOUBLE, [gt[1], -gt[5], 0.0]),
+                 (33922, _TYPE_DOUBLE, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])]
+    tags.sort(key=lambda t: t[0])
+
+    # layout: header(8) | IFD | overflow values | block data
+    n = len(tags)
+    ifd_off = 8
+    data_off = ifd_off + 2 + n * 12 + 4          # first overflow byte
+    overflow = bytearray()
+    offsets_tag_pos = None
+    entries = []
+    for tag, typ, values in tags:
+        if values is None:                        # block offsets placeholder
+            values = [0] * len(blocks)
+            offsets_tag_pos = len(entries)
+        raw = _pack_values(typ, values)
+        if len(raw) <= 4:
+            entries.append([tag, typ, len(values), raw.ljust(4, b"\0"), None])
+        else:
+            entries.append([tag, typ, len(values), None, len(overflow)])
+            overflow += raw
+    blocks_off = data_off + len(overflow)
+    # now the real block offsets are known
+    off = blocks_off
+    block_offs = []
+    for b in blocks:
+        block_offs.append(off)
+        off += len(b)
+    tag, typ, cnt, inline, ov = entries[offsets_tag_pos]
+    raw = _pack_values(typ, block_offs)
+    if len(raw) <= 4:
+        entries[offsets_tag_pos] = [tag, typ, cnt, raw.ljust(4, b"\0"), None]
+    else:
+        overflow[ov:ov + len(raw)] = raw
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", n)
+    for tag, typ, cnt, inline, ov in entries:
+        val = inline if inline is not None else struct.pack("<I",
+                                                            data_off + ov)
+        out += struct.pack("<HHI", tag, typ, cnt) + val
+    out += struct.pack("<I", 0)                   # no next IFD
+    out += overflow
+    for b in blocks:
+        out += b
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def _read_ifd(data: bytes):
+    """-> (tags dict {id: list-of-values}, byteorder '<'|'>')."""
+    try:
+        if data[:2] == b"II":
+            bo = "<"
+        elif data[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError("not a TIFF (no II/MM byte-order mark)")
+        magic, ifd_off = struct.unpack_from(bo + "HI", data, 2)
+        if magic != 42:
+            raise ValueError(f"not a TIFF (magic {magic}, want 42)")
+        (n,) = struct.unpack_from(bo + "H", data, ifd_off)
+        tags = {}
+        type_fmt = {1: "B", 2: "s", 3: "H", 4: "I", 5: "II", 12: "d",
+                    6: "b", 8: "h", 9: "i", 11: "f"}
+        type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8, 6: 1, 8: 2,
+                     9: 4, 11: 4}
+        for i in range(n):
+            tag, typ, cnt = struct.unpack_from(bo + "HHI",
+                                               data, ifd_off + 2 + i * 12)
+            if typ not in type_fmt:
+                continue
+            sz = type_size[typ] * cnt
+            vpos = ifd_off + 2 + i * 12 + 8
+            if sz > 4:
+                (vpos,) = struct.unpack_from(bo + "I", data, vpos)
+            if typ == 2:
+                tags[tag] = [data[vpos:vpos + cnt].split(b"\0")[0].decode(
+                    "ascii", "replace")]
+            elif typ == 5:  # rational -> float
+                vals = struct.unpack_from(bo + "II" * cnt, data, vpos)
+                tags[tag] = [vals[2 * j] / (vals[2 * j + 1] or 1)
+                             for j in range(cnt)]
+            else:
+                tags[tag] = list(struct.unpack_from(
+                    bo + type_fmt[typ] * cnt, data, vpos))
+        return tags, bo
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt TIFF header/IFD ({e})") from e
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """TIFF bytes -> array ((h, w) gray or (h, w, 3) RGB)."""
+    data = bytes(data)
+    tags, bo = _read_ifd(data)
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from e
+    spp = tags.get(277, [1])[0]
+    bps_l = tags.get(258, [8])
+    if len(set(bps_l)) != 1:
+        raise ValueError(f"TIFF mixed bits-per-sample {bps_l}")
+    bps = bps_l[0]
+    comp = tags.get(259, [1])[0]
+    pred = tags.get(317, [1])[0]
+    sfmt = tags.get(339, [1])[0]
+    planar = tags.get(284, [1])[0]
+    if planar != 1:
+        raise ValueError(f"TIFF planar configuration {planar} unsupported "
+                         "(chunky only)")
+    if comp not in (1, 5):
+        raise ValueError(f"TIFF compression {comp} unsupported "
+                         "(none/LZW only)")
+    if pred not in (1, 2):
+        raise ValueError(f"TIFF predictor {pred} unsupported")
+    if spp not in (1, 3):
+        raise ValueError(f"TIFF samples-per-pixel {spp} unsupported")
+    dtype = {(8, 1): "u1", (16, 1): "u2", (32, 1): "u4",
+             (8, 2): "i1", (16, 2): "i2", (32, 2): "i4",
+             (32, 3): "f4", (64, 3): "f8"}.get((bps, sfmt))
+    if dtype is None:
+        raise ValueError(f"TIFF {bps}-bit sample format {sfmt} unsupported")
+    dt = np.dtype(bo + dtype)
+
+    def decode_block(raw, rows, cols):
+        want = rows * cols * spp * dt.itemsize
+        if comp == 5:
+            raw = lzw_decode(raw, expected=want)
+        if len(raw) < want:
+            raise ValueError(f"TIFF block short: {len(raw)} < {want} bytes")
+        a = np.frombuffer(raw[:want], dtype=dt)
+        a = a.reshape(rows, cols, spp) if spp > 1 else a.reshape(rows, cols)
+        if pred == 2:
+            a = _unpredict(a.astype(dt.newbyteorder("="), copy=True))
+        return a
+
+    if 322 in tags:  # tiled
+        tw, th = tags[322][0], tags[323][0]
+        offs, cnts = tags.get(324, []), tags.get(325, [])
+        out = np.zeros((h, w, spp) if spp > 1 else (h, w),
+                       dtype=dt.newbyteorder("="))
+        i = 0
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                if i >= len(offs):
+                    raise ValueError("TIFF: fewer tiles than the grid needs")
+                block = decode_block(data[offs[i]:offs[i] + cnts[i]], th, tw)
+                out[ty:ty + th, tx:tx + tw] = \
+                    block[:min(th, h - ty), :min(tw, w - tx)]
+                i += 1
+        return out
+    # striped
+    offs = tags.get(273)
+    cnts = tags.get(279)
+    if not offs or not cnts:
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rps = tags.get(278, [h])[0]
+    parts = []
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        rows = min(rps, h - i * rps)
+        parts.append(decode_block(data[o:o + c], rows, w))
+    return np.concatenate(parts, axis=0).astype(np.dtype(dtype), copy=False)
+
+
+def read_geo(data: bytes):
+    """-> 6-element geotransform from ModelPixelScale + ModelTiepoint, or
+    None when the TIFF carries no geo tags."""
+    tags, _ = _read_ifd(bytes(data))
+    scale, tie = tags.get(33550), tags.get(33922)
+    if not scale or not tie or len(tie) < 6:
+        return None
+    i, j, _k, x, y, _z = tie[:6]
+    return (x - i * scale[0], scale[0], 0.0,
+            y + j * scale[1], 0.0, -scale[1])

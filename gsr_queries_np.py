@@ -769,7 +769,7 @@ def q_x3_parity(spark, sf_dir):
     meta = pd.DataFrame({
         "image_id": [f"rgb{i:04d}" for i in range(60)],
         "w": [40] * 60, "h": [28] * 60,
-        "fmt": ["png" if i % 2 == 0 else "jpg" for i in range(60)]})
+        "fmt": [["png", "jpg", "tif"][i % 3] for i in range(60)]})
     rgb = spark.createDataFrame(meta)
 
     def check_rgb(it):

@@ -986,3 +986,33 @@ def test_tile_cut_sinu_grid_salted_byte_identical(spark):
     assert sum(p for _b, p in base.values()) > 0
     assert run(salt_buckets=3) == base
     assert run(salt_buckets=3, salt_threshold=1) == base
+
+
+def test_tile_cut_tif_payload_rows(spark):
+    """S1/S2 + GeoTIFF: rows whose payload is LZW+predictor-2 tiled
+    GeoTIFF flow through tile_cut exactly like PNG rows — the mosaic from
+    a mixed tif/png table is byte-identical to the all-png run (tif is
+    lossless)."""
+    def rows(fmt_for):
+        out = []
+        for j in range(6):
+            arr = synth.image_pixels(j, 50, 50, j * 131 + 7)
+            fmt = fmt_for(j)
+            minx, maxy = 70.1 + 0.04 * j, -30.2 - 0.04 * j
+            out.append({"image_id": f"i{j}",
+                        "bytes": bytearray(codecs.encode(arr, fmt)),
+                        "fmt": fmt, "w": 50, "h": 50,
+                        "minx": minx, "miny": maxy - 0.5,
+                        "maxx": minx + 0.5, "maxy": maxy,
+                        "gt": [minx, 0.01, 0.0, maxy, 0.0, -0.01]})
+        return out
+
+    def run(fmt_for):
+        df = spark.createDataFrame(pd.DataFrame(rows(fmt_for)))
+        return {r["tile_tag"]: (bytes(r["data"]), r["painted"])
+                for r in mosaic.tile_cut(df, nodata=0.0).collect()}
+
+    all_png = run(lambda j: "png")
+    mixed = run(lambda j: "tif" if j % 2 == 0 else "png")
+    assert mixed == all_png and len(all_png) > 0
+    assert sum(p for _b, p in all_png.values()) > 0

@@ -1,0 +1,135 @@
+"""GeoTIFF codec (geo_raster_spark/tiff.py) — the reference's native
+on-disk format [ref: mod/geo_raster_c.pyx:91-92, 1177-1268], subset:
+striped/tiled, none/LZW, predictor 2, gray 8/16-bit + RGB + float32."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from geo_raster_spark import codecs, synth, tiff
+
+
+def test_lzw_known_vector():
+    """Hand-derived TIFF-LZW stream for [7,7,7,8]: Clear,7,258,8,EOI at
+    9 bits MSB-first -> 80 01 E0 40 88 08 (independent of the decoder)."""
+    enc = tiff.lzw_encode(bytes([7, 7, 7, 8]))
+    assert enc == bytes([0x80, 0x01, 0xE0, 0x40, 0x88, 0x08])
+    assert tiff.lzw_decode(enc) == bytes([7, 7, 7, 8])
+
+
+def test_lzw_roundtrip_width_bumps_and_reset():
+    """Streams long enough to cross the 9->10->11->12 bit widths AND the
+    4094-entry table reset round-trip exactly."""
+    rng = np.random.default_rng(7)
+    cases = [
+        b"",
+        b"\x00" * 10,
+        bytes(rng.integers(0, 256, 60_000, dtype=np.uint8)),  # resets table
+        bytes(rng.integers(0, 4, 8_000, dtype=np.uint8)),     # long matches
+        bytes(np.tile(np.arange(256, dtype=np.uint8), 64)),
+    ]
+    for raw in cases:
+        assert tiff.lzw_decode(tiff.lzw_encode(raw)) == raw
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("compression,predictor",
+                         [("none", 1), ("lzw", 1), ("lzw", 2)])
+def test_tiff_roundtrip_gray8(tiled, compression, predictor):
+    a = synth.image_pixels(3, 150, 83, 0xABCD)  # non-multiple-of-16 dims
+    data = tiff.encode_tiff(a, compression=compression, predictor=predictor,
+                            tiled=tiled, tile_size=64)
+    back = tiff.decode_tiff(data)
+    assert back.dtype == np.uint8
+    np.testing.assert_array_equal(back, a)
+
+
+def test_tiff_roundtrip_gray16_rgb_float32():
+    g16 = (synth.image_pixels(5, 70, 40, 0x55).astype(np.uint16) * 257)
+    np.testing.assert_array_equal(tiff.decode_tiff(tiff.encode_tiff(g16)),
+                                  g16)
+    assert tiff.decode_tiff(tiff.encode_tiff(g16)).dtype == np.uint16
+
+    rgb = synth.image_pixels_rgb(2, 90, 60, 0x77)
+    for tiled in (False, True):
+        back = tiff.decode_tiff(tiff.encode_tiff(rgb, tiled=tiled,
+                                                 tile_size=32))
+        np.testing.assert_array_equal(back, rgb)
+
+    f32 = (synth.image_pixels(9, 33, 21, 0x11).astype(np.float32) / 3.0)
+    back = tiff.decode_tiff(tiff.encode_tiff(f32))  # predictor auto-off
+    assert back.dtype == np.float32
+    np.testing.assert_array_equal(back, f32)
+
+
+def test_tiff_default_opts_match_reference():
+    """Default creation options = the reference's (tiled + LZW +
+    predictor 2): assert the tags say so."""
+    data = tiff.encode_tiff(synth.image_pixels(1, 40, 30, 0x99))
+    tags, bo = tiff._read_ifd(data)
+    assert bo == "<"
+    assert tags[259] == [5]          # LZW
+    assert tags[317] == [2]          # horizontal predictor
+    assert 322 in tags and 323 in tags   # tiled
+    assert tags[322][0] % 16 == 0
+
+
+def test_tiff_geotransform_roundtrip():
+    gt = (-122.5, 0.01, 0.0, 47.75, 0.0, -0.01)
+    data = tiff.encode_tiff(synth.image_pixels(1, 20, 20, 0x1), gt=gt)
+    got = tiff.read_geo(data)
+    assert got is not None
+    np.testing.assert_allclose(got, gt, rtol=0, atol=1e-12)
+    assert tiff.read_geo(tiff.encode_tiff(np.zeros((4, 4), np.uint8))) is None
+    with pytest.raises(ValueError, match="north-up"):
+        tiff.encode_tiff(np.zeros((4, 4), np.uint8),
+                         gt=(0.0, 1.0, 0.5, 0.0, 0.0, -1.0))
+
+
+def test_tiff_big_endian_decode():
+    """A hand-built minimal big-endian (MM) striped TIFF decodes, including
+    16-bit sample byte order."""
+    a = (np.arange(12, dtype=np.uint16) * 999).reshape(3, 4)
+    raw = a.astype(">u2").tobytes()
+    # header + one IFD with 8 entries, strip data at the end
+    entries = [
+        (256, 3, 1, 4), (257, 3, 1, 3), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, None), (278, 3, 1, 3),
+        (279, 4, 1, len(raw)),
+    ]
+    ifd_off = 8
+    strip_off = ifd_off + 2 + len(entries) * 12 + 4
+    buf = struct.pack(">2sHI", b"MM", 42, ifd_off)
+    buf += struct.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        v = strip_off if val is None else val
+        buf += struct.pack(">HHI", tag, typ, cnt)
+        buf += struct.pack(">I", v << 16) if typ == 3 else struct.pack(">I", v)
+    buf += struct.pack(">I", 0) + raw
+    np.testing.assert_array_equal(tiff.decode_tiff(buf), a)
+
+
+def test_tiff_dirty_payloads_fail_cleanly():
+    """Corrupt/unsupported payloads raise ValueError, never Key/IndexError
+    (executor boundary contract)."""
+    good = tiff.encode_tiff(synth.image_pixels(1, 30, 30, 0x3))
+    bads = [b"", b"II\x2b\x00", b"XX" + good[2:], good[:40],
+            good[:len(good) - 25]]
+    for b in bads:
+        with pytest.raises(ValueError):
+            tiff.decode_tiff(b)
+    with pytest.raises(ValueError, match="compression"):
+        tiff.encode_tiff(np.zeros((4, 4), np.uint8), compression="jpeg")
+    with pytest.raises(ValueError, match="dtype"):
+        tiff.encode_tiff(np.zeros((4, 4), np.int64))
+
+
+def test_tif_codec_registered_in_dispatch():
+    """codecs.encode/decode route fmt='tif'/'tiff' through the registry
+    seam like every other payload format."""
+    a = synth.image_pixels(8, 64, 48, 0xFE)
+    for fmt in ("tif", "tiff"):
+        np.testing.assert_array_equal(
+            codecs.decode(codecs.encode(a, fmt), fmt), a)
+    assert codecs.is_lossless("tif")

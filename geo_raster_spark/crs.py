@@ -34,31 +34,46 @@ GEOGRAPHIC = "EPSG:4326"
 SINUSOIDAL = "SINU"
 MERCATOR = "EPSG:3857"
 
-# --- WGS84 ellipsoid + Krüger series coefficients (order n^4) -------------
+# --- ellipsoids + Krüger series coefficients (order n^4) -------------------
+# WGS84 and GRS80 (NAD83) share the semi-major axis; only 1/f differs.
+# The series is parameterized by the ellipsoid so the NAD83 UTM catalog
+# (EPSG:269xx — Landsat collections over CONUS/Alaska) runs through the
+# same closed form (round-4 verdict #7; OSR role of
+# mod/geo_base_c.pyx:1000-1045).
 _WGS84_A = 6378137.0
 _WGS84_F = 1.0 / 298.257223563
-_N = _WGS84_F / (2.0 - _WGS84_F)
-_A_BAR = _WGS84_A / (1 + _N) * (1 + _N**2 / 4 + _N**4 / 64)
 _K0 = 0.9996
-_ALPHA = (
-    _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16 + 41 * _N**4 / 180,
-    13 * _N**2 / 48 - 3 * _N**3 / 5 + 557 * _N**4 / 1440,
-    61 * _N**3 / 240 - 103 * _N**4 / 140,
-    49561 * _N**4 / 161280,
-)
-_BETA = (
-    _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96 - _N**4 / 360,
-    _N**2 / 48 + _N**3 / 15 - 437 * _N**4 / 1440,
-    17 * _N**3 / 480 - 37 * _N**4 / 840,
-    4397 * _N**4 / 161280,
-)
-_DELTA = (
-    2 * _N - 2 * _N**2 / 3 - 2 * _N**3 + 116 * _N**4 / 45,
-    7 * _N**2 / 3 - 8 * _N**3 / 5 - 227 * _N**4 / 45,
-    56 * _N**3 / 15 - 136 * _N**4 / 35,
-    4279 * _N**4 / 630,
-)
-_UTM_RE = re.compile(r"^(?:EPSG:32([67])(\d{2})|UTM:(\d{1,2})([NS]))$", re.I)
+
+
+def _kruger_consts(a: float, f: float):
+    n = f / (2.0 - f)
+    a_bar = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+    alpha = (
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440,
+        61 * n**3 / 240 - 103 * n**4 / 140,
+        49561 * n**4 / 161280,
+    )
+    beta = (
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440,
+        17 * n**3 / 480 - 37 * n**4 / 840,
+        4397 * n**4 / 161280,
+    )
+    delta = (
+        2 * n - 2 * n**2 / 3 - 2 * n**3 + 116 * n**4 / 45,
+        7 * n**2 / 3 - 8 * n**3 / 5 - 227 * n**4 / 45,
+        56 * n**3 / 15 - 136 * n**4 / 35,
+        4279 * n**4 / 630,
+    )
+    return n, a_bar, alpha, beta, delta
+
+
+_KRUGER = {
+    "WGS84": _kruger_consts(_WGS84_A, _WGS84_F),
+    "GRS80": _kruger_consts(6378137.0, 1.0 / 298.257222101),
+}
+_N, _A_BAR, _ALPHA, _BETA, _DELTA = _KRUGER["WGS84"]
 
 # --- Lambert Conformal Conic (ellipsoidal, 2SP) — Snyder 1987 §15 ----------
 # EPSG:3978 (NAD83 / Canada Atlas Lambert); generic LCC:lat1,lat2,lat0,lon0.
@@ -268,50 +283,61 @@ def _ps_inverse(params, x, y):
 
 
 def parse_utm(crs: str):
-    """-> (zone, north) or None.  Accepts EPSG:326xx/327xx and UTM:xxN/S.
-    Zones outside 1..60 (e.g. EPSG:32600, EPSG:32661+, UTM:0N) are NOT UTM —
-    return None so the registry raises 'unknown crs' instead of silently
-    projecting from a nonsense central meridian."""
-    m = _UTM_RE.match(crs.strip())
-    if not m:
-        return None
-    zone = int(m.group(2)) if m.group(1) is not None else int(m.group(3))
-    if not 1 <= zone <= 60:
-        return None
-    if m.group(1) is not None:
-        return zone, m.group(1) == "6"
-    return zone, m.group(4).upper() == "N"
+    """-> (zone, north, ellps) or None.  Accepts EPSG:326xx/327xx (WGS84),
+    EPSG:269xx (NAD83/GRS80, zones 1..23 north — the catalog EPSG defines),
+    and UTM:xxN/S / UTM83:xxN/S.  Zones outside the valid range (e.g.
+    EPSG:32600, EPSG:32661+, UTM:0N) are NOT UTM — return None so the
+    registry raises 'unknown crs' instead of silently projecting from a
+    nonsense central meridian."""
+    c = crs.strip().upper()
+    m = re.match(r"^EPSG:32([67])(\d{2})$", c)
+    if m:
+        zone = int(m.group(2))
+        return (zone, m.group(1) == "6", "WGS84") if 1 <= zone <= 60 else None
+    m = re.match(r"^EPSG:269(\d{2})$", c)
+    if m:
+        zone = int(m.group(1))
+        return (zone, True, "GRS80") if 1 <= zone <= 23 else None
+    m = re.match(r"^UTM(83)?:(\d{1,2})([NS])$", c)
+    if m:
+        zone = int(m.group(2))
+        if not 1 <= zone <= 60:
+            return None
+        return zone, m.group(3) == "N", ("GRS80" if m.group(1) else "WGS84")
+    return None
 
 
-def _utm_forward(zone: int, north: bool, lon, lat):
+def _utm_forward(zone: int, north: bool, lon, lat, ellps: str = "WGS84"):
+    n_, a_bar, alpha, _beta, _delta = _KRUGER[ellps]
     lon0 = math.radians(zone * 6 - 183)
     lam = np.radians(np.asarray(lon, dtype=np.float64)) - lon0
     phi = np.radians(np.asarray(lat, dtype=np.float64))
-    c = 2.0 * math.sqrt(_N) / (1.0 + _N)
+    c = 2.0 * math.sqrt(n_) / (1.0 + n_)
     t = np.sinh(np.arctanh(np.sin(phi)) - c * np.arctanh(c * np.sin(phi)))
     xi = np.arctan2(t, np.cos(lam))
     eta = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
     x, y = eta.copy(), xi.copy()
-    for j, a in enumerate(_ALPHA, start=1):
+    for j, a in enumerate(alpha, start=1):
         x += a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
         y += a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
-    E = 500000.0 + _K0 * _A_BAR * x
-    Nn = (0.0 if north else 10_000_000.0) + _K0 * _A_BAR * y
+    E = 500000.0 + _K0 * a_bar * x
+    Nn = (0.0 if north else 10_000_000.0) + _K0 * a_bar * y
     return E, Nn
 
 
-def _utm_inverse(zone: int, north: bool, E, Nn):
+def _utm_inverse(zone: int, north: bool, E, Nn, ellps: str = "WGS84"):
+    _n, a_bar, _alpha, beta, delta = _KRUGER[ellps]
     lon0 = math.radians(zone * 6 - 183)
     xi = (np.asarray(Nn, dtype=np.float64)
-          - (0.0 if north else 10_000_000.0)) / (_K0 * _A_BAR)
-    eta = (np.asarray(E, dtype=np.float64) - 500000.0) / (_K0 * _A_BAR)
+          - (0.0 if north else 10_000_000.0)) / (_K0 * a_bar)
+    eta = (np.asarray(E, dtype=np.float64) - 500000.0) / (_K0 * a_bar)
     xi_p, eta_p = xi.copy(), eta.copy()
-    for j, b in enumerate(_BETA, start=1):
+    for j, b in enumerate(beta, start=1):
         xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
         eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
     chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
     phi = chi.copy()
-    for j, d in enumerate(_DELTA, start=1):
+    for j, d in enumerate(delta, start=1):
         phi += d * np.sin(2 * j * chi)
     lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
     return np.degrees(lam + lon0), np.degrees(phi)
@@ -429,14 +455,21 @@ def parse_proj4(s: str):
                 f"not the implemented spherical web mercator: {s}")
         return MERCATOR
     if proj == "utm":
-        check({**meters, **wgs84,
+        # WGS84 or NAD83/GRS80 — both run the Krüger series, only the
+        # ellipsoid constants differ
+        check({**meters,
+               "datum": lambda v: str(v).upper() in ("WGS84", "NAD83"),
+               "ellps": lambda v: str(v).upper() in ("WGS84", "GRS80"),
                "zone": lambda v: True, "south": lambda v: True,
                "k": lambda v: float(v) == _K0,
                "k_0": lambda v: float(v) == _K0})
         zone = int(kv.get("zone", 0))
         if not 1 <= zone <= 60:
             raise ValueError(f"invalid utm zone in proj4: {s}")
-        return f"UTM:{zone}{'S' if 'south' in kv else 'N'}"
+        nad83 = (str(kv.get("datum", "")).upper() == "NAD83"
+                 or str(kv.get("ellps", "")).upper() == "GRS80")
+        return (f"UTM{'83' if nad83 else ''}:{zone}"
+                f"{'S' if 'south' in kv else 'N'}")
     if proj == "aea":
         check({**meters, **grs80, "lat_0": anyf, "lon_0": anyf,
                "lat_1": anyf, "lat_2": anyf})
@@ -600,8 +633,9 @@ def parse_wkt(s: str):
     fe, fn = num("false_easting"), num("false_northing")
 
     if proj == "transverse_mercator":
-        if fam != "WGS84":
-            raise ValueError(f"WKT: UTM needs WGS84: {s[:80]}")
+        if fam not in ("WGS84", "GRS80"):
+            raise ValueError(f"WKT: UTM needs WGS84 or GRS80/NAD83: "
+                             f"{s[:80]}")
         if num("scale_factor", 1.0) != _K0 or fe != 500000.0 \
                 or fn not in (0.0, 10_000_000.0) \
                 or num("latitude_of_origin") != 0.0:
@@ -611,7 +645,8 @@ def parse_wkt(s: str):
         if zone != int(zone) or not 1 <= int(zone) <= 60:
             raise ValueError(f"WKT: central_meridian {lon0} is not a UTM "
                              f"zone: {s[:80]}")
-        return f"UTM:{int(zone)}{'S' if fn else 'N'}"
+        return (f"UTM{'83' if fam == 'GRS80' else ''}:{int(zone)}"
+                f"{'S' if fn else 'N'}")
     if proj == "sinusoidal":
         if fam != f"SPHERE:{R_SINU!r}" or fe or fn \
                 or num("central_meridian", 0.0, "longitude_of_center") != 0.0:
@@ -723,7 +758,7 @@ def _to_geog(crs, x, y):
         return lon, lat
     utm = parse_utm(c)
     if utm is not None:
-        return _utm_inverse(utm[0], utm[1], x, y)
+        return _utm_inverse(utm[0], utm[1], x, y, utm[2])
     aea = parse_aea(c)
     if aea is not None:
         return _aea_inverse(aea, x, y)
@@ -754,7 +789,7 @@ def _from_geog(crs, lon, lat):
         return x, y
     utm = parse_utm(c)
     if utm is not None:
-        return _utm_forward(utm[0], utm[1], lon, lat)
+        return _utm_forward(utm[0], utm[1], lon, lat, utm[2])
     aea = parse_aea(c)
     if aea is not None:
         return _aea_forward(aea, lon, lat)

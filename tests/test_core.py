@@ -257,9 +257,13 @@ def test_lcc_canada_lambert():
 
 
 def test_parse_utm():
-    assert crs.parse_utm("EPSG:32618") == (18, True)
-    assert crs.parse_utm("EPSG:32702") == (2, False)
-    assert crs.parse_utm("UTM:7S") == (7, False)
+    assert crs.parse_utm("EPSG:32618") == (18, True, "WGS84")
+    assert crs.parse_utm("EPSG:32702") == (2, False, "WGS84")
+    assert crs.parse_utm("UTM:7S") == (7, False, "WGS84")
+    assert crs.parse_utm("EPSG:26918") == (18, True, "GRS80")
+    assert crs.parse_utm("UTM83:18N") == (18, True, "GRS80")
+    assert crs.parse_utm("EPSG:26900") is None   # no zone 0
+    assert crs.parse_utm("EPSG:26924") is None   # EPSG stops at zone 23
     assert crs.parse_utm("EPSG:4326") is None
 
 
@@ -271,8 +275,8 @@ def test_parse_utm_rejects_invalid_zones():
         assert crs.parse_utm(bad) is None, bad
         with pytest.raises(ValueError, match="unknown crs"):
             crs.transform(bad, "EPSG:4326", [500000.0], [4_000_000.0])
-    assert crs.parse_utm("EPSG:32601") == (1, True)
-    assert crs.parse_utm("EPSG:32760") == (60, False)
+    assert crs.parse_utm("EPSG:32601") == (1, True, "WGS84")
+    assert crs.parse_utm("EPSG:32760") == (60, False, "WGS84")
 
 
 def test_warp_4326_to_utm():
@@ -777,7 +781,7 @@ def test_codec_registry_seam():
     finally:
         codecs._DECODERS.pop("raw16"), codecs._ENCODERS.pop("raw16")
     with pytest.raises(ValueError, match="registered"):
-        codecs.decode(b"x", "tiff")
+        codecs.decode(b"x", "hdf5")   # tiff is a real codec since round 5
 
 
 _WKT = {
@@ -1019,3 +1023,66 @@ def test_container_missing_dataset_raises_valueerror():
         codecs.decode_container(payload, "nope")
     with pytest.raises(ValueError, match="not in container"):
         codecs.decode(payload, "grsc#nope")
+
+
+# --- NAD83 / GRS80 datum (round-5 verdict #7) ------------------------------
+
+def test_nad83_utm_roundtrip_and_meridian_arc():
+    """EPSG:269xx (NAD83 UTM): roundtrip across the zone, and northing on
+    the central meridian equals k0 x the GRS80 meridian arc by INDEPENDENT
+    numerical quadrature (no shared code with the Krüger series)."""
+    lon = np.linspace(-76.5, -72.5, 9)
+    lat = np.linspace(25.0, 49.0, 9)
+    for z in ("EPSG:26918", "UTM83:18N",
+              "+proj=utm +zone=18 +datum=NAD83 +units=m"):
+        E, N = crs.transform("EPSG:4326", z, lon, lat)
+        lo, la = crs.transform(z, "EPSG:4326", E, N)
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+    a, f = 6378137.0, 1 / 298.257222101   # GRS80
+    e2 = f * (2 - f)
+    for lat_deg in (30.0, 45.0, 60.0):
+        phi = np.linspace(0.0, np.radians(lat_deg), 400_001)
+        m = np.trapz(a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5, phi)
+        _, N = crs.transform("EPSG:4326", "EPSG:26918",
+                             np.array([-75.0]), np.array([lat_deg]))
+        np.testing.assert_allclose(N[0], 0.9996 * m, atol=1e-4)
+
+
+def test_nad83_vs_wgs84_utm_differ_as_expected():
+    """The two datums' UTM northings differ by a small but REAL amount
+    (sub-mm at the equator, ~0.1 mm at 45N is below series truncation, so
+    assert via the meridian-arc difference instead: the GRS80 arc is
+    longer/shorter by the known 1/f delta scale ~1e-9 relative)."""
+    E83, N83 = crs.transform("EPSG:4326", "EPSG:26918",
+                             np.array([-75.0]), np.array([45.0]))
+    E84, N84 = crs.transform("EPSG:4326", "EPSG:32618",
+                             np.array([-75.0]), np.array([45.0]))
+    assert E83[0] == E84[0]            # same a -> same easting on the CM
+    assert N83[0] != N84[0]            # flattening delta is real
+    assert abs(N83[0] - N84[0]) < 0.01  # but tiny (same-frame datums)
+
+
+def test_nad83_utm_wkt_and_proj4_resolve():
+    wkt = ('PROJCS["NAD83 / UTM zone 18N",GEOGCS["NAD83",'
+           'DATUM["North_American_Datum_1983",'
+           'SPHEROID["GRS 1980",6378137,298.257222101]],'
+           'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Transverse_Mercator"],'
+           'PARAMETER["latitude_of_origin",0],'
+           'PARAMETER["central_meridian",-75],'
+           'PARAMETER["scale_factor",0.9996],'
+           'PARAMETER["false_easting",500000],'
+           'PARAMETER["false_northing",0],UNIT["metre",1],'
+           'AUTHORITY["EPSG","26918"]]')
+    assert crs.parse_wkt(wkt) == "UTM83:18N"
+    assert crs.parse_proj4(
+        "+proj=utm +zone=18 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m "
+        "+no_defs") == "UTM83:18N"
+    assert crs.parse_proj4(
+        "+proj=utm +zone=18 +datum=NAD83 +units=m") == "UTM83:18N"
+    # datum/ellps mismatch combos that are NOT a known pairing still parse
+    # to the ellipsoid they name; intl/bessel etc. still rejected
+    import pytest
+    with pytest.raises(ValueError):
+        crs.parse_proj4("+proj=utm +zone=18 +ellps=intl")

@@ -30,6 +30,7 @@ refs (``decode(data, "grsc#<name>")``).
 from __future__ import annotations
 
 import io
+import os
 import struct
 import zlib
 
@@ -415,3 +416,18 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(peak * peak / mse)
+
+
+# Bench-only seam demo (round-5 verdict #6): GSR_FASTJPEG=1 routes fmt
+# 'jpg' decodes through the JVM ImageIO helper (geo_raster_spark.fastjpeg)
+# — executors re-import this module in each Python worker, so the env gate
+# registers the fast decoder cluster-wide with no code change, exactly the
+# deployment story SCALE.md documents for a native codec.  The pure-NumPy
+# decoder stays the default when the variable is unset.
+if os.environ.get("GSR_FASTJPEG") == "1":
+    try:
+        from . import fastjpeg as _fastjpeg
+        if _fastjpeg.available():
+            _DECODERS["jpg"] = _fastjpeg.decode
+    except Exception:
+        pass  # bench-only: fall back to the pure-NumPy default

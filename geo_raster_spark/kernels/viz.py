@@ -179,3 +179,50 @@ def parse_color_table(text: str):
             rgba.append(255)
         colors.append(tuple(rgba))
     return breaks, colors
+
+
+def render_density_map(hist, log: bool = True, vmin=None, vmax=None,
+                       diagonal: bool = True, dash: int = 6):
+    """Rendered density map: 2-D histogram counts -> RGBA image.
+
+    The reference draws this with matplotlib/PIL
+    [ref: lib/density_map.py:64-131]: ``np.histogram2d`` counts, positive
+    cells ``log10``-transformed (or ``(h+10)/10`` when not log), rendered
+    with ``imshow(hist.T, origin='lower')`` plus a dashed 1:1 line.  Here
+    the same transform + a built-in blue->red heat gradient + the dashed
+    diagonal, pure NumPy, (4, H, W) RGBA planes (``codecs.encode_png``
+    takes them with ``planes_first=True``).
+
+    ``hist``: (nx, ny) counts, x = columns of the scatter's first axis —
+    the output image row 0 is the TOP (max y), matching origin='lower'
+    rendering of the transpose, so the diagonal runs bottom-left to
+    top-right exactly like the reference's 1:1 line."""
+    h = np.asarray(hist, dtype=np.float64).copy()
+    pos = h > 0
+    if log:
+        h[pos] = np.log10(h[pos])           # [ref: density_map.py:103-104]
+    else:
+        h[pos] = (h[pos] + 10.0) / 10.0     # [ref: density_map.py:106-107]
+    lo = float(h[pos].min()) if (vmin is None and pos.any()) else float(vmin or 0.0)
+    hi = float(h.max()) if vmax is None else float(vmax)
+    if hi <= lo:
+        hi = lo + 1.0
+    scaled = np.clip((h - lo) / (hi - lo), 0.0, 1.0) * 100.0
+    scaled[~pos] = -1.0                      # empty cells stay background
+    # imshow(hist.T, origin='lower'): x -> image columns, y -> rows bottom-up
+    img = scaled.T[::-1, :]
+    # blue -> cyan -> green -> yellow -> red heat ramp over [0, 100]
+    breaks = [0.0, 25.0, 50.0, 75.0, 100.0]
+    colors = [(0, 0, 160, 255), (0, 200, 255, 255), (0, 220, 0, 255),
+              (255, 230, 0, 255), (230, 0, 0, 255)]
+    rgba = colorize_rgba(img, breaks, colors, nodata=-1.0, interpolate=True)
+    rgba[3][img < 0] = 255                   # opaque black background
+    if diagonal:                             # dashed white 1:1 line
+        ny, nx = img.shape
+        t = np.linspace(0.0, 1.0, max(nx, ny) * 2)
+        cc = np.clip((t * (nx - 1)).round().astype(np.int64), 0, nx - 1)
+        rr = np.clip(((1.0 - t) * (ny - 1)).round().astype(np.int64), 0, ny - 1)
+        on = (np.arange(t.size) // dash) % 2 == 0
+        for b, v in enumerate((255, 255, 255, 255)):
+            rgba[b][rr[on], cc[on]] = v
+    return rgba

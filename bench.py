@@ -89,6 +89,41 @@ def main():
         qs[name](spark, SF_DIR).count()
         extras[name] = round(time.time() - t0, 3)
 
+    # sf1 (10x) pixel-path scale point (round-5 verdict #8): per-stage
+    # breakdown via nested timed actions — each action re-runs the prior
+    # stages, so the DELTAS are the stage costs.  Shows the applyInPandas
+    # framework overhead amortizing with scale (SCALE.md): at 400 images
+    # the wall is mostly fixed framework cost; at 4000 the kernel share
+    # (decode+paint, which is what grows at 100 TB) dominates.
+    from geo_raster_spark.grid import TileGrid
+    from geo_raster_spark.operators import zonal as z_op
+    from geo_raster_spark.operators.tile_assign import assign_tiles
+    g = TileGrid()
+    sf1: dict = {"n_images": 4000}
+    imgs1 = fp_op.with_footprint(synth.images_df(spark, 4000, max(CPUS, 8)))
+    t0 = time.time()
+    imgs1.count()
+    sf1["stage_synth_footprint_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    assign_tiles(imgs1, g.image_size, g.cell_size, g.edge, p=g.p).count()
+    sf1["stage_plus_assign_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    sf1["n_tiles"] = mz.tile_cut(imgs1, nodata=0.0).count()
+    sf1["full_tile_cut_sec"] = round(time.time() - t0, 3)
+    zones1 = synth.zones_pandas(12, hot=True)
+    # warm the zonal plan (codegen + Arrow) on a small slice so the staged
+    # timings below compare like-for-like, not cold-vs-warm
+    z_op.zonal_partials(
+        fp_op.with_footprint(synth.images_df(spark, 100, max(CPUS, 8))),
+        zones1, nodata=-1.0).count()
+    t0 = time.time()
+    z_op.zonal_partials(imgs1, zones1, nodata=-1.0).count()
+    sf1["stage_zonal_partials_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    z_op.zonal_combine(
+        z_op.zonal_partials(imgs1, zones1, nodata=-1.0)).count()
+    sf1["full_zonal_sec"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline query wall time (flagship PIP+tile + operator suite)",
@@ -102,6 +137,7 @@ def main():
         "tile_cut_rows": tile_rows,
         "images_per_sec": round(N_IMAGES / flagship_sec, 1),
         "queries_extra": extras,
+        "sf1_pixel_path": sf1,
     }
     print(json.dumps(out))
 

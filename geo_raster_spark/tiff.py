@@ -38,9 +38,13 @@ _CLEAR, _EOI = 256, 257
 # ---------------------------------------------------------------------------
 
 def lzw_encode(data: bytes) -> bytes:
-    """TIFF-variant LZW.  Width bumps when the NEXT code to assign would be
-    511/1023/2047 (one earlier than GIF — the spec's "early change"); the
-    table resets via a Clear code when code 4094 would be assigned."""
+    """TIFF-variant LZW (the libtiff/JDK de-facto timing, validated
+    against the independent JDK ImageIO TIFF decoder in tests): the
+    encoder's code width bumps after ASSIGNING entry 511/1023/2047
+    (next_code reaching 512/1024/2048); the decoder, whose table add
+    trails the encoder's by one code, bumps at 511/1023/2047 — the
+    "early change" relative to GIF's 512/1024/2048 decoder timing.  The
+    table resets via a Clear code when entry 4094 would be assigned."""
     out = bytearray()
     acc = 0
     nbits = 0
@@ -66,11 +70,11 @@ def lzw_encode(data: bytes) -> bytes:
         emit(table[w], width)
         table[wk] = next_code
         next_code += 1
-        if next_code == 511:
+        if next_code == 512:
             width = 10
-        elif next_code == 1023:
+        elif next_code == 1024:
             width = 11
-        elif next_code == 2047:
+        elif next_code == 2048:
             width = 12
         elif next_code == 4094:
             emit(_CLEAR, width)
@@ -88,7 +92,7 @@ def lzw_encode(data: bytes) -> bytes:
 
 def lzw_decode(data: bytes, expected: int | None = None) -> bytes:
     """Inverse of :func:`lzw_encode`.  The decoder's width bump trails the
-    encoder's by one table add, so it fires at next==510/1022/2046."""
+    encoder's by one table add, so it fires at next==511/1023/2047."""
     out = bytearray()
     pos = 0          # bit position
     nbytes = len(data)
@@ -137,11 +141,11 @@ def lzw_decode(data: bytes, expected: int | None = None) -> bytes:
         if old is not None:
             table.append(old + entry[:1])
             next_code += 1
-            if next_code == 510:
+            if next_code == 511:
                 width = 10
-            elif next_code == 1022:
+            elif next_code == 1023:
                 width = 11
-            elif next_code == 2046:
+            elif next_code == 2047:
                 width = 12
         old = entry
         if expected is not None and len(out) >= expected:
@@ -212,6 +216,11 @@ def encode_tiff(arr: np.ndarray, compression: str = "lzw",
         raise ValueError(f"unsupported TIFF compression {compression!r}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if compression == "none":
+        # TIFF §14 ties the Predictor tag to compression schemes; readers
+        # ignore it on uncompressed data (verified vs the JDK decoder),
+        # so writing differenced samples there would be silently wrong
+        predictor = 1
     h, w = arr.shape[:2]
 
     def block_bytes(block):

@@ -133,3 +133,36 @@ def test_tif_codec_registered_in_dispatch():
         np.testing.assert_array_equal(
             codecs.decode(codecs.encode(a, fmt), fmt), a)
     assert codecs.is_lossless("tif")
+
+
+@pytest.mark.skipif(not __import__("geo_raster_spark.fastjpeg",
+                                   fromlist=["available"]).available(),
+                    reason="no JVM for the independent decoder")
+def test_tiff_cross_validated_by_jdk_imageio():
+    """INDEPENDENT conformance check: the JDK's ImageIO TIFF reader (a
+    libtiff-interoperable implementation we didn't write) must decode our
+    striped/tiled, none/LZW, predictor-1/2, gray+RGB output to the exact
+    pixels — this pinned the LZW width-change timing (encoder bumps at
+    next_code 512/1024/2048, decoder at 511/1023/2047) and the
+    predictor-with-no-compression rule."""
+    from geo_raster_spark import fastjpeg
+    gray = synth.image_pixels(3, 150, 83, 0xABCD)
+    rgb = synth.image_pixels_rgb(2, 90, 60, 0x77)
+    rng = np.random.default_rng(0)
+    noisy = rng.integers(0, 256, (120, 500), dtype=np.uint8)  # 9->11 bits
+    cases = [
+        (gray, dict(compression="none", tiled=False)),
+        (gray, dict(compression="lzw", predictor=1, tiled=False)),
+        (gray, dict(compression="lzw", predictor=2, tiled=False)),
+        (gray, dict(compression="lzw", predictor=2, tiled=True,
+                    tile_size=64)),
+        (noisy, dict(compression="lzw", predictor=2, tiled=False)),
+        (rgb, dict()),                      # default: tiled+lzw+pred2
+        (rgb, dict(tiled=False)),
+    ]
+    try:
+        for arr, kw in cases:
+            back = fastjpeg.decode(tiff.encode_tiff(arr, **kw))
+            np.testing.assert_array_equal(back, arr, err_msg=str(kw))
+    finally:
+        fastjpeg.close()

@@ -736,6 +736,23 @@ def normalize_crs(crs: str) -> str:
     return crs
 
 
+def to_epsg(crs_id: str):
+    """Canonical registry id -> EPSG integer code, or None for families
+    without one (SINU, generic AEA:/LCC:/PS:, UTM83 zones beyond the
+    EPSG:269xx catalog).  Used by the GeoTIFF GeoKey writer."""
+    c = normalize_crs(crs_id).strip().upper()
+    if c.startswith("EPSG:"):
+        return int(c[5:])
+    u = parse_utm(c)
+    if u is not None:
+        zone, north, ellps = u
+        if ellps == "WGS84":
+            return (32600 if north else 32700) + zone
+        if ellps == "GRS80" and north and zone <= 23:
+            return 26900 + zone
+    return None
+
+
 def is_geographic(crs: str) -> bool:
     return crs.upper() in ("EPSG:4326", "WGS84", "CRS84")
 

@@ -33,6 +33,19 @@ TILE_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
                "n_images int, painted bigint, data binary")
 
 
+def _encode_tile(out, out_info, grid_crs: str, out_fmt: str) -> bytes:
+    """Tile payload encode: PNG (pipeline default, what overviews/stack
+    consume) or GeoTIFF with the reference's creation options AND the
+    tile's own geotransform + grid CRS embedded — the reference's actual
+    tile product (save tile + georeferencing,
+    util/split_raster_tiles.py:117-127 via geo_band_cache.save)."""
+    band = np.clip(out, 0, 255).astype(np.uint8)
+    if out_fmt == "tif":
+        from .. import tiff
+        return tiff.encode_tiff(band, gt=out_info.gt, crs=grid_crs)
+    return codecs.encode_png(band)
+
+
 def tile_cut(images: DataFrame, grid: TileGrid | None = None,
              nodata: float = 0.0, agg_to_cell: float | None = None,
              agg_func: str = "mean", min_rate: float = 0.1,
@@ -42,7 +55,8 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
              priority_col: str | None = None,
              band_col: str | None = None,
              src_crs_col: str | None = None,
-             footprint_refine: bool = False) -> DataFrame:
+             footprint_refine: bool = False,
+             out_fmt: str = "png") -> DataFrame:
     """images (with footprint cols + bytes/fmt) -> one row per output tile.
 
     ``src_crs_col``: optional column naming each source's CRS (default:
@@ -54,7 +68,10 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
 
     ``agg_to_cell``: optional coarser output cell size (A1/A2 aggregation
     after the mosaic, like the reference's --cell-size).
-    Output ``data`` is a PNG-encoded uint8 band.
+    Output ``data`` is a PNG-encoded uint8 band, or with
+    ``out_fmt="tif"`` a GeoTIFF (tiled+lzw+predictor2, the reference's
+    creation options) carrying the tile's geotransform + grid CRS — the
+    reference's self-describing tile product.
 
     ``priority_col``: optional NUMERIC compositing order — candidates paint
     in ascending (priority, image_id), so the lowest priority value wins
@@ -86,6 +103,9 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
     (at 100 TB, persist the candidate table or accept the re-scan — the
     per-tile counts never touch the ``bytes`` payload).  Output is
     byte-identical either way (asserted in tests)."""
+    if out_fmt not in ("png", "tif"):
+        raise ValueError(f"tile_cut out_fmt must be 'png' or 'tif', "
+                         f"got {out_fmt!r}")
     grid = grid or TileGrid()
     assigned = assign_tiles(images, grid.image_size, grid.cell_size, grid.edge,
                             p=grid.p)
@@ -127,12 +147,12 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
                      **kwargs)
             out_info = scaled
         painted = int((out != nodata).sum())
-        png = codecs.encode_png(np.clip(out, 0, 255).astype(np.uint8))
         row = {
             "tile_tag": tag, "tile_col": tcol, "tile_row": trow,
             "width": out_info.width, "height": out_info.height,
             "gt": list(out_info.gt), "n_images": len(pdf),
-            "painted": painted, "data": png,
+            "painted": painted,
+            "data": _encode_tile(out, out_info, g.crs, out_fmt),
         }
         if band_col:
             row[band_col] = int(key[1])
@@ -148,7 +168,7 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
             return _tile_cut_salted(assigned, grid, nodata, salt_buckets,
                                     agg_to_cell, agg_func, min_rate,
                                     priority_col, band_col,
-                                    src_crs_col, footprint_refine)
+                                    src_crs_col, footprint_refine, out_fmt)
         # adaptive: split on a metadata-only per-tile candidate count
         hot_keys = (assigned.select(*group_cols)
                             .groupBy(*group_cols)
@@ -160,7 +180,7 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
         return _tile_cut_salted(hot, grid, nodata, salt_buckets,
                                 agg_to_cell, agg_func, min_rate,
                                 priority_col, band_col,
-                                src_crs_col, footprint_refine) \
+                                src_crs_col, footprint_refine, out_fmt) \
             .unionByName(plain(cold))
 
     return plain(assigned)
@@ -176,7 +196,8 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
                      priority_col: str | None = None,
                      band_col: str | None = None,
                      src_crs_col: str | None = None,
-                     footprint_refine: bool = False) -> DataFrame:
+                     footprint_refine: bool = False,
+                     out_fmt: str = "png") -> DataFrame:
     """Two-phase hot-tile mosaic: per-(tile, salt) partials carry a
     per-pixel WINNER plane so the merge reproduces the global
     min-(priority, image_id) first-wins order exactly.
@@ -274,7 +295,7 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
             "width": out_info.width, "height": out_info.height,
             "gt": list(out_info.gt), "n_images": int(pdf["n_images"].sum()),
             "painted": painted,
-            "data": codecs.encode_png(np.clip(out, 0, 255).astype(np.uint8)),
+            "data": _encode_tile(out, out_info, g.crs, out_fmt),
         }
         if band_col:
             row[band_col] = int(key[1])

@@ -124,3 +124,59 @@ def write_catalog(catalog: DataFrame, path: str, cell_prefix_res: int = 4) -> No
         gf.geocell((F.col("minx") + F.col("maxx")) / 2,
                    (F.col("miny") + F.col("maxy")) / 2, cell_prefix_res))
     out.write.mode("overwrite").partitionBy("cell_prefix").parquet(path)
+
+
+def expand_tiff_meta(images: DataFrame, bytes_col: str = "bytes",
+                     footprint_crs: str = "EPSG:4326") -> DataFrame:
+    """GeoTIFF payload rows -> full catalog rows, metadata read FROM THE
+    PAYLOAD (dims + geotransform + CRS GeoKeys) — the reference's
+    ``geo_raster.open(f)`` role [ref: mod/geo_raster_c.pyx:1149-1174]
+    where a file is self-describing and the catalog is derived, not
+    hand-carried.
+
+    Adds ``w, h, gt, crs`` from each TIFF's tags plus the
+    ``minx/miny/maxx/maxy`` footprint in ``footprint_crs`` (densified
+    reprojection of the payload's own extent), so the output feeds
+    ``assign_tiles``/``tile_cut(src_crs_col="crs")`` directly.  Runs
+    map-side (mapInPandas over the existing partitions — no shuffle, no
+    driver involvement; only the TIFF HEADER/IFD is parsed, pixels stay
+    untouched)."""
+    import pandas as pd
+
+    from .. import crs as crs_mod
+    from .. import tiff
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}"
+         for f in images.schema.fields
+         if f.name not in ("w", "h", "gt", "crs",
+                           "minx", "miny", "maxx", "maxy")]
+        + ["w int", "h int", "gt array<double>", "crs string",
+           "minx double", "miny double", "maxx double", "maxy double"])
+    keep = [f.name for f in images.schema.fields
+            if f.name not in ("w", "h", "gt", "crs",
+                              "minx", "miny", "maxx", "maxy")]
+
+    def work(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                info = tiff.read_info(bytes(r[bytes_col]))
+                if info is None:
+                    raise ValueError(
+                        f"row {r.get('image_id', '?')}: TIFF payload "
+                        "carries no geotransform — not a GeoTIFF")
+                ext = crs_mod.transform_extent(info.crs, footprint_crs,
+                                               info.extent())
+                row = {k: r[k] for k in keep}
+                row.update({"w": info.width, "h": info.height,
+                            "gt": list(info.gt), "crs": info.crs,
+                            "minx": ext[0], "miny": ext[1],
+                            "maxx": ext[2], "maxy": ext[3]})
+                rows.append(row)
+            yield (pd.DataFrame(rows) if rows
+                   else pd.DataFrame(columns=keep + ["w", "h", "gt", "crs",
+                                                     "minx", "miny",
+                                                     "maxx", "maxy"]))
+
+    return images.mapInPandas(work, schema=out_schema)

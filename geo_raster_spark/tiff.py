@@ -175,25 +175,55 @@ def _unpredict(block: np.ndarray) -> np.ndarray:
 # encode
 # ---------------------------------------------------------------------------
 
-_TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE = 3, 4, 12
-_TYPE_SIZES = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8}
+_TYPE_ASCII, _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE = 2, 3, 4, 12
+_TYPE_SIZES = {_TYPE_ASCII: 1, _TYPE_SHORT: 2, _TYPE_LONG: 4,
+               _TYPE_DOUBLE: 8}
 
 
 def _pack_values(typ, values):
+    if typ == _TYPE_ASCII:
+        return bytes(values)
     fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}[typ]
     return struct.pack("<" + fmt * len(values), *values)
+
+
+def _geokeys(crs_id: str):
+    """GeoKeyDirectory (34735, SHORTs) + GeoAsciiParams (34737) for a
+    registry CRS id — GeoTIFF 1.0 §2.4.  EPSG-codeable ids write the
+    GeographicType/ProjectedCSType key; every id also writes a GTCitation
+    carrying the canonical string, so non-EPSG families (SINU, generic
+    AEA:/LCC:/PS:) round-trip too (32767 = user-defined)."""
+    from . import crs as crs_mod
+    cid = crs_mod.normalize_crs(crs_id)
+    code = crs_mod.to_epsg(cid)
+    geographic = crs_mod.is_geographic(cid.upper())
+    citation = (cid + "|").encode("ascii")
+    keys = [(1024, 0, 1, 2 if geographic else 1),   # GTModelType
+            (1025, 0, 1, 1),                        # GTRasterType: area
+            (1026, 34737, len(citation), 0)]        # GTCitation
+    if geographic:
+        keys.append((2048, 0, 1, code if code else 32767))
+    else:
+        keys.append((3072, 0, 1, code if code else 32767))
+    keys.sort(key=lambda k: k[0])
+    directory = [1, 1, 0, len(keys)]
+    for k in keys:
+        directory += list(k)
+    return directory, citation
 
 
 def encode_tiff(arr: np.ndarray, compression: str = "lzw",
                 predictor: int = 2, tiled: bool = True,
                 tile_size: int = 256, rows_per_strip: int | None = None,
-                gt=None) -> bytes:
+                gt=None, crs: str | None = None) -> bytes:
     """Array -> TIFF bytes (little-endian, single IFD).
 
     Defaults mirror the reference's creation options (tiled + LZW +
     predictor 2, [ref: mod/geo_raster_c.pyx:91-92]).  ``gt`` (optional
     6-element geotransform, north-up) is stored as
-    ModelPixelScale + ModelTiepoint."""
+    ModelPixelScale + ModelTiepoint; ``crs`` (optional registry id /
+    proj4 / WKT) as GeoKeyDirectory + GTCitation, EPSG-coded when the
+    family has a code."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         spp = 1
@@ -278,6 +308,10 @@ def encode_tiff(arr: np.ndarray, compression: str = "lzw",
                              "(no rotation terms)")
         tags += [(33550, _TYPE_DOUBLE, [gt[1], -gt[5], 0.0]),
                  (33922, _TYPE_DOUBLE, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])]
+    if crs is not None:
+        directory, citation = _geokeys(crs)
+        tags += [(34735, _TYPE_SHORT, directory),
+                 (34737, _TYPE_ASCII, citation)]
     tags.sort(key=lambda t: t[0])
 
     # layout: header(8) | IFD | overflow values | block data
@@ -443,6 +477,45 @@ def decode_tiff(data: bytes) -> np.ndarray:
         rows = min(rps, h - i * rps)
         parts.append(decode_block(data[o:o + c], rows, w))
     return np.concatenate(parts, axis=0).astype(np.dtype(dtype), copy=False)
+
+
+def read_crs(data: bytes):
+    """-> CRS registry id from the GeoKeys, or None when absent.
+    Prefers the EPSG-coded ProjectedCSType/GeographicType keys; falls
+    back to the GTCitation string (how non-EPSG families round-trip)."""
+    tags, _ = _read_ifd(bytes(data))
+    directory = tags.get(34735)
+    if not directory or len(directory) < 4:
+        return None
+    keys = {}
+    for i in range(directory[3]):
+        kid, loc, cnt, val = directory[4 + 4 * i:8 + 4 * i]
+        keys[kid] = (loc, cnt, val)
+    for kid in (3072, 2048):
+        if kid in keys and keys[kid][0] == 0 and keys[kid][2] != 32767:
+            return f"EPSG:{keys[kid][2]}"
+    if 1026 in keys and keys[1026][0] == 34737:
+        ascii_params = (tags.get(34737) or [""])[0]
+        _loc, cnt, off = keys[1026]
+        cite = ascii_params[off:off + cnt].rstrip("|")
+        if cite:
+            return cite
+    return None
+
+
+def read_info(data: bytes):
+    """-> :class:`~geo_raster_spark.grid.RasterInfo` assembled from the
+    payload's own tags (dims + geotransform + CRS, the reference's
+    ``geo_raster.open`` role [ref: mod/geo_raster_c.pyx:1149-1174]), or
+    None when the TIFF carries no geotransform."""
+    from .grid import RasterInfo
+    data = bytes(data)
+    gt = read_geo(data)
+    if gt is None:
+        return None
+    tags, _ = _read_ifd(data)
+    crs_id = read_crs(data) or "EPSG:4326"
+    return RasterInfo(tuple(gt), tags[256][0], tags[257][0], crs_id)
 
 
 def read_geo(data: bytes):

@@ -1016,3 +1016,106 @@ def test_tile_cut_tif_payload_rows(spark):
     mixed = run(lambda j: "tif" if j % 2 == 0 else "png")
     assert mixed == all_png and len(all_png) > 0
     assert sum(p for _b, p in all_png.values()) > 0
+
+
+def test_expand_tiff_meta_drives_tile_cut(spark):
+    """S1 parity: the catalog is derived FROM GeoTIFF payloads (dims, gt,
+    CRS GeoKeys read map-side) — expand_tiff_meta rows feed
+    tile_cut(src_crs_col='crs') and produce tiles byte-identical to the
+    hand-carried-columns pipeline, including a cross-CRS (SINU) source."""
+    from geo_raster_spark import crs as crs_mod, tiff
+    from geo_raster_spark.sources import catalog as cat
+
+    explicit_rows, payload_rows = [], []
+    # 3 geographic sources + 1 SINU-meters source
+    for j in range(3):
+        arr = synth.image_pixels(j, 40, 40, j * 131 + 7)
+        minx, maxy = 10.1 + 0.3 * j, 40.2 - 0.2 * j
+        gt = [minx, 0.01, 0.0, maxy, 0.0, -0.01]
+        common = {"image_id": f"g{j}", "fmt": "tif"}
+        explicit_rows.append({**common,
+                              "bytes": bytearray(tiff.encode_tiff(arr)),
+                              "w": 40, "h": 40, "gt": gt, "crs": "EPSG:4326",
+                              "minx": minx, "miny": maxy - 0.4,
+                              "maxx": minx + 0.4, "maxy": maxy})
+        payload_rows.append({**common,
+                             "bytes": bytearray(tiff.encode_tiff(
+                                 arr, gt=gt, crs="EPSG:4326"))})
+    R = 6371007.181
+    y0, y1 = R * np.radians(20.0), R * np.radians(20.9)
+    x0 = R * np.radians(30.0) * np.cos(np.radians(20.45))
+    w, h = 60, 70
+    arr = synth.image_pixels(9, w, h, 4242)
+    sgt = [x0, 1.0e5 / w, 0.0, y1, 0.0, -(y1 - y0) / h]
+    ext = crs_mod.transform_extent("SINU", "EPSG:4326",
+                                   (x0, y0, x0 + 1.0e5, y1))
+    explicit_rows.append({"image_id": "s0", "fmt": "tif",
+                          "bytes": bytearray(tiff.encode_tiff(arr)),
+                          "w": w, "h": h, "gt": sgt, "crs": "SINU",
+                          "minx": ext[0], "miny": ext[1],
+                          "maxx": ext[2], "maxy": ext[3]})
+    payload_rows.append({"image_id": "s0", "fmt": "tif",
+                         "bytes": bytearray(tiff.encode_tiff(
+                             arr, gt=sgt, crs="SINU"))})
+
+    derived = cat.expand_tiff_meta(
+        spark.createDataFrame(pd.DataFrame(payload_rows)))
+    got_meta = {r["image_id"]: r.asDict() for r in derived.collect()}
+    for e in explicit_rows:
+        m = got_meta[e["image_id"]]
+        assert (m["w"], m["h"], m["crs"]) == (e["w"], e["h"], e["crs"])
+        np.testing.assert_allclose(m["gt"], e["gt"], rtol=0, atol=1e-9)
+        np.testing.assert_allclose(
+            [m["minx"], m["miny"], m["maxx"], m["maxy"]],
+            [e["minx"], e["miny"], e["maxx"], e["maxy"]], rtol=0, atol=1e-9)
+
+    def tiles(df):
+        return {r["tile_tag"]: (bytes(r["data"]), r["painted"])
+                for r in mosaic.tile_cut(df, nodata=0.0,
+                                         src_crs_col="crs").collect()}
+
+    want = tiles(spark.createDataFrame(pd.DataFrame(explicit_rows)))
+    got = tiles(derived)
+    assert got == want and len(want) > 0
+    assert sum(p for _b, p in want.values()) > 0
+
+
+def test_tile_cut_out_fmt_tif(spark):
+    """S2/S3 parity: out_fmt='tif' tiles are self-describing GeoTIFFs —
+    pixels identical to the PNG run, geotransform and grid CRS read back
+    from the payload itself, reference creation options in the tags."""
+    from geo_raster_spark import tiff
+    rows = []
+    for j in range(4):
+        arr = synth.image_pixels(j, 50, 50, j * 131 + 7)
+        minx, maxy = 70.1 + 0.04 * j, -30.2 - 0.04 * j
+        rows.append({"image_id": f"i{j}",
+                     "bytes": bytearray(codecs.encode(arr, "png")),
+                     "fmt": "png", "w": 50, "h": 50,
+                     "minx": minx, "miny": maxy - 0.5,
+                     "maxx": minx + 0.5, "maxy": maxy,
+                     "gt": [minx, 0.01, 0.0, maxy, 0.0, -0.01]})
+    imgs = spark.createDataFrame(pd.DataFrame(rows))
+    png_tiles = {r["tile_tag"]: r for r in
+                 mosaic.tile_cut(imgs, nodata=0.0).collect()}
+    tif_tiles = {r["tile_tag"]: r for r in
+                 mosaic.tile_cut(imgs, nodata=0.0, out_fmt="tif").collect()}
+    assert set(png_tiles) == set(tif_tiles) and len(tif_tiles) > 0
+    for tag, t in tif_tiles.items():
+        data = bytes(t["data"])
+        np.testing.assert_array_equal(
+            tiff.decode_tiff(data),
+            codecs.decode_png(bytes(png_tiles[tag]["data"])))
+        np.testing.assert_allclose(tiff.read_geo(data), list(t["gt"]),
+                                   rtol=0, atol=1e-12)
+        assert tiff.read_crs(data) == "EPSG:4326"
+        tags, _ = tiff._read_ifd(data)
+        assert tags[259] == [5] and tags[317] == [2] and 322 in tags
+    # salted path emits the same tif payloads
+    salted = {r["tile_tag"]: bytes(r["data"]) for r in
+              mosaic.tile_cut(imgs, nodata=0.0, out_fmt="tif",
+                              salt_buckets=3).collect()}
+    assert salted == {k: bytes(v["data"]) for k, v in tif_tiles.items()}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="out_fmt"):
+        mosaic.tile_cut(imgs, out_fmt="bmp")

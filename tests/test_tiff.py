@@ -166,3 +166,29 @@ def test_tiff_cross_validated_by_jdk_imageio():
             np.testing.assert_array_equal(back, arr, err_msg=str(kw))
     finally:
         fastjpeg.close()
+
+
+def test_tiff_crs_geokeys_roundtrip():
+    """GeoKeyDirectory + GTCitation: EPSG-codeable ids round-trip through
+    the coded key; non-EPSG families through the citation; read_info
+    assembles a full RasterInfo from the payload alone."""
+    a = synth.image_pixels(1, 20, 20, 0x1)
+    gt = (-122.5, 0.01, 0.0, 47.75, 0.0, -0.01)
+    for cid, want in [("EPSG:4326", "EPSG:4326"), ("SINU", "SINU"),
+                      ("UTM:18N", "EPSG:32618"),
+                      ("UTM:7S", "EPSG:32707"),
+                      ("UTM83:18N", "EPSG:26918"),
+                      ("EPSG:5070", "EPSG:5070"),
+                      ("PS:70.0,-45.0", "PS:70.0,-45.0"),
+                      ("AEA:29.5,45.5,23.0,-96.0", "AEA:29.5,45.5,23.0,-96.0")]:
+        d = tiff.encode_tiff(a, gt=gt, crs=cid)
+        assert tiff.read_crs(d) == want, cid
+        info = tiff.read_info(d)
+        assert (info.width, info.height, info.crs) == (20, 20, want)
+        np.testing.assert_allclose(info.gt, gt, rtol=0, atol=1e-12)
+        np.testing.assert_array_equal(tiff.decode_tiff(d), a)
+    # no geo keys -> None; gt without crs -> info defaults to 4326
+    assert tiff.read_crs(tiff.encode_tiff(a)) is None
+    assert tiff.read_info(tiff.encode_tiff(a)) is None
+    info = tiff.read_info(tiff.encode_tiff(a, gt=gt))
+    assert info is not None and info.crs == "EPSG:4326"

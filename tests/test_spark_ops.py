@@ -1119,3 +1119,58 @@ def test_tile_cut_out_fmt_tif(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="out_fmt"):
         mosaic.tile_cut(imgs, out_fmt="bmp")
+
+
+def test_write_tile_files_layout_and_resume(spark, tmp_path):
+    """The reference's on-disk tile output contract: data/<h>/<v>/<hv>/
+    <hv>_<t>.tif + JSON .met sidecar, .met-written-last resume (a tile
+    with no .met is redone; one with .met is skipped), and the inverse
+    binaryFile re-ingest round-trips payloads + metadata."""
+    import json as _json
+    import os as _os
+    from geo_raster_spark import tiff
+    from geo_raster_spark.sources import tile_store
+
+    rows = []
+    for j in range(4):
+        arr = synth.image_pixels(j, 50, 50, j * 131 + 7)
+        minx, maxy = -10.1 + 3.0 * j, 20.2
+        rows.append({"image_id": f"i{j}",
+                     "bytes": bytearray(codecs.encode(arr, "png")),
+                     "fmt": "png", "w": 50, "h": 50,
+                     "minx": minx, "miny": maxy - 0.5,
+                     "maxx": minx + 0.5, "maxy": maxy,
+                     "gt": [minx, 0.01, 0.0, maxy, 0.0, -0.01]})
+    tiles = mosaic.tile_cut(spark.createDataFrame(pd.DataFrame(rows)),
+                            nodata=0.0, out_fmt="tif")
+    d = str(tmp_path / "out")
+    res = tile_store.write_tile_files(tiles, d, t="lc2020")
+    n = tiles.count()
+    assert res == {"written": n, "skipped": 0} and n > 0
+
+    # layout + sidecar contents
+    one = tiles.collect()[0]
+    h, v = "h%03d" % one["tile_col"], "v%03d" % one["tile_row"]
+    base = _os.path.join(d, "data", h, v, h + v, f"{h}{v}_lc2020")
+    assert _os.path.exists(base + ".tif") and _os.path.exists(base + ".met")
+    met = _json.load(open(base + ".met"))
+    assert met["tile"] == one["tile_tag"]
+    assert met["painted"] == one["painted"]
+    info = tiff.read_info(open(base + ".tif", "rb").read())
+    np.testing.assert_allclose(info.gt, list(one["gt"]), atol=1e-12)
+
+    # resume: everything skips; removing ONE .met redoes exactly that tile
+    assert tile_store.write_tile_files(tiles, d, t="lc2020") \
+        == {"written": 0, "skipped": n}
+    _os.remove(base + ".met")
+    assert tile_store.write_tile_files(tiles, d, t="lc2020") \
+        == {"written": 1, "skipped": n - 1}
+
+    # inverse scan round-trips
+    back = {r["tile_tag"]: r for r in
+            tile_store.read_tile_files(spark, d, t="lc2020").collect()}
+    want = {r["tile_tag"]: r for r in tiles.collect()}
+    assert set(back) == set(want)
+    for tag in want:
+        assert bytes(back[tag]["data"]) == bytes(want[tag]["data"])
+        assert back[tag]["painted"] == want[tag]["painted"]

@@ -33,16 +33,33 @@ TILE_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
                "n_images int, painted bigint, data binary")
 
 
-def _encode_tile(out, out_info, grid_crs: str, out_fmt: str) -> bytes:
+def _encode_tile(out, out_info, grid_crs: str, out_fmt: str,
+                 out_dtype: str = "uint8") -> bytes:
     """Tile payload encode: PNG (pipeline default, what overviews/stack
     consume) or GeoTIFF with the reference's creation options AND the
     tile's own geotransform + grid CRS embedded — the reference's actual
     tile product (save tile + georeferencing,
-    util/split_raster_tiles.py:117-127 via geo_band_cache.save)."""
-    band = np.clip(out, 0, 255).astype(np.uint8)
+    util/split_raster_tiles.py:117-127 via geo_band_cache.save).
+
+    ``out_dtype``: the stored pixel type — uint8 (byte products), uint16
+    (DEM/thermal, 16-bit PNG or TIFF), float32 (TIFF only; PNG has no
+    float sample type), matching the reference's wider GDAL pixel types
+    [ref: mod/geo_raster_c.pyx:33-70]."""
+    if out_dtype == "uint8":
+        band = np.clip(out, 0, 255).astype(np.uint8)
+    elif out_dtype == "uint16":
+        band = np.clip(out, 0, 65535).astype(np.uint16)
+    elif out_dtype == "float32":
+        band = out.astype(np.float32)
+    else:
+        raise ValueError(f"tile_cut out_dtype must be uint8/uint16/"
+                         f"float32, got {out_dtype!r}")
     if out_fmt == "tif":
         from .. import tiff
         return tiff.encode_tiff(band, gt=out_info.gt, crs=grid_crs)
+    if band.dtype == np.float32:
+        raise ValueError("PNG has no float sample type — use "
+                         "out_fmt='tif' for float32 tiles")
     return codecs.encode_png(band)
 
 
@@ -56,7 +73,7 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
              band_col: str | None = None,
              src_crs_col: str | None = None,
              footprint_refine: bool = False,
-             out_fmt: str = "png") -> DataFrame:
+             out_fmt: str = "png", out_dtype: str = "uint8") -> DataFrame:
     """images (with footprint cols + bytes/fmt) -> one row per output tile.
 
     ``src_crs_col``: optional column naming each source's CRS (default:
@@ -106,6 +123,12 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
     if out_fmt not in ("png", "tif"):
         raise ValueError(f"tile_cut out_fmt must be 'png' or 'tif', "
                          f"got {out_fmt!r}")
+    if out_dtype not in ("uint8", "uint16", "float32"):
+        raise ValueError(f"tile_cut out_dtype must be uint8/uint16/"
+                         f"float32, got {out_dtype!r}")
+    if out_dtype == "float32" and out_fmt != "tif":
+        raise ValueError("float32 tiles need out_fmt='tif' "
+                         "(PNG has no float sample type)")
     grid = grid or TileGrid()
     assigned = assign_tiles(images, grid.image_size, grid.cell_size, grid.edge,
                             p=grid.p)
@@ -152,7 +175,7 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
             "width": out_info.width, "height": out_info.height,
             "gt": list(out_info.gt), "n_images": len(pdf),
             "painted": painted,
-            "data": _encode_tile(out, out_info, g.crs, out_fmt),
+            "data": _encode_tile(out, out_info, g.crs, out_fmt, out_dtype),
         }
         if band_col:
             row[band_col] = int(key[1])
@@ -168,7 +191,8 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
             return _tile_cut_salted(assigned, grid, nodata, salt_buckets,
                                     agg_to_cell, agg_func, min_rate,
                                     priority_col, band_col,
-                                    src_crs_col, footprint_refine, out_fmt)
+                                    src_crs_col, footprint_refine,
+                                    out_fmt, out_dtype)
         # adaptive: split on a metadata-only per-tile candidate count
         hot_keys = (assigned.select(*group_cols)
                             .groupBy(*group_cols)
@@ -180,7 +204,8 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
         return _tile_cut_salted(hot, grid, nodata, salt_buckets,
                                 agg_to_cell, agg_func, min_rate,
                                 priority_col, band_col,
-                                src_crs_col, footprint_refine, out_fmt) \
+                                src_crs_col, footprint_refine,
+                                out_fmt, out_dtype) \
             .unionByName(plain(cold))
 
     return plain(assigned)
@@ -197,7 +222,8 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
                      band_col: str | None = None,
                      src_crs_col: str | None = None,
                      footprint_refine: bool = False,
-                     out_fmt: str = "png") -> DataFrame:
+                     out_fmt: str = "png",
+                     out_dtype: str = "uint8") -> DataFrame:
     """Two-phase hot-tile mosaic: per-(tile, salt) partials carry a
     per-pixel WINNER plane so the merge reproduces the global
     min-(priority, image_id) first-wins order exactly.
@@ -295,7 +321,7 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
             "width": out_info.width, "height": out_info.height,
             "gt": list(out_info.gt), "n_images": int(pdf["n_images"].sum()),
             "painted": painted,
-            "data": _encode_tile(out, out_info, g.crs, out_fmt),
+            "data": _encode_tile(out, out_info, g.crs, out_fmt, out_dtype),
         }
         if band_col:
             row[band_col] = int(key[1])

@@ -1174,3 +1174,48 @@ def test_write_tile_files_layout_and_resume(spark, tmp_path):
     for tag in want:
         assert bytes(back[tag]["data"]) == bytes(want[tag]["data"])
         assert back[tag]["painted"] == want[tag]["painted"]
+
+
+def test_tile_cut_out_dtype_wide_pixels(spark):
+    """out_dtype: 16-bit (DEM/thermal) and float32 tiles — values above
+    255 survive (16-bit PNG and TIFF), float32 keeps fractions (TIFF),
+    and the uint8 default would have clipped them."""
+    from geo_raster_spark import tiff
+    rows = []
+    for j in range(3):
+        arr = (synth.image_pixels(j, 40, 40, j * 131 + 7)
+               .astype(np.uint16) * 150 + 1000)   # values ~1000..39250
+        minx, maxy = 100.1 + 0.5 * j, 10.2
+        rows.append({"image_id": f"d{j}",
+                     "bytes": bytearray(codecs.encode_npy(arr)),
+                     "fmt": "npy", "w": 40, "h": 40,
+                     "minx": minx, "miny": maxy - 0.4,
+                     "maxx": minx + 0.4, "maxy": maxy,
+                     "gt": [minx, 0.01, 0.0, maxy, 0.0, -0.01]})
+    imgs = spark.createDataFrame(pd.DataFrame(rows))
+
+    t16png = mosaic.tile_cut(imgs, nodata=0.0, out_dtype="uint16").collect()
+    t16tif = mosaic.tile_cut(imgs, nodata=0.0, out_dtype="uint16",
+                             out_fmt="tif").collect()
+    ftif = mosaic.tile_cut(imgs, nodata=0.0, out_dtype="float32",
+                           out_fmt="tif").collect()
+    by_png = {r["tile_tag"]: r for r in t16png}
+    by_f = {r["tile_tag"]: r for r in ftif}
+    assert len(t16tif) == len(t16png) > 0
+    saw_wide = False
+    for r in t16tif:
+        a_tif = tiff.decode_tiff(bytes(r["data"]))
+        assert a_tif.dtype == np.uint16
+        a_png = codecs.decode_png(bytes(by_png[r["tile_tag"]]["data"]))
+        np.testing.assert_array_equal(a_tif, a_png)
+        a_f = tiff.decode_tiff(bytes(by_f[r["tile_tag"]]["data"]))
+        assert a_f.dtype == np.float32
+        np.testing.assert_array_equal(a_f[a_f != 0].astype(np.uint16),
+                                      a_tif[a_tif != 0])
+        saw_wide = saw_wide or bool((a_tif > 255).any())
+    assert saw_wide, "fixture must exercise >8-bit values"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="float32"):
+        mosaic.tile_cut(imgs, out_dtype="float32")     # png can't
+    with _pt.raises(ValueError, match="out_dtype"):
+        mosaic.tile_cut(imgs, out_dtype="int64")

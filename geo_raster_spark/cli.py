@@ -53,7 +53,16 @@ def cmd_tile_cut(args):
         synth.images_df(spark, args.images, args.cores, with_bytes=True))
     cp = CheckpointTable(args.checkpoint) if args.checkpoint else None
     tiles = mosaic.tile_cut(imgs, nodata=0.0, checkpoint=cp,
-                            agg_to_cell=args.agg_cell)
+                            agg_to_cell=args.agg_cell,
+                            out_fmt=args.out_fmt, out_dtype=args.out_dtype)
+    if args.write_files:
+        # the reference's on-disk product: data/<h>/<v>/<hv>/<hv>_<t>.tif
+        # + .met sidecars with skip-existing resume (tile_store)
+        from .sources import tile_store
+        res = tile_store.write_tile_files(tiles, args.out, t=args.tag,
+                                          fmt=args.out_fmt)
+        print(json.dumps({"out": args.out, **res}))
+        return
     tiles.write.mode("append" if args.resume else "overwrite").parquet(args.out)
     if cp is not None:
         cp.record_df(spark.read.parquet(args.out), "tile_cut", "tile_tag")
@@ -135,6 +144,14 @@ def main(argv=None):
     t.add_argument("--checkpoint")
     t.add_argument("--resume", action="store_true")
     t.add_argument("--agg-cell", type=float, default=None)
+    t.add_argument("--out-fmt", default="png", choices=["png", "tif"])
+    t.add_argument("--out-dtype", default="uint8",
+                   choices=["uint8", "uint16", "float32"])
+    t.add_argument("--write-files", action="store_true",
+                   help="write the data/h/v tile-file layout + .met "
+                        "sidecars instead of parquet")
+    t.add_argument("--tag", default="dat",
+                   help="tile filename suffix (write-files mode)")
 
     i = sub.add_parser("tile-index")
     i.add_argument("--tiles", required=True)

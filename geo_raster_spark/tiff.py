@@ -411,8 +411,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
     try:
         w = tags[256][0]
         h = tags[257][0]
-    except KeyError as e:
+    except (KeyError, IndexError) as e:
         raise ValueError(f"TIFF missing required tag {e}") from e
+    if w <= 0 or h <= 0 or w * h > 2**34:
+        raise ValueError(f"TIFF implausible dims {w}x{h}")
     spp = tags.get(277, [1])[0]
     bps_l = tags.get(258, [8])
     if len(set(bps_l)) != 1:
@@ -452,8 +454,14 @@ def decode_tiff(data: bytes) -> np.ndarray:
         return a
 
     if 322 in tags:  # tiled
+        if not tags.get(322) or not tags.get(323):
+            raise ValueError("TIFF tiled layout missing TileWidth/TileLength")
         tw, th = tags[322][0], tags[323][0]
+        if tw <= 0 or th <= 0:
+            raise ValueError(f"TIFF invalid tile dims {tw}x{th}")
         offs, cnts = tags.get(324, []), tags.get(325, [])
+        if len(cnts) < len(offs):
+            raise ValueError("TIFF tile byte counts shorter than offsets")
         out = np.zeros((h, w, spp) if spp > 1 else (h, w),
                        dtype=dt.newbyteorder("="))
         i = 0
@@ -514,6 +522,8 @@ def read_info(data: bytes):
     if gt is None:
         return None
     tags, _ = _read_ifd(data)
+    if not tags.get(256) or not tags.get(257):
+        raise ValueError("TIFF missing image dimensions")
     crs_id = read_crs(data) or "EPSG:4326"
     return RasterInfo(tuple(gt), tags[256][0], tags[257][0], crs_id)
 

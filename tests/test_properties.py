@@ -201,3 +201,59 @@ def test_container_roundtrip_any_datasets(seed):
     for name, arr in truth.items():
         np.testing.assert_array_equal(
             codecs.decode(payload, f"grsc#{name}"), arr)
+
+
+@SET
+@given(st.integers(0, 2**31 - 1))
+def test_tiff_roundtrip_any_config(seed):
+    """GeoTIFF: any dims/dtype/layout/compression/predictor combination
+    round-trips exactly, and the LZW stream round-trips for any content
+    (uniform, repetitive, random)."""
+    from geo_raster_spark import tiff
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 80))
+    w = int(rng.integers(1, 80))
+    kind = int(rng.integers(0, 4))
+    if kind == 0:
+        arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    elif kind == 1:
+        arr = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+    elif kind == 2:
+        arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    else:
+        arr = (rng.normal(0, 1000, (h, w))).astype(np.float32)
+    comp = ("none", "lzw")[int(rng.integers(0, 2))]
+    pred = (1, 2)[int(rng.integers(0, 2))]
+    tiled = bool(rng.integers(0, 2))
+    ts = (16, 32, 64)[int(rng.integers(0, 3))]
+    rps = int(rng.integers(1, h + 1))
+    data = tiff.encode_tiff(arr, compression=comp, predictor=pred,
+                            tiled=tiled, tile_size=ts, rows_per_strip=rps)
+    back = tiff.decode_tiff(data)
+    assert back.dtype == arr.dtype
+    np.testing.assert_array_equal(back, arr)
+
+
+@SET
+@given(st.integers(0, 2**31 - 1))
+def test_tiff_truncation_fuzz_fails_cleanly(seed):
+    """Truncating/corrupting a valid TIFF anywhere yields ValueError or a
+    correct decode — never Key/Index/struct errors (executor boundary)."""
+    from geo_raster_spark import tiff
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (21, 33)).astype(np.uint8)
+    data = bytearray(tiff.encode_tiff(arr, tiled=bool(seed % 2)))
+    mode = int(rng.integers(0, 3))
+    if mode == 0:
+        data = data[:int(rng.integers(0, len(data)))]
+    elif mode == 1:
+        for _ in range(int(rng.integers(1, 6))):
+            data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+    else:
+        cut = int(rng.integers(1, len(data)))
+        data = data[cut:]
+    try:
+        out = tiff.decode_tiff(bytes(data))
+        assert isinstance(out, np.ndarray)
+    except ValueError:
+        pass

@@ -406,6 +406,38 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     return _DECODERS[fmt](data)
 
 
+def sniff_fmt(data: bytes):
+    """Identify a payload by its magic bytes: png / tif / npy / jpg /
+    grsc, or None.  Lets tile CONSUMERS (overviews, stacks, focal halo)
+    accept any lossless tile product — tile_cut(out_fmt=) decides the
+    encoding once and downstream operators never hard-code it."""
+    head = bytes(data[:8])
+    if head[:8] == _PNG_SIG:
+        return "png"
+    if head[:2] in (b"II", b"MM") and len(head) >= 4             and head[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+        return "tif"
+    if head[:6] == b"\x93NUMPY":
+        return "npy"
+    if head[:2] == b"\xff\xd8":
+        return "jpg"
+    if head[:4] == b"GRSC":
+        return "grsc"
+    return None
+
+
+def decode_auto(data: bytes) -> np.ndarray:
+    """Sniff-and-decode (through the registry, so a seam-registered
+    native codec serves these too)."""
+    fmt = sniff_fmt(data)
+    if fmt is None:
+        raise ValueError("unrecognized payload (no PNG/TIFF/npy/JFIF/GRSC "
+                         "signature)")
+    if fmt == "grsc":
+        raise ValueError("container payload needs an explicit "
+                         "'grsc#<name>' dataset ref")
+    return decode(bytes(data), fmt)
+
+
 def is_lossless(fmt: str) -> bool:
     return fmt in ("npy", "png", "tif", "tiff")
 

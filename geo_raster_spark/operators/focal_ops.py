@@ -88,7 +88,7 @@ def _strip_emitter(n_cols: int, d: int):
                                          "data": r["data"]})
                             continue
                         if arr is None:
-                            arr = codecs.decode_png(bytes(r["data"]))
+                            arr = codecs.decode_auto(bytes(r["data"]))
                         ht, wt = arr.shape
                         rs = (slice(0, ht) if rel_dr == 0
                               else slice(max(0, ht - d), ht) if rel_dr == -1
@@ -138,12 +138,12 @@ def focal_tiles(tiles: DataFrame, kind: str, halo: int = 2,
         W, H = int(c["width"]), int(c["height"])
         size = g.image_size  # un-haloed tile step in pixels
         pad = np.full((H + 2 * h, W + 2 * h), nod, dtype=np.uint8)
-        carr = codecs.decode_png(bytes(c["data"]))
+        carr = codecs.decode_auto(bytes(c["data"]))
         pad[h:h + carr.shape[0], h:h + carr.shape[1]] = carr
         strips = pdf[(pdf["rel_dr"] != 0) | (pdf["rel_dc"] != 0)] \
             .sort_values(["rel_dr", "rel_dc", "tile_tag"], kind="stable")
         for _, r in strips.iterrows():
-            sub = codecs.decode_png(bytes(r["data"]))
+            sub = codecs.decode_auto(bytes(r["data"]))
             y0 = h + int(r["rel_dr"]) * size + int(r["r_off"])
             x0 = h + int(r["rel_dc"]) * size + int(r["c_off"])
             ys = slice(max(0, y0), min(pad.shape[0], y0 + sub.shape[0]))

@@ -329,3 +329,56 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
 
     return (partials.groupBy(*merge_keys)
                     .applyInPandas(merge, schema=out_schema))
+
+
+RGB_TILE_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
+                   "width int, height int, gt array<double>, "
+                   "n_images int, painted bigint, data binary")
+
+
+def combine_bands(tiles: DataFrame, bands=(0, 1, 2), band_col: str = "band",
+                  out_fmt: str = "png",
+                  grid: TileGrid | None = None) -> DataFrame:
+    """Per-band tile rows (``tile_cut(band_col=)`` output) -> ONE multi-band
+    (RGB) row per tile — the reference's N-band stacked save
+    [ref: mod/geo_raster_c.pyx:338-355 geo_band_stack / :424-433 save].
+
+    ``bands`` orders the three band ids into the R, G, B planes.  Payload
+    is channels-last RGB PNG or GeoTIFF (geotransform + grid CRS
+    embedded).  One narrow shuffle on tile_tag; each group decodes its 3
+    band planes (any lossless tile fmt — sniffed) and stacks."""
+    if out_fmt not in ("png", "tif"):
+        raise ValueError(f"combine_bands out_fmt must be 'png' or 'tif', "
+                         f"got {out_fmt!r}")
+    g = grid or TileGrid()
+    bands = tuple(int(b) for b in bands)
+
+    def combine(key, pdf: pd.DataFrame):
+        tag = key[0]
+        have = {int(r[band_col]): r for _, r in pdf.iterrows()}
+        missing = [b for b in bands if b not in have]
+        if missing:
+            raise ValueError(f"tile {tag}: missing band(s) {missing} "
+                             f"(have {sorted(have)})")
+        first = have[bands[0]]
+        planes = [codecs.decode_auto(bytes(have[b]["data"])) for b in bands]
+        rgb = np.stack(planes, axis=-1).astype(np.uint8)
+        if out_fmt == "tif":
+            from .. import tiff
+            data = tiff.encode_tiff(rgb, gt=tuple(first["gt"]), crs=g.crs)
+        else:
+            data = codecs.encode_png(rgb, planes_first=False)
+        return pd.DataFrame([{
+            "tile_tag": tag,
+            "tile_col": int(first["tile_col"]),
+            "tile_row": int(first["tile_row"]),
+            "width": int(first["width"]), "height": int(first["height"]),
+            "gt": list(first["gt"]),
+            "n_images": int(pdf["n_images"].sum()),
+            "painted": int((rgb != 0).any(axis=-1).sum()),
+            "data": data,
+        }])
+
+    return (tiles.repartition("tile_tag")
+                 .groupBy("tile_tag")
+                 .applyInPandas(combine, schema=RGB_TILE_SCHEMA))

@@ -49,7 +49,7 @@ def build_overviews(tiles: DataFrame, levels: int = 2, nodata: float = 0.0,
             pcol, prow = int(key[0]), int(key[1])
             out = np.full((size, size), nodata, dtype=np.float64)
             for _, r in pdf.iterrows():
-                child = codecs.decode_png(bytes(r["data"])).astype(np.float64)
+                child = codecs.decode_auto(bytes(r["data"])).astype(np.float64)
                 core = child[:size, :size]          # drop the edge overlap
                 down = agg_k.mean(core, 0.0, 0.0, 2.0, nodata, half, half,
                                   min_rate=min_rate)

@@ -67,7 +67,7 @@ def pixel_stack_stats(tiles: DataFrame, stat: str = "median",
         h, w = int(first["height"]), int(first["width"])
         stack = np.full((len(pdf), h, w), np.nan, dtype=np.float64)
         for i, (_, r) in enumerate(pdf.iterrows()):
-            a = codecs.decode_png(bytes(r["data"])).astype(np.float64)
+            a = codecs.decode_auto(bytes(r["data"])).astype(np.float64)
             a[a == nodata] = np.nan
             stack[i, :a.shape[0], :a.shape[1]] = a
         with np.errstate(all="ignore"):

@@ -1219,3 +1219,75 @@ def test_tile_cut_out_dtype_wide_pixels(spark):
         mosaic.tile_cut(imgs, out_dtype="float32")     # png can't
     with _pt.raises(ValueError, match="out_dtype"):
         mosaic.tile_cut(imgs, out_dtype="int64")
+
+
+def test_tif_tiles_flow_through_overviews_and_stack(spark):
+    """Downstream consumers are format-agnostic (payload sniffing): a
+    GeoTIFF tile product feeds overviews and temporal stacking with
+    results identical to the PNG product."""
+    from geo_raster_spark.operators import overviews as ov, stack as stk
+
+    def tiles(out_fmt):
+        rows = []
+        for j in range(4):
+            arr = synth.image_pixels(j, 50, 50, j * 131 + 7)
+            minx, maxy = 40.1 + 0.3 * j, -10.2
+            rows.append({"image_id": f"i{j}",
+                         "bytes": bytearray(codecs.encode(arr, "png")),
+                         "fmt": "png", "w": 50, "h": 50,
+                         "minx": minx, "miny": maxy - 0.5,
+                         "maxx": minx + 0.5, "maxy": maxy,
+                         "gt": [minx, 0.01, 0.0, maxy, 0.0, -0.01]})
+        return mosaic.tile_cut(spark.createDataFrame(pd.DataFrame(rows)),
+                               nodata=0.0, out_fmt=out_fmt)
+
+    png_t, tif_t = tiles("png"), tiles("tif")
+
+    def ov_sig(t):
+        return {(r["tile_tag"], r["level"]): (r["painted"], bytes(r["data"]))
+                for r in ov.build_overviews(t, levels=2).collect()}
+    assert ov_sig(tif_t) == ov_sig(png_t) and len(ov_sig(png_t)) > 0
+
+    def stack_sig(t):
+        df = t.withColumn("epoch", F.lit(0))
+        return {r["tile_tag"]: (r["painted"], r["val_sum"])
+                for r in stk.pixel_stack_stats(df, stat="median",
+                                               nodata=0.0).collect()}
+    assert stack_sig(tif_t) == stack_sig(png_t) and len(stack_sig(png_t)) > 0
+
+
+def test_combine_bands_rgb_tiles(spark):
+    """N-band stacked save: per-band tile rows combine into one RGB tile
+    (PNG and GeoTIFF), planes matching the per-band tiles exactly."""
+    from geo_raster_spark import tiff
+    rows = []
+    for j in range(2):
+        rgb = synth.image_pixels_rgb(j, 50, 50, j * 409 + 3)
+        minx, maxy = -40.1 + 0.3 * j, 5.2
+        for b in range(3):
+            rows.append({"image_id": f"i{j}", "band": b,
+                         "bytes": bytearray(codecs.encode_png(rgb[:, :, b])),
+                         "fmt": "png", "w": 50, "h": 50,
+                         "minx": minx, "miny": maxy - 0.5,
+                         "maxx": minx + 0.5, "maxy": maxy,
+                         "gt": [minx, 0.01, 0.0, maxy, 0.0, -0.01]})
+    imgs = spark.createDataFrame(pd.DataFrame(rows))
+    per_band = mosaic.tile_cut(imgs, nodata=0.0, band_col="band")
+    bt = {(r["tile_tag"], r["band"]): codecs.decode_png(bytes(r["data"]))
+          for r in per_band.collect()}
+
+    for fmt, dec in (("png", codecs.decode_png), ("tif", tiff.decode_tiff)):
+        out = {r["tile_tag"]: r for r in
+               mosaic.combine_bands(per_band, out_fmt=fmt).collect()}
+        assert len(out) > 0
+        for tag, r in out.items():
+            rgb = dec(bytes(r["data"]))
+            assert rgb.shape[-1] == 3
+            for b in range(3):
+                np.testing.assert_array_equal(rgb[:, :, b], bt[(tag, b)])
+        if fmt == "tif":
+            one = next(iter(out.values()))
+            assert tiff.read_crs(bytes(one["data"])) == "EPSG:4326"
+    import pytest as _pt
+    with _pt.raises(Exception, match="missing band"):
+        mosaic.combine_bands(per_band.where(F.col("band") != 1)).collect()

@@ -34,7 +34,7 @@ TILE_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
 
 
 def _encode_tile(out, out_info, grid_crs: str, out_fmt: str,
-                 out_dtype: str = "uint8") -> bytes:
+                 out_dtype: str = "uint8", tif_opts: dict | None = None) -> bytes:
     """Tile payload encode: PNG (pipeline default, what overviews/stack
     consume) or GeoTIFF with the reference's creation options AND the
     tile's own geotransform + grid CRS embedded — the reference's actual
@@ -56,7 +56,8 @@ def _encode_tile(out, out_info, grid_crs: str, out_fmt: str,
                          f"float32, got {out_dtype!r}")
     if out_fmt == "tif":
         from .. import tiff
-        return tiff.encode_tiff(band, gt=out_info.gt, crs=grid_crs)
+        return tiff.encode_tiff(band, gt=out_info.gt, crs=grid_crs,
+                                **(tif_opts or {}))
     if band.dtype == np.float32:
         raise ValueError("PNG has no float sample type — use "
                          "out_fmt='tif' for float32 tiles")
@@ -73,7 +74,8 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
              band_col: str | None = None,
              src_crs_col: str | None = None,
              footprint_refine: bool = False,
-             out_fmt: str = "png", out_dtype: str = "uint8") -> DataFrame:
+             out_fmt: str = "png", out_dtype: str = "uint8",
+             tif_opts: dict | None = None) -> DataFrame:
     """images (with footprint cols + bytes/fmt) -> one row per output tile.
 
     ``src_crs_col``: optional column naming each source's CRS (default:
@@ -175,7 +177,8 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
             "width": out_info.width, "height": out_info.height,
             "gt": list(out_info.gt), "n_images": len(pdf),
             "painted": painted,
-            "data": _encode_tile(out, out_info, g.crs, out_fmt, out_dtype),
+            "data": _encode_tile(out, out_info, g.crs, out_fmt, out_dtype,
+                                 tif_opts),
         }
         if band_col:
             row[band_col] = int(key[1])
@@ -192,7 +195,7 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
                                     agg_to_cell, agg_func, min_rate,
                                     priority_col, band_col,
                                     src_crs_col, footprint_refine,
-                                    out_fmt, out_dtype)
+                                    out_fmt, out_dtype, tif_opts)
         # adaptive: split on a metadata-only per-tile candidate count
         hot_keys = (assigned.select(*group_cols)
                             .groupBy(*group_cols)
@@ -205,7 +208,7 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
                                 agg_to_cell, agg_func, min_rate,
                                 priority_col, band_col,
                                 src_crs_col, footprint_refine,
-                                out_fmt, out_dtype) \
+                                out_fmt, out_dtype, tif_opts) \
             .unionByName(plain(cold))
 
     return plain(assigned)
@@ -223,7 +226,8 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
                      src_crs_col: str | None = None,
                      footprint_refine: bool = False,
                      out_fmt: str = "png",
-                     out_dtype: str = "uint8") -> DataFrame:
+                     out_dtype: str = "uint8",
+                     tif_opts: dict | None = None) -> DataFrame:
     """Two-phase hot-tile mosaic: per-(tile, salt) partials carry a
     per-pixel WINNER plane so the merge reproduces the global
     min-(priority, image_id) first-wins order exactly.
@@ -321,7 +325,8 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
             "width": out_info.width, "height": out_info.height,
             "gt": list(out_info.gt), "n_images": int(pdf["n_images"].sum()),
             "painted": painted,
-            "data": _encode_tile(out, out_info, g.crs, out_fmt, out_dtype),
+            "data": _encode_tile(out, out_info, g.crs, out_fmt, out_dtype,
+                                 tif_opts),
         }
         if band_col:
             row[band_col] = int(key[1])

@@ -10,8 +10,10 @@ dependencies:
   first IFD, inline/offset tag values;
 - layout: STRIPED and TILED (RowsPerStrip / TileWidth+TileLength), both
   directions;
-- compression: none (1) and LZW (5) with the TIFF "early change" code
-  widths, encode + decode;
+- compression: none (1), LZW (5) with the TIFF "early change" code
+  widths, and DEFLATE (8, zlib — the C-speed path for tile products;
+  legacy code 32946 also decodes), encode + decode; PackBits (32773)
+  decode;
 - predictor: horizontal differencing (2) for integer samples;
 - samples: uint8 / uint16 gray, uint8 RGB (contiguous planar config),
   float32 gray (SampleFormat=3, predictor auto-disabled);
@@ -27,6 +29,7 @@ unsupported/corrupt payloads).
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -153,6 +156,27 @@ def lzw_decode(data: bytes, expected: int | None = None) -> bytes:
     return bytes(out)
 
 
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF §9 PackBits RLE (decode only — legacy scanned-imagery TIFFs).
+    n in [0,127]: copy n+1 literal bytes; n in [-127,-1]: repeat next
+    byte 1-n times; -128: no-op."""
+    out = bytearray()
+    i = 0
+    n_in = len(data)
+    while i < n_in and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= n_in:
+                break
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # predictor 2 (horizontal differencing, per sample, per row)
 # ---------------------------------------------------------------------------
@@ -242,7 +266,7 @@ def encode_tiff(arr: np.ndarray, compression: str = "lzw",
     else:
         raise ValueError(f"unsupported TIFF dtype {arr.dtype} "
                          "(uint8/uint16/float32)")
-    if compression not in ("none", "lzw"):
+    if compression not in ("none", "lzw", "deflate"):
         raise ValueError(f"unsupported TIFF compression {compression!r}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
@@ -258,7 +282,11 @@ def encode_tiff(arr: np.ndarray, compression: str = "lzw",
             block = _predict(block)
         raw = np.ascontiguousarray(block.astype(arr.dtype.newbyteorder("<"),
                                                 copy=False)).tobytes()
-        return lzw_encode(raw) if compression == "lzw" else raw
+        if compression == "lzw":
+            return lzw_encode(raw)
+        if compression == "deflate":
+            return zlib.compress(raw, 6)
+        return raw
 
     blocks = []
     if tiled:
@@ -285,7 +313,8 @@ def encode_tiff(arr: np.ndarray, compression: str = "lzw",
         (256, _TYPE_LONG, [w]),
         (257, _TYPE_LONG, [h]),
         (258, _TYPE_SHORT, [bps] * spp),
-        (259, _TYPE_SHORT, [5 if compression == "lzw" else 1]),
+        (259, _TYPE_SHORT, [{"none": 1, "lzw": 5,
+                             "deflate": 8}[compression]]),
         (262, _TYPE_SHORT, [2 if spp == 3 else 1]),
         (277, _TYPE_SHORT, [spp]),
         (284, _TYPE_SHORT, [1]),
@@ -427,9 +456,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if planar != 1:
         raise ValueError(f"TIFF planar configuration {planar} unsupported "
                          "(chunky only)")
-    if comp not in (1, 5):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise ValueError(f"TIFF compression {comp} unsupported "
-                         "(none/LZW only)")
+                         "(none/LZW/deflate/PackBits only)")
     if pred not in (1, 2):
         raise ValueError(f"TIFF predictor {pred} unsupported")
     if spp not in (1, 3):
@@ -445,6 +474,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
         want = rows * cols * spp * dt.itemsize
         if comp == 5:
             raw = lzw_decode(raw, expected=want)
+        elif comp in (8, 32946):
+            try:
+                raw = zlib.decompress(bytes(raw))
+            except zlib.error as e:
+                raise ValueError(f"TIFF deflate block corrupt ({e})") from e
+        elif comp == 32773:
+            raw = packbits_decode(raw, want)
         if len(raw) < want:
             raise ValueError(f"TIFF block short: {len(raw)} < {want} bytes")
         a = np.frombuffer(raw[:want], dtype=dt)

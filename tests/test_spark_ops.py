@@ -1291,3 +1291,30 @@ def test_combine_bands_rgb_tiles(spark):
     import pytest as _pt
     with _pt.raises(Exception, match="missing band"):
         mosaic.combine_bands(per_band.where(F.col("band") != 1)).collect()
+
+
+def test_tile_cut_tif_opts_deflate(spark):
+    """tif_opts forwards creation options: deflate tiles decode to the
+    same pixels as the default-LZW tiles on plain AND salted paths."""
+    from geo_raster_spark import tiff
+    rows = []
+    for j in range(4):
+        arr = synth.image_pixels(j, 50, 50, j * 131 + 7)
+        minx, maxy = 120.1 + 0.04 * j, 30.2
+        rows.append({"image_id": f"i{j}",
+                     "bytes": bytearray(codecs.encode(arr, "png")),
+                     "fmt": "png", "w": 50, "h": 50,
+                     "minx": minx, "miny": maxy - 0.5,
+                     "maxx": minx + 0.5, "maxy": maxy,
+                     "gt": [minx, 0.01, 0.0, maxy, 0.0, -0.01]})
+    imgs = spark.createDataFrame(pd.DataFrame(rows))
+
+    def pixels(**kw):
+        return {r["tile_tag"]: tiff.decode_tiff(bytes(r["data"])).tobytes()
+                for r in mosaic.tile_cut(imgs, nodata=0.0, out_fmt="tif",
+                                         **kw).collect()}
+
+    base = pixels()
+    defl = pixels(tif_opts={"compression": "deflate"})
+    defl_salted = pixels(tif_opts={"compression": "deflate"}, salt_buckets=2)
+    assert defl == base == defl_salted and len(base) > 0

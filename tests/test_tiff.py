@@ -192,3 +192,46 @@ def test_tiff_crs_geokeys_roundtrip():
     assert tiff.read_info(tiff.encode_tiff(a)) is None
     info = tiff.read_info(tiff.encode_tiff(a, gt=gt))
     assert info is not None and info.crs == "EPSG:4326"
+
+
+def test_tiff_deflate_and_packbits():
+    """DEFLATE (8): zlib-backed — the C-speed tile-product path (no
+    Python LZW loop in either direction); predictor 2 applies; legacy
+    code 32946 decodes.  PackBits (32773) decodes per spec."""
+    a = synth.image_pixels(3, 150, 83, 0xABCD)
+    for tiled in (False, True):
+        d = tiff.encode_tiff(a, compression="deflate", tiled=tiled,
+                             tile_size=64)
+        tags, _ = tiff._read_ifd(d)
+        assert tags[259] == [8] and tags[317] == [2]
+        np.testing.assert_array_equal(tiff.decode_tiff(d), a)
+    g16 = a.astype(np.uint16) * 257
+    np.testing.assert_array_equal(
+        tiff.decode_tiff(tiff.encode_tiff(g16, compression="deflate")), g16)
+    # legacy 32946 tag value decodes the same payload
+    d = bytearray(tiff.encode_tiff(a, compression="deflate", tiled=False))
+    import struct as _s
+    pos = d.find(_s.pack("<HHI", 259, 3, 1))
+    assert pos > 0
+    d[pos + 8:pos + 12] = _s.pack("<I", 32946)
+    np.testing.assert_array_equal(tiff.decode_tiff(bytes(d)), a)
+    # packbits: literals, repeats, and the -128 no-op
+    assert tiff.packbits_decode(bytes([2, 1, 2, 3, 0x80, 0xFE, 9]), 6) \
+        == bytes([1, 2, 3, 9, 9, 9])
+
+
+@pytest.mark.skipif(not __import__("geo_raster_spark.fastjpeg",
+                                   fromlist=["available"]).available(),
+                    reason="no JVM for the independent decoder")
+def test_tiff_deflate_cross_validated_by_jdk_imageio():
+    from geo_raster_spark import fastjpeg
+    a = synth.image_pixels(5, 140, 90, 0x31)
+    rgb = synth.image_pixels_rgb(1, 80, 50, 0x99)
+    try:
+        for arr in (a, rgb):
+            for tiled in (False, True):
+                d = tiff.encode_tiff(arr, compression="deflate",
+                                     tiled=tiled, tile_size=64)
+                np.testing.assert_array_equal(fastjpeg.decode(d), arr)
+    finally:
+        fastjpeg.close()

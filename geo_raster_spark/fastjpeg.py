@@ -49,11 +49,23 @@ public class ImageIoDecode {
                 int w = img.getWidth(), h = img.getHeight();
                 Raster r = img.getRaster();
                 int c = r.getNumBands();
+                int bits = r.getSampleModel().getSampleSize(0) > 8 ? 16 : 8;
                 int[] px = r.getPixels(0, 0, w, h, (int[]) null);
-                byte[] outb = new byte[w * h * c];
-                for (int i = 0; i < outb.length; i++) outb[i] = (byte) px[i];
                 out.writeInt(h); out.writeInt(w); out.writeInt(c);
-                out.write(outb);
+                out.writeInt(bits);
+                if (bits == 8) {
+                    byte[] outb = new byte[w * h * c];
+                    for (int i = 0; i < outb.length; i++)
+                        outb[i] = (byte) px[i];
+                    out.write(outb);
+                } else {
+                    byte[] outb = new byte[w * h * c * 2];
+                    for (int i = 0; i < px.length; i++) {
+                        outb[2 * i] = (byte) (px[i] >> 8);
+                        outb[2 * i + 1] = (byte) px[i];
+                    }
+                    out.write(outb);
+                }
             } catch (Exception e) {
                 byte[] msg = String.valueOf(e).getBytes("UTF-8");
                 out.writeInt(-1); out.writeInt(msg.length); out.write(msg);
@@ -98,8 +110,11 @@ def _helper() -> subprocess.Popen:
 
 
 def decode(data: bytes) -> np.ndarray:
-    """JPEG bytes -> (h, w) gray or (h, w, 3) RGB uint8 via the JVM helper.
-    Signature-compatible with ``codecs.register("jpg", decode_fn=...)``."""
+    """Image bytes (any ImageIO-readable format: JPEG/PNG/TIFF/...) ->
+    (h, w[, c]) uint8 or uint16 array via the JVM helper.  Signature-
+    compatible with ``codecs.register("jpg", decode_fn=...)``; also the
+    independent decoder the codec conformance tests cross-validate
+    against."""
     p = _helper()
     data = bytes(data)
     p.stdin.write(struct.pack(">i", len(data)))
@@ -113,11 +128,16 @@ def decode(data: bytes) -> np.ndarray:
         (el,) = struct.unpack(">i", p.stdout.read(4))
         err = p.stdout.read(el).decode("utf-8", "replace")
         raise ValueError(f"fastjpeg decode failed: {err}")
-    w, c = struct.unpack(">ii", p.stdout.read(8))
-    raw = p.stdout.read(h * w * c)
-    if len(raw) < h * w * c:
-        raise ValueError("fastjpeg helper short read")
-    a = np.frombuffer(raw, dtype=np.uint8)
+    w, c, bits = struct.unpack(">iii", p.stdout.read(12))
+    nbytes = h * w * c * (bits // 8)
+    raw = b""
+    while len(raw) < nbytes:
+        chunk = p.stdout.read(nbytes - len(raw))
+        if not chunk:
+            raise ValueError("fastjpeg helper short read")
+        raw += chunk
+    a = np.frombuffer(raw, dtype=(">u2" if bits == 16 else np.uint8))
+    a = a.astype(np.uint16) if bits == 16 else a
     return a.reshape(h, w, c) if c > 1 else a.reshape(h, w)
 
 

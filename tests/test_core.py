@@ -1086,3 +1086,64 @@ def test_nad83_utm_wkt_and_proj4_resolve():
     import pytest
     with pytest.raises(ValueError):
         crs.parse_proj4("+proj=utm +zone=18 +ellps=intl")
+
+
+# --- independent-decoder conformance (round 5) -----------------------------
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(not __import__("geo_raster_spark.fastjpeg",
+                                    fromlist=["available"]).available(),
+                     reason="no JVM for the independent decoder")
+def test_png_encoder_cross_validated_by_jdk_imageio():
+    """Our PNG writer's streams decoded by the JDK's ImageIO (an
+    implementation we didn't write) must give exact pixels: gray 8-bit,
+    gray 16-bit, RGB, RGBA — the same independent-conformance gate that
+    caught the LZW width-timing bug in the TIFF codec."""
+    from geo_raster_spark import fastjpeg
+    g8 = synth.image_pixels(3, 150, 83, 0xABCD)
+    g16 = (g8.astype(np.uint16) * 257)
+    rgb = synth.image_pixels_rgb(2, 90, 60, 0x77)
+    rng = np.random.default_rng(1)
+    rgba = np.concatenate([rgb, rng.integers(0, 256, (60, 90, 1),
+                                             dtype=np.uint8)], axis=2)
+    try:
+        for arr in (g8, g16, rgb, rgba):
+            back = fastjpeg.decode(codecs.encode_png(arr))
+            np.testing.assert_array_equal(np.squeeze(back), np.squeeze(arr),
+                                          err_msg=str(arr.shape))
+    finally:
+        fastjpeg.close()
+
+
+@_pytest.mark.skipif(not __import__("geo_raster_spark.fastjpeg",
+                                    fromlist=["available"]).available(),
+                     reason="no JVM for the independent decoder")
+def test_jfif_encoder_cross_validated_by_jdk_imageio():
+    """Our baseline JFIF streams (gray, RGB 4:4:4 and 4:2:0, progressive)
+    must decode in ImageIO with high fidelity vs the truth AND vs our own
+    decoder (same stream, two decoders — only IDCT rounding may differ)."""
+    from geo_raster_spark import fastjpeg, jpeg
+    gray = synth.image_pixels(3, 200, 120, 0xAB)
+    rgb = synth.image_pixels_rgb(2, 96, 64, 0x55)
+    # (truth, payload, min_psnr_vs_truth, min_cross_decoder_psnr):
+    # 4:2:0 halves chroma resolution, so ~33 dB vs truth is the
+    # SUBSAMPLING cost (both decoders land there), and the decoders'
+    # different chroma upsampling (nearest vs bilinear) caps the
+    # cross-decoder figure near 38 dB — per-case gates, not one 40
+    cases = [
+        (gray, codecs.encode_jfif(gray, quality=95), 40.0, 45.0),
+        (rgb, codecs.encode_jfif(rgb, quality=97), 40.0, 42.0),
+        (rgb, jpeg.encode(rgb, 95, subsampling="420"), 30.0, 35.0),
+        (gray, jpeg.encode_progressive(gray, 95), 40.0, 45.0),
+    ]
+    try:
+        for truth, payload, t_min, x_min in cases:
+            ours = jpeg.decode(payload)
+            theirs = fastjpeg.decode(payload)
+            assert theirs.shape == np.squeeze(ours).shape
+            assert codecs.psnr(truth, np.squeeze(theirs)) >= t_min
+            assert codecs.psnr(np.squeeze(ours), np.squeeze(theirs)) >= x_min
+    finally:
+        fastjpeg.close()

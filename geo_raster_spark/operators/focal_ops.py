@@ -137,8 +137,10 @@ def focal_tiles(tiles: DataFrame, kind: str, halo: int = 2,
         c = center.iloc[0]
         W, H = int(c["width"]), int(c["height"])
         size = g.image_size  # un-haloed tile step in pixels
-        pad = np.full((H + 2 * h, W + 2 * h), nod, dtype=np.uint8)
         carr = codecs.decode_auto(bytes(c["data"]))
+        # halo frame takes the TILE's dtype (uint16/float32 products
+        # would silently wrap modulo 256 in a hard-coded uint8 frame)
+        pad = np.full((H + 2 * h, W + 2 * h), nod, dtype=carr.dtype)
         pad[h:h + carr.shape[0], h:h + carr.shape[1]] = carr
         strips = pdf[(pdf["rel_dr"] != 0) | (pdf["rel_dc"] != 0)] \
             .sort_values(["rel_dr", "rel_dc", "tile_tag"], kind="stable")

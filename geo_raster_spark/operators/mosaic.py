@@ -367,7 +367,15 @@ def combine_bands(tiles: DataFrame, bands=(0, 1, 2), band_col: str = "band",
                              f"(have {sorted(have)})")
         first = have[bands[0]]
         planes = [codecs.decode_auto(bytes(have[b]["data"])) for b in bands]
-        rgb = np.stack(planes, axis=-1).astype(np.uint8)
+        bad = [b for b, pl in zip(bands, planes) if pl.dtype != np.uint8]
+        if bad:
+            # a silent uint8 cast would wrap uint16/float planes mod 256
+            # (same contract as codecs.encode_png's wide-dtype refusal)
+            raise ValueError(
+                f"tile {tag}: band(s) {bad} are not uint8 "
+                f"({[str(pl.dtype) for pl in planes]}) — RGB composites "
+                "take byte band planes; rescale first")
+        rgb = np.stack(planes, axis=-1)
         if out_fmt == "tif":
             from .. import tiff
             data = tiff.encode_tiff(rgb, gt=tuple(first["gt"]), crs=g.crs)

@@ -127,7 +127,8 @@ def write_catalog(catalog: DataFrame, path: str, cell_prefix_res: int = 4) -> No
 
 
 def expand_tiff_meta(images: DataFrame, bytes_col: str = "bytes",
-                     footprint_crs: str = "EPSG:4326") -> DataFrame:
+                     footprint_crs: str = "EPSG:4326",
+                     crs_default: str | None = None) -> DataFrame:
     """GeoTIFF payload rows -> full catalog rows, metadata read FROM THE
     PAYLOAD (dims + geotransform + CRS GeoKeys) — the reference's
     ``geo_raster.open(f)`` role [ref: mod/geo_raster_c.pyx:1149-1174]
@@ -137,7 +138,10 @@ def expand_tiff_meta(images: DataFrame, bytes_col: str = "bytes",
     Adds ``w, h, gt, crs`` from each TIFF's tags plus the
     ``minx/miny/maxx/maxy`` footprint in ``footprint_crs`` (densified
     reprojection of the payload's own extent), so the output feeds
-    ``assign_tiles``/``tile_cut(src_crs_col="crs")`` directly.  Runs
+    ``assign_tiles``/``tile_cut(src_crs_col="crs")`` directly.  A payload
+    with a geotransform but NO CRS GeoKeys raises unless ``crs_default``
+    names the CRS to assume (a silent 4326 default would read a
+    meters-gt file as degrees).  Runs
     map-side (mapInPandas over the existing partitions — no shuffle, no
     driver involvement; only the TIFF HEADER/IFD is parsed, pixels stay
     untouched)."""
@@ -161,7 +165,8 @@ def expand_tiff_meta(images: DataFrame, bytes_col: str = "bytes",
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                info = tiff.read_info(bytes(r[bytes_col]))
+                info = tiff.read_info(bytes(r[bytes_col]),
+                                      crs_default=crs_default)
                 if info is None:
                     raise ValueError(
                         f"row {r.get('image_id', '?')}: TIFF payload "

@@ -87,6 +87,17 @@ def lzw_encode(data: bytes) -> bytes:
         w = bytes([b])
     if w:
         emit(table[w], width)
+        # the DECODER adds a table entry after reading this final code and
+        # may bump its width before reading EOI — mirror it (libtiff's
+        # LZWPostEncode free_ent++ + re-check) so EOI is written at the
+        # width the decoder will read it with
+        next_code += 1
+        if next_code == 512:
+            width = 10
+        elif next_code == 1024:
+            width = 11
+        elif next_code == 2048:
+            width = 12
     emit(_EOI, width)
     if nbits:
         emit(0, 8 - nbits)  # flush
@@ -516,10 +527,17 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if not offs or not cnts:
         raise ValueError("TIFF missing strip offsets/byte counts")
     rps = tags.get(278, [h])[0]
+    if rps <= 0:
+        raise ValueError(f"TIFF invalid RowsPerStrip {rps}")
     parts = []
     for i, (o, c) in enumerate(zip(offs, cnts)):
         rows = min(rps, h - i * rps)
+        if rows <= 0:
+            break
         parts.append(decode_block(data[o:o + c], rows, w))
+    got_rows = sum(p.shape[0] for p in parts)
+    if got_rows != h:
+        raise ValueError(f"TIFF strips cover {got_rows} of {h} rows")
     return np.concatenate(parts, axis=0).astype(np.dtype(dtype), copy=False)
 
 
@@ -528,6 +546,10 @@ def read_crs(data: bytes):
     Prefers the EPSG-coded ProjectedCSType/GeographicType keys; falls
     back to the GTCitation string (how non-EPSG families round-trip)."""
     tags, _ = _read_ifd(bytes(data))
+    return _crs_from_tags(tags)
+
+
+def _crs_from_tags(tags):
     directory = tags.get(34735)
     if not directory or len(directory) < 4:
         return None
@@ -547,20 +569,31 @@ def read_crs(data: bytes):
     return None
 
 
-def read_info(data: bytes):
+def read_info(data: bytes, crs_default: str | None = None):
     """-> :class:`~geo_raster_spark.grid.RasterInfo` assembled from the
     payload's own tags (dims + geotransform + CRS, the reference's
     ``geo_raster.open`` role [ref: mod/geo_raster_c.pyx:1149-1174]), or
-    None when the TIFF carries no geotransform."""
+    None when the TIFF carries no geotransform.
+
+    A payload WITHOUT CRS GeoKeys raises unless ``crs_default`` names
+    the CRS to assume — silently defaulting to 4326 would turn a
+    meters-gt GeoTIFF into a nonsense degrees catalog downstream (the
+    module's loud-failure boundary contract).  Parses the IFD once."""
     from .grid import RasterInfo
     data = bytes(data)
-    gt = read_geo(data)
+    tags, _ = _read_ifd(data)
+    gt = _geo_from_tags(tags)
     if gt is None:
         return None
-    tags, _ = _read_ifd(data)
     if not tags.get(256) or not tags.get(257):
         raise ValueError("TIFF missing image dimensions")
-    crs_id = read_crs(data) or "EPSG:4326"
+    crs_id = _crs_from_tags(tags)
+    if crs_id is None:
+        if crs_default is None:
+            raise ValueError(
+                "GeoTIFF carries a geotransform but no CRS GeoKeys — "
+                "pass crs_default= to name the CRS to assume")
+        crs_id = crs_default
     return RasterInfo(tuple(gt), tags[256][0], tags[257][0], crs_id)
 
 
@@ -568,6 +601,10 @@ def read_geo(data: bytes):
     """-> 6-element geotransform from ModelPixelScale + ModelTiepoint, or
     None when the TIFF carries no geo tags."""
     tags, _ = _read_ifd(bytes(data))
+    return _geo_from_tags(tags)
+
+
+def _geo_from_tags(tags):
     scale, tie = tags.get(33550), tags.get(33922)
     if not scale or not tie or len(tie) < 6:
         return None

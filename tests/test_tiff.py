@@ -187,11 +187,14 @@ def test_tiff_crs_geokeys_roundtrip():
         assert (info.width, info.height, info.crs) == (20, 20, want)
         np.testing.assert_allclose(info.gt, gt, rtol=0, atol=1e-12)
         np.testing.assert_array_equal(tiff.decode_tiff(d), a)
-    # no geo keys -> None; gt without crs -> info defaults to 4326
+    # no geo keys -> None; gt without crs -> LOUD unless crs_default
+    # names the assumption (silent 4326 would read meters as degrees)
     assert tiff.read_crs(tiff.encode_tiff(a)) is None
     assert tiff.read_info(tiff.encode_tiff(a)) is None
-    info = tiff.read_info(tiff.encode_tiff(a, gt=gt))
-    assert info is not None and info.crs == "EPSG:4326"
+    with pytest.raises(ValueError, match="GeoKeys"):
+        tiff.read_info(tiff.encode_tiff(a, gt=gt))
+    info = tiff.read_info(tiff.encode_tiff(a, gt=gt), crs_default="SINU")
+    assert info is not None and info.crs == "SINU"
 
 
 def test_tiff_deflate_and_packbits():
@@ -235,3 +238,17 @@ def test_tiff_deflate_cross_validated_by_jdk_imageio():
                 np.testing.assert_array_equal(fastjpeg.decode(d), arr)
     finally:
         fastjpeg.close()
+
+
+def test_lzw_tail_width_at_bump_boundaries():
+    """Round-5 review find: streams whose FINAL table add lands exactly on
+    a width-bump boundary (decoder bumps before reading EOI) must still
+    round-trip — the encoder mirrors the decoder's post-final-code add
+    (libtiff LZWPostEncode semantics).  Sweep lengths that empirically
+    land the dictionary on/near 511/1023/2047 at EOI time."""
+    import random
+    random.seed(0)
+    for n in list(range(380, 480, 4)) + list(range(840, 960, 4)) \
+            + list(range(1780, 1860, 2)):
+        data = bytes(random.randrange(256) for _ in range(n))
+        assert tiff.lzw_decode(tiff.lzw_encode(data)) == data, n

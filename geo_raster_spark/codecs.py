@@ -406,6 +406,24 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     return _DECODERS[fmt](data)
 
 
+def encode_band_like(out, like_dtype) -> bytes:
+    """Clip/round a computed stats plane to the SOURCE tiles' dtype and
+    PNG-encode it — uint8 and uint16 tile products keep their range
+    through overview/stack/focal pipelines instead of silently saturating
+    at 255 (round-5 review).  Float tile products raise: these consumers
+    emit PNG, which has no float sample type — keep float pipelines on
+    GeoTIFF end to end."""
+    dt = np.dtype(like_dtype)
+    if dt == np.uint8:
+        return encode_png(np.clip(np.round(out), 0, 255).astype(np.uint8))
+    if dt == np.uint16:
+        return encode_png(np.clip(np.round(out), 0, 65535)
+                          .astype(np.uint16))
+    raise ValueError(
+        f"tile-consumer outputs are PNG (uint8/uint16); {dt} tile "
+        "products have no PNG sample type — use a GeoTIFF-native pipeline")
+
+
 def sniff_fmt(data: bytes):
     """Identify a payload by its magic bytes: png / tif / npy / jpg /
     grsc, or None.  Lets tile CONSUMERS (overviews, stacks, focal halo)

@@ -73,7 +73,6 @@ _KRUGER = {
     "WGS84": _kruger_consts(_WGS84_A, _WGS84_F),
     "GRS80": _kruger_consts(6378137.0, 1.0 / 298.257222101),
 }
-_N, _A_BAR, _ALPHA, _BETA, _DELTA = _KRUGER["WGS84"]
 
 # --- Lambert Conformal Conic (ellipsoidal, 2SP) — Snyder 1987 §15 ----------
 # EPSG:3978 (NAD83 / Canada Atlas Lambert); generic LCC:lat1,lat2,lat0,lon0.

@@ -163,7 +163,7 @@ def focal_tiles(tiles: DataFrame, kind: str, halo: int = 2,
             "tile_row": int(c["tile_row"]),
             "width": W, "height": H, "gt": list(c["gt"]),
             "n_images": int(c["n_images"]), "painted": int((out != 0).sum()),
-            "data": codecs.encode_png(out.astype(np.uint8)),
+            "data": codecs.encode_band_like(out, carr.dtype),
         }])
 
     return (neigh.repartition("dst_tag")

@@ -48,8 +48,11 @@ def build_overviews(tiles: DataFrame, levels: int = 2, nodata: float = 0.0,
         def fn(key, pdf: pd.DataFrame):
             pcol, prow = int(key[0]), int(key[1])
             out = np.full((size, size), nodata, dtype=np.float64)
+            src_dt = np.uint8
             for _, r in pdf.iterrows():
-                child = codecs.decode_auto(bytes(r["data"])).astype(np.float64)
+                raw = codecs.decode_auto(bytes(r["data"]))
+                src_dt = raw.dtype
+                child = raw.astype(np.float64)
                 core = child[:size, :size]          # drop the edge overlap
                 down = agg_k.mean(core, 0.0, 0.0, 2.0, nodata, half, half,
                                   min_rate=min_rate)
@@ -64,8 +67,7 @@ def build_overviews(tiles: DataFrame, levels: int = 2, nodata: float = 0.0,
                 "width": size, "height": size, "gt": gt,
                 "n_children": len(pdf),
                 "painted": int((out != nodata).sum()),
-                "data": codecs.encode_png(np.clip(np.round(out), 0, 255)
-                                          .astype(np.uint8)),
+                "data": codecs.encode_band_like(out, src_dt),
             }])
 
         return fn

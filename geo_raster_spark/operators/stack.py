@@ -66,8 +66,11 @@ def pixel_stack_stats(tiles: DataFrame, stat: str = "median",
         first = pdf.iloc[0]
         h, w = int(first["height"]), int(first["width"])
         stack = np.full((len(pdf), h, w), np.nan, dtype=np.float64)
+        src_dt = np.uint8
         for i, (_, r) in enumerate(pdf.iterrows()):
-            a = codecs.decode_auto(bytes(r["data"])).astype(np.float64)
+            raw = codecs.decode_auto(bytes(r["data"]))
+            src_dt = raw.dtype
+            a = raw.astype(np.float64)
             a[a == nodata] = np.nan
             stack[i, :a.shape[0], :a.shape[1]] = a
         with np.errstate(all="ignore"):
@@ -84,8 +87,7 @@ def pixel_stack_stats(tiles: DataFrame, stat: str = "median",
             # interpolate to non-dyadic values — an oracle comparing a
             # pXX val_sum must round/tolerance-compare (advice r4)
             "val_sum": float(out[out != nodata].sum()),
-            "data": codecs.encode_png(np.clip(np.round(out), 0, 255)
-                                      .astype(np.uint8)),
+            "data": codecs.encode_band_like(out, src_dt),
         }
         if band_col:
             row[band_col] = int(key[1])

@@ -24,11 +24,16 @@ from ..grid import tile_output_path
 
 def write_tile_files(tiles: DataFrame, d_out: str, t: str = "dat",
                      fmt: str = "tif", use_data_path: bool = True,
-                     skip_existing: bool = True) -> dict:
+                     skip_existing: bool = True,
+                     band_col: str | None = None) -> dict:
     """Write tile rows (``tile_cut`` output) as files + ``.met`` sidecars.
 
     ``fmt`` names the payload's actual encoding (use
     ``tile_cut(out_fmt="tif")`` for self-describing GeoTIFF products).
+    Multi-band output (``tile_cut(band_col=)`` rows) REQUIRES ``band_col``
+    so each band gets its own ``_<t>_b<band>`` file — without it the
+    per-band rows would collide on one path and silently drop bands
+    (round-5 review), so the presence of the column is checked.
     Returns ``{"written": n, "skipped": n}``.  Sidecar fields mirror the
     reference's metadata object (tile tag + provenance counters); the
     write order (payload first, ``.met`` last) IS the resume invariant."""
@@ -36,13 +41,20 @@ def write_tile_files(tiles: DataFrame, d_out: str, t: str = "dat",
 
     cols = ["tile_tag", "tile_col", "tile_row", "width", "height",
             "gt", "n_images", "painted", "data"]
+    if band_col is not None:
+        cols.append(band_col)
+    elif any(f.name == "band" for f in tiles.schema.fields):
+        raise ValueError(
+            "tiles carry a 'band' column — pass band_col='band' so "
+            "per-band rows do not collide on one output path")
 
     def work(it):
         for pdf in it:
             written = skipped = 0
             for _, r in pdf.iterrows():
+                suffix = (f"{t}_b{int(r[band_col])}" if band_col else t)
                 base = tile_output_path(d_out, int(r["tile_col"]),
-                                        int(r["tile_row"]), t,
+                                        int(r["tile_row"]), suffix,
                                         use_data_path=use_data_path)
                 f_out = f"{base}.{fmt}"
                 f_met = f"{base}.met"
@@ -54,6 +66,7 @@ def write_tile_files(tiles: DataFrame, d_out: str, t: str = "dat",
                     f.write(bytes(r["data"]))
                 met = {
                     "tile": r["tile_tag"],
+                    **({"band": int(r[band_col])} if band_col else {}),
                     "width": int(r["width"]), "height": int(r["height"]),
                     "gt": [float(v) for v in r["gt"]],
                     "n_images": int(r["n_images"]),

@@ -426,6 +426,10 @@ def _read_ifd(data: bytes):
             if typ not in type_fmt:
                 continue
             sz = type_size[typ] * cnt
+            if sz > len(data):
+                raise ValueError(
+                    f"TIFF tag {tag}: {cnt} values ({sz} bytes) exceed "
+                    f"the {len(data)}-byte payload")
             vpos = ifd_off + 2 + i * 12 + 8
             if sz > 4:
                 (vpos,) = struct.unpack_from(bo + "I", data, vpos)
@@ -496,7 +500,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise ValueError(f"TIFF block short: {len(raw)} < {want} bytes")
         a = np.frombuffer(raw[:want], dtype=dt)
         a = a.reshape(rows, cols, spp) if spp > 1 else a.reshape(rows, cols)
-        if pred == 2:
+        if pred == 2 and comp != 1:
+            # readers (libtiff/JDK, verified) ignore the Predictor tag on
+            # uncompressed data — apply it only alongside a compression
             a = _unpredict(a.astype(dt.newbyteorder("="), copy=True))
         return a
 

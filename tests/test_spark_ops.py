@@ -1318,3 +1318,63 @@ def test_tile_cut_tif_opts_deflate(spark):
     defl = pixels(tif_opts={"compression": "deflate"})
     defl_salted = pixels(tif_opts={"compression": "deflate"}, salt_buckets=2)
     assert defl == base == defl_salted and len(base) > 0
+
+
+def test_wide_dtype_tiles_through_consumers_and_band_files(spark):
+    """Round-5 review closures: (a) uint16 tile products keep their range
+    through overviews/stack/focal (16-bit PNG outputs, no mod-256 wrap or
+    255 saturation); (b) float32 products are refused loudly by the
+    PNG-emitting consumers; (c) write_tile_files with band_col gives each
+    band its own file (no silent collision)."""
+    from geo_raster_spark.operators import overviews as ov, stack as stk
+    from geo_raster_spark.sources import tile_store
+
+    rows = []
+    for j in range(3):
+        arr = (synth.image_pixels(j, 40, 40, j * 131 + 7)
+               .astype(np.uint16) * 150 + 1000)
+        minx, maxy = -150.1 + 0.3 * j, -40.2
+        rows.append({"image_id": f"d{j}",
+                     "bytes": bytearray(codecs.encode_npy(arr)),
+                     "fmt": "npy", "w": 40, "h": 40,
+                     "minx": minx, "miny": maxy - 0.4,
+                     "maxx": minx + 0.4, "maxy": maxy,
+                     "gt": [minx, 0.01, 0.0, maxy, 0.0, -0.01]})
+    imgs = spark.createDataFrame(pd.DataFrame(rows))
+    t16 = mosaic.tile_cut(imgs, nodata=0.0, out_dtype="uint16")
+
+    ov_rows = ov.build_overviews(t16, levels=1).collect()
+    assert any(codecs.decode_png(bytes(r["data"])).max() > 255
+               for r in ov_rows if r["painted"]), "overviews kept 16-bit range"
+    st_rows = stk.pixel_stack_stats(t16.withColumn("epoch", F.lit(0)),
+                                    stat="median", nodata=0.0).collect()
+    assert any(codecs.decode_png(bytes(r["data"])).max() > 255
+               for r in st_rows if r["painted"]), "stack kept 16-bit range"
+
+    f32 = mosaic.tile_cut(imgs, nodata=0.0, out_dtype="float32",
+                          out_fmt="tif")
+    import pytest as _pt
+    with _pt.raises(Exception, match="PNG"):
+        ov.build_overviews(f32, levels=1).collect()
+
+    # (c) band files don't collide
+    brows = []
+    for b in range(2):
+        brows.append({"image_id": "i0", "band": b,
+                      "bytes": bytearray(codecs.encode_png(
+                          synth.image_pixels(b, 40, 40, 7 + b))),
+                      "fmt": "png", "w": 40, "h": 40,
+                      "minx": -150.1, "miny": -40.6,
+                      "maxx": -149.7, "maxy": -40.2,
+                      "gt": [-150.1, 0.01, 0.0, -40.2, 0.0, -0.01]})
+    btiles = mosaic.tile_cut(spark.createDataFrame(pd.DataFrame(brows)),
+                             nodata=0.0, band_col="band")
+    import tempfile, os as _os, glob as _glob
+    d = tempfile.mkdtemp(prefix="gsr_bands_")
+    with _pt.raises(Exception, match="band_col"):
+        tile_store.write_tile_files(btiles, d)
+    res = tile_store.write_tile_files(btiles, d, band_col="band")
+    n_rows = btiles.count()
+    assert res["written"] == n_rows
+    assert len(_glob.glob(_os.path.join(d, "data", "*", "*", "*",
+                                        "*_b*.tif"))) == n_rows

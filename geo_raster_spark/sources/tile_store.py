@@ -112,14 +112,16 @@ def read_tile_files(spark, d_out: str, t: str = "dat", fmt: str = "tif"):
                 rows.append({
                     "tile_tag": met["tile"], "width": met["width"],
                     "height": met["height"], "gt": met["gt"],
+                    "band": int(met.get("band", -1)),
                     "n_images": met["n_images"], "painted": met["painted"],
                     "data": bytearray(r["content"]),
                 })
             yield (pd.DataFrame(rows) if rows else pd.DataFrame(
-                columns=["tile_tag", "width", "height", "gt", "n_images",
-                         "painted", "data"]))
+                columns=["tile_tag", "width", "height", "gt", "band",
+                         "n_images", "painted", "data"]))
 
+    # band = -1 for single-band products (sidecars without a band field)
     return bf.mapInPandas(
         attach, schema=("tile_tag string, width int, height int, "
-                        "gt array<double>, n_images int, painted long, "
-                        "data binary"))
+                        "gt array<double>, band int, "
+                        "n_images int, painted long, data binary"))

@@ -479,5 +479,6 @@ if os.environ.get("GSR_FASTJPEG") == "1":
         from . import fastjpeg as _fastjpeg
         if _fastjpeg.available():
             _DECODERS["jpg"] = _fastjpeg.decode
+            _DECODERS["tif"] = _DECODERS["tiff"] = _fastjpeg.decode_tif
     except Exception:
         pass  # bench-only: fall back to the pure-NumPy default

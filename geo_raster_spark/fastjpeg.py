@@ -141,6 +141,27 @@ def decode(data: bytes) -> np.ndarray:
     return a.reshape(h, w, c) if c > 1 else a.reshape(h, w)
 
 
+def decode_tif(data: bytes) -> np.ndarray:
+    """TIFF decode through the helper with a pure-NumPy FALLBACK: ImageIO
+    covers integer payloads (incl. LZW at native speed — the one
+    direction where the in-repo pure-Python entropy loop is slow), but it
+    silently DEGRADES float sample formats instead of failing, so the
+    route is decided from the SampleFormat tag up front (header-only
+    parse), not from exceptions — non-integer TIFFs always take
+    ``tiff.decode_tiff``."""
+    from . import tiff
+    try:
+        tags, _ = tiff._read_ifd(bytes(data))
+        if tags.get(339, [1])[0] != 1:     # 1 = unsigned integer
+            return tiff.decode_tiff(data)
+    except ValueError:
+        pass  # helper gets a shot; its failure falls through below
+    try:
+        return decode(data)
+    except ValueError:
+        return tiff.decode_tiff(data)
+
+
 def register():
     """Route fmt 'jpg' decodes through the JVM decoder.  Returns the
     (prev_decode, prev_encode) pair from ``codecs.register`` so callers

@@ -252,3 +252,27 @@ def test_lzw_tail_width_at_bump_boundaries():
             + list(range(1780, 1860, 2)):
         data = bytes(random.randrange(256) for _ in range(n))
         assert tiff.lzw_decode(tiff.lzw_encode(data)) == data, n
+
+
+@pytest.mark.skipif(not __import__("geo_raster_spark.fastjpeg",
+                                   fromlist=["available"]).available(),
+                    reason="no JVM")
+def test_seam_tif_decode_routes_by_sample_format():
+    """GSR_FASTJPEG seam: integer TIFFs go through the native helper
+    (LZW 202 -> 19 ms/Mpix), float TIFFs MUST take the pure decoder —
+    ImageIO silently degrades float samples rather than failing, so the
+    route is decided from the SampleFormat tag, not exceptions."""
+    from geo_raster_spark import fastjpeg
+    a = synth.image_pixels(1, 120, 90, 0x42)
+    try:
+        np.testing.assert_array_equal(
+            fastjpeg.decode_tif(tiff.encode_tiff(a, compression="lzw")), a)
+        g16 = a.astype(np.uint16) * 257
+        np.testing.assert_array_equal(
+            fastjpeg.decode_tif(tiff.encode_tiff(g16)), g16)
+        f32 = a.astype(np.float32) / 3.0
+        out = fastjpeg.decode_tif(tiff.encode_tiff(f32))
+        assert out.dtype == np.float32
+        np.testing.assert_array_equal(out, f32)
+    finally:
+        fastjpeg.close()

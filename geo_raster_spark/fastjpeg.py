@@ -148,11 +148,16 @@ def decode_tif(data: bytes) -> np.ndarray:
     silently DEGRADES float sample formats instead of failing, so the
     route is decided from the SampleFormat tag up front (header-only
     parse), not from exceptions — non-integer TIFFs always take
-    ``tiff.decode_tiff``."""
+    ``tiff.decode_tiff``.  Same reasoning for sample WIDTH: the helper
+    protocol emits only 8/16-bit samples, so a 32-bit unsigned payload
+    (which the pure decoder reads as u4) would be silently truncated —
+    BitsPerSample > 16 also routes to ``tiff.decode_tiff``."""
     from . import tiff
     try:
         tags, _ = tiff._read_ifd(bytes(data))
         if tags.get(339, [1])[0] != 1:     # 1 = unsigned integer
+            return tiff.decode_tiff(data)
+        if max(tags.get(258, [1])) > 16:   # helper wire format caps at 16-bit
             return tiff.decode_tiff(data)
     except ValueError:
         pass  # helper gets a shot; its failure falls through below

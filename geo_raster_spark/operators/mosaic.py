@@ -351,10 +351,21 @@ def combine_bands(tiles: DataFrame, bands=(0, 1, 2), band_col: str = "band",
     ``bands`` orders the three band ids into the R, G, B planes.  Payload
     is channels-last RGB PNG or GeoTIFF (geotransform + grid CRS
     embedded).  One narrow shuffle on tile_tag; each group decodes its 3
-    band planes (any lossless tile fmt — sniffed) and stacks."""
+    band planes (any lossless tile fmt — sniffed) and stacks.
+
+    ``out_fmt='tif'`` REQUIRES ``grid``: the grid's CRS is stamped into a
+    self-describing product, and defaulting it to ``TileGrid()`` would
+    silently georeference tiles cut on any other grid (e.g. sinusoidal
+    meters) as EPSG:4326 — wrong metadata with no error.  ``tile_cut``
+    never has this problem because it closes over its actual grid."""
     if out_fmt not in ("png", "tif"):
         raise ValueError(f"combine_bands out_fmt must be 'png' or 'tif', "
                          f"got {out_fmt!r}")
+    if out_fmt == "tif" and grid is None:
+        raise ValueError(
+            "combine_bands(out_fmt='tif') requires grid= — the grid CRS is "
+            "embedded in the GeoTIFF and cannot be defaulted (pass the "
+            "TileGrid the tiles were cut on)")
     g = grid or TileGrid()
     bands = tuple(int(b) for b in bands)
 
@@ -374,7 +385,11 @@ def combine_bands(tiles: DataFrame, bands=(0, 1, 2), band_col: str = "band",
             raise ValueError(
                 f"tile {tag}: band(s) {bad} are not uint8 "
                 f"({[str(pl.dtype) for pl in planes]}) — RGB composites "
-                "take byte band planes; rescale first")
+                "take byte band planes; rescale first (kernels.viz.stretch "
+                "-> uint8), or keep wide bands as SEPARATE single-band "
+                "products (tile_cut out_dtype='uint16'/'float32' with "
+                "out_fmt='tif', or 16-bit grayscale PNG via "
+                "codecs.encode_band_like)")
         rgb = np.stack(planes, axis=-1)
         if out_fmt == "tif":
             from .. import tiff

@@ -48,10 +48,10 @@ def build_overviews(tiles: DataFrame, levels: int = 2, nodata: float = 0.0,
         def fn(key, pdf: pd.DataFrame):
             pcol, prow = int(key[0]), int(key[1])
             out = np.full((size, size), nodata, dtype=np.float64)
-            src_dt = np.uint8
+            src_dts = set()
             for _, r in pdf.iterrows():
                 raw = codecs.decode_auto(bytes(r["data"]))
-                src_dt = raw.dtype
+                src_dts.add(raw.dtype)
                 child = raw.astype(np.float64)
                 core = child[:size, :size]          # drop the edge overlap
                 down = agg_k.mean(core, 0.0, 0.0, 2.0, nodata, half, half,
@@ -59,6 +59,16 @@ def build_overviews(tiles: DataFrame, levels: int = 2, nodata: float = 0.0,
                 qr = (int(r["tile_row"]) - 2 * prow) * half
                 qc = (int(r["tile_col"]) - 2 * pcol) * half
                 out[qr:qr + half, qc:qc + half] = down
+            if len(src_dts) > 1:
+                # a mixed-dtype group would re-encode at whichever child
+                # decoded last — arbitrary output width, silent precision
+                # loss.  Fail loudly; callers normalize dtypes upstream.
+                raise ValueError(
+                    f"overview parent h{pcol:03d}v{prow:03d} level {level}: "
+                    f"children have mixed dtypes "
+                    f"{sorted(str(d) for d in src_dts)} — re-cut tiles with "
+                    "one out_dtype before building overviews")
+            src_dt = src_dts.pop() if src_dts else np.dtype(np.uint8)
             gt = [-grid.p + pcol * ts, ts / size, 0.0,
                   grid.p / 2 - prow * ts, 0.0, -ts / size]
             return pd.DataFrame([{

@@ -66,13 +66,21 @@ def pixel_stack_stats(tiles: DataFrame, stat: str = "median",
         first = pdf.iloc[0]
         h, w = int(first["height"]), int(first["width"])
         stack = np.full((len(pdf), h, w), np.nan, dtype=np.float64)
-        src_dt = np.uint8
+        src_dts = set()
         for i, (_, r) in enumerate(pdf.iterrows()):
             raw = codecs.decode_auto(bytes(r["data"]))
-            src_dt = raw.dtype
+            src_dts.add(raw.dtype)
             a = raw.astype(np.float64)
             a[a == nodata] = np.nan
             stack[i, :a.shape[0], :a.shape[1]] = a
+        if len(src_dts) > 1:
+            # last-epoch-wins dtype would make the re-encode width depend
+            # on group iteration order — fail loudly (see overviews.py)
+            raise ValueError(
+                f"stack group {tag}: epochs have mixed dtypes "
+                f"{sorted(str(d) for d in src_dts)} — normalize out_dtype "
+                "before stacking")
+        src_dt = src_dts.pop() if src_dts else np.dtype(np.uint8)
         with np.errstate(all="ignore"):
             out = fn(stack, axis=0)
         out = np.where(np.isnan(out), nodata, out)

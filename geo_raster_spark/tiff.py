@@ -11,8 +11,8 @@ dependencies:
 - layout: STRIPED and TILED (RowsPerStrip / TileWidth+TileLength), both
   directions;
 - compression: none (1), LZW (5) with the TIFF "early change" code
-  widths, and DEFLATE (8, zlib — the C-speed path for tile products;
-  legacy code 32946 also decodes), encode + decode; PackBits (32773)
+  widths, DEFLATE (8, zlib — the C-speed path for tile products;
+  legacy code 32946 also decodes), and PackBits (32773), all encode +
   decode;
 - predictor: horizontal differencing (2) for integer samples;
 - samples: uint8 / uint16 gray, uint8 RGB (contiguous planar config),
@@ -34,6 +34,11 @@ import zlib
 import numpy as np
 
 _CLEAR, _EOI = 256, 257
+
+# classic TIFF addresses blocks with 32-bit offsets; anything larger needs
+# BigTIFF (unsupported — see encode_tiff's guard).  Module-level so tests
+# can exercise the guard without materializing 4 GiB.
+_MAX_CLASSIC_OFFSET = 0xFFFFFFFF
 
 
 # ---------------------------------------------------------------------------
@@ -167,8 +172,35 @@ def lzw_decode(data: bytes, expected: int | None = None) -> bytes:
     return bytes(out)
 
 
+def packbits_encode(data: bytes) -> bytes:
+    """TIFF §9 PackBits RLE encode: replicate runs of r in [2,128] emit
+    header ``257 - r`` + the byte; literal runs of n in [1,128] emit
+    ``n - 1`` + the bytes (a literal breaks at the next >=3-byte repeat,
+    the spec's break-even point).  Cross-validated against the JDK
+    ImageIO TIFF decoder in tests."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        if j > i:                                  # run of j-i+1 in [2,128]
+            out.append((257 - (j - i + 1)) & 0xFF)
+            out.append(data[i])
+            i = j + 1
+        else:                                      # literal until 3-repeat
+            while j < n and j - i < 128:
+                if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
+
+
 def packbits_decode(data: bytes, expected: int) -> bytes:
-    """TIFF §9 PackBits RLE (decode only — legacy scanned-imagery TIFFs).
+    """TIFF §9 PackBits RLE decode (legacy scanned-imagery TIFFs).
     n in [0,127]: copy n+1 literal bytes; n in [-127,-1]: repeat next
     byte 1-n times; -128: no-op."""
     out = bytearray()
@@ -277,14 +309,16 @@ def encode_tiff(arr: np.ndarray, compression: str = "lzw",
     else:
         raise ValueError(f"unsupported TIFF dtype {arr.dtype} "
                          "(uint8/uint16/float32)")
-    if compression not in ("none", "lzw", "deflate"):
+    if compression not in ("none", "lzw", "deflate", "packbits"):
         raise ValueError(f"unsupported TIFF compression {compression!r}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
-    if compression == "none":
+    if compression in ("none", "packbits"):
         # TIFF §14 ties the Predictor tag to compression schemes; readers
-        # ignore it on uncompressed data (verified vs the JDK decoder),
-        # so writing differenced samples there would be silently wrong
+        # ignore it on uncompressed data, and libtiff never wires the
+        # predictor into the PackBits codec (both verified vs the JDK
+        # decoder) — writing differenced samples there would be silently
+        # wrong for every external reader
         predictor = 1
     h, w = arr.shape[:2]
 
@@ -297,6 +331,8 @@ def encode_tiff(arr: np.ndarray, compression: str = "lzw",
             return lzw_encode(raw)
         if compression == "deflate":
             return zlib.compress(raw, 6)
+        if compression == "packbits":
+            return packbits_encode(raw)
         return raw
 
     blocks = []
@@ -324,8 +360,8 @@ def encode_tiff(arr: np.ndarray, compression: str = "lzw",
         (256, _TYPE_LONG, [w]),
         (257, _TYPE_LONG, [h]),
         (258, _TYPE_SHORT, [bps] * spp),
-        (259, _TYPE_SHORT, [{"none": 1, "lzw": 5,
-                             "deflate": 8}[compression]]),
+        (259, _TYPE_SHORT, [{"none": 1, "lzw": 5, "deflate": 8,
+                             "packbits": 32773}[compression]]),
         (262, _TYPE_SHORT, [2 if spp == 3 else 1]),
         (277, _TYPE_SHORT, [spp]),
         (284, _TYPE_SHORT, [1]),
@@ -378,6 +414,16 @@ def encode_tiff(arr: np.ndarray, compression: str = "lzw",
     for b in blocks:
         block_offs.append(off)
         off += len(b)
+    if off > _MAX_CLASSIC_OFFSET:
+        # classic TIFF carries 32-bit offsets; silently wrapping them
+        # would produce a file every reader mis-addresses.  BigTIFF (the
+        # 64-bit container) is out of scope — tile products are bounded
+        # far below this; single-file mosaics that large should be tile
+        # stores instead.
+        raise ValueError(
+            f"TIFF output would be {off} bytes — exceeds the classic-TIFF "
+            "4 GiB offset ceiling (BigTIFF unsupported; write a tiled "
+            "product set via tile_store instead)")
     tag, typ, cnt, inline, ov = entries[offsets_tag_pos]
     raw = _pack_values(typ, block_offs)
     if len(raw) <= 4:
@@ -500,9 +546,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise ValueError(f"TIFF block short: {len(raw)} < {want} bytes")
         a = np.frombuffer(raw[:want], dtype=dt)
         a = a.reshape(rows, cols, spp) if spp > 1 else a.reshape(rows, cols)
-        if pred == 2 and comp != 1:
+        if pred == 2 and comp in (5, 8, 32946):
             # readers (libtiff/JDK, verified) ignore the Predictor tag on
-            # uncompressed data — apply it only alongside a compression
+            # uncompressed data, and libtiff never wires the predictor
+            # into the PackBits codec — apply it only for LZW/deflate,
+            # the codecs that actually implement it
             a = _unpredict(a.astype(dt.newbyteorder("="), copy=True))
         return a
 

@@ -1277,8 +1277,9 @@ def test_combine_bands_rgb_tiles(spark):
           for r in per_band.collect()}
 
     for fmt, dec in (("png", codecs.decode_png), ("tif", tiff.decode_tiff)):
+        kw = {"grid": TileGrid()} if fmt == "tif" else {}
         out = {r["tile_tag"]: r for r in
-               mosaic.combine_bands(per_band, out_fmt=fmt).collect()}
+               mosaic.combine_bands(per_band, out_fmt=fmt, **kw).collect()}
         assert len(out) > 0
         for tag, r in out.items():
             rgb = dec(bytes(r["data"]))
@@ -1291,6 +1292,10 @@ def test_combine_bands_rgb_tiles(spark):
     import pytest as _pt
     with _pt.raises(Exception, match="missing band"):
         mosaic.combine_bands(per_band.where(F.col("band") != 1)).collect()
+    # tif products embed the grid CRS — defaulting it would stamp
+    # EPSG:4326 onto tiles cut on any other grid (advice r5)
+    with _pt.raises(ValueError, match="requires grid="):
+        mosaic.combine_bands(per_band, out_fmt="tif")
 
 
 def test_tile_cut_tif_opts_deflate(spark):
@@ -1378,3 +1383,33 @@ def test_wide_dtype_tiles_through_consumers_and_band_files(spark):
     assert res["written"] == n_rows
     assert len(_glob.glob(_os.path.join(d, "data", "*", "*", "*",
                                         "*_b*.tif"))) == n_rows
+
+
+def test_mixed_dtype_children_raise_in_overviews_and_stack(spark):
+    """Advice r5: a parent group mixing uint8 and uint16 children must
+    fail loudly — last-decoded-wins would pick an arbitrary re-encode
+    dtype (and the stack analog, per epoch)."""
+    from geo_raster_spark import tiff
+    from geo_raster_spark.operators import overviews as ov, stack as stk
+
+    a8 = synth.image_pixels(0, 100, 100, 0x61)
+    a16 = a8.astype(np.uint16) * 200
+    gt = [-10.0, 0.01, 0.0, 10.0, 0.0, -0.01]
+    rows = [
+        {"tile_tag": "h170v080", "tile_col": 170, "tile_row": 80,
+         "width": 100, "height": 100, "gt": gt, "epoch": 0,
+         "data": bytearray(codecs.encode_png(a8)), "painted": 1,
+         "n_images": 1},
+        {"tile_tag": "h171v080", "tile_col": 171, "tile_row": 80,
+         "width": 100, "height": 100, "gt": gt, "epoch": 1,
+         "data": bytearray(tiff.encode_tiff(a16)), "painted": 1,
+         "n_images": 1},
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    g = TileGrid(image_size=100)
+    with pytest.raises(Exception, match="mixed dtypes"):
+        ov.build_overviews(tiles, levels=1, grid=g).collect()
+    from geo_raster_spark.operators import stack as _stk
+    same_tag = tiles.withColumn("tile_tag", F.lit("h170v080"))
+    with pytest.raises(Exception, match="mixed dtypes"):
+        _stk.pixel_stack_stats(same_tag, stat="median", nodata=0.0).collect()

@@ -276,3 +276,102 @@ def test_seam_tif_decode_routes_by_sample_format():
         np.testing.assert_array_equal(out, f32)
     finally:
         fastjpeg.close()
+
+
+def _patch_tag(data: bytes, tag: int, typ: int, count: int,
+               old_val: bytes, new_val: bytes) -> bytes:
+    """Replace the 4-byte inline value of an IFD entry (test scaffolding)."""
+    ent = struct.pack("<HHI", tag, typ, count)
+    pos = data.find(ent)
+    assert pos > 0, f"tag {tag} not found"
+    assert data[pos + 8:pos + 12] == old_val.ljust(4, b"\0")
+    return data[:pos + 8] + new_val.ljust(4, b"\0") + data[pos + 12:]
+
+
+def test_packbits_encode_roundtrip_and_tiff():
+    """PackBits encode (round-5 verdict #7): raw round-trip on runs /
+    literals / mixes, plus full TIFF encode->decode with compression tag
+    32773 and predictor auto-disabled (libtiff never wires the predictor
+    into the PackBits codec)."""
+    rng = np.random.default_rng(11)
+    cases = [b"", b"\x07" * 300, bytes(range(256)),
+             bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),
+             bytes(rng.integers(0, 3, 4000, dtype=np.uint8))]
+    for c in cases:
+        assert tiff.packbits_decode(tiff.packbits_encode(c), len(c)) == c
+    a = synth.image_pixels(9, 130, 71, 0x55)
+    for tiled in (False, True):
+        d = tiff.encode_tiff(a, compression="packbits", tiled=tiled,
+                             tile_size=64)
+        tags, _ = tiff._read_ifd(d)
+        assert tags[259] == [32773] and 317 not in tags
+        np.testing.assert_array_equal(tiff.decode_tiff(d), a)
+    g16 = a.astype(np.uint16) * 257
+    np.testing.assert_array_equal(
+        tiff.decode_tiff(tiff.encode_tiff(g16, compression="packbits")), g16)
+
+
+def test_packbits_with_predictor_tag_not_unpredicted():
+    """A legacy file carrying Predictor=2 alongside PackBits data (which
+    is NOT differenced — libtiff never applies the predictor there) must
+    decode unchanged: build one by patching a deflate+predictor2 file's
+    compression tag to 32773 and swapping in packbits literals of the
+    UN-differenced samples (advice r5)."""
+    a = synth.image_pixels(4, 90, 60, 0x21)
+    d = tiff.encode_tiff(a, compression="deflate", predictor=2, tiled=False,
+                         rows_per_strip=60)        # single strip, tag 317=2
+    tags, _ = tiff._read_ifd(d)
+    assert tags[317] == [2] and len(tags[273]) == 1
+    pb = tiff.packbits_encode(a.tobytes())         # NOT differenced
+    strip_off, strip_len = tags[273][0], tags[279][0]
+    assert strip_off + strip_len == len(d)         # strip is the file tail
+    d2 = d[:strip_off] + pb
+    d2 = _patch_tag(d2, 259, 3, 1, struct.pack("<H", 8),
+                    struct.pack("<H", 32773))
+    d2 = _patch_tag(d2, 279, 4, 1, struct.pack("<I", strip_len),
+                    struct.pack("<I", len(pb)))
+    np.testing.assert_array_equal(tiff.decode_tiff(d2), a)
+
+
+def test_bigtiff_offset_ceiling_guard(monkeypatch):
+    """Offsets past the classic-TIFF 32-bit ceiling must raise (not wrap):
+    exercised by shrinking the module ceiling so no 4 GiB allocation is
+    needed — the guard compares the REAL computed final offset."""
+    a = synth.image_pixels(2, 64, 64, 0x13)
+    monkeypatch.setattr(tiff, "_MAX_CLASSIC_OFFSET", 1024)
+    with pytest.raises(ValueError, match="BigTIFF"):
+        tiff.encode_tiff(a, compression="none", tiled=False)
+    monkeypatch.setattr(tiff, "_MAX_CLASSIC_OFFSET", 0xFFFFFFFF)
+    assert isinstance(tiff.encode_tiff(a), bytes)
+
+
+@pytest.mark.skipif(not __import__("geo_raster_spark.fastjpeg",
+                                   fromlist=["available"]).available(),
+                    reason="no JVM")
+def test_seam_tif_decode_routes_wide_samples_to_pure_decoder():
+    """32-bit unsigned TIFFs must NOT go through the JVM helper — its wire
+    format caps at 16-bit samples, so the high half would be silently
+    truncated (advice r5).  Build a u4 file by widening a u2 'none' strip
+    file (encoder intentionally doesn't write u4), then assert
+    decode_tif == decode_tiff with the full 32-bit range intact."""
+    from geo_raster_spark import fastjpeg
+    a16 = synth.image_pixels(6, 80, 50, 0x77).astype(np.uint16)
+    d = tiff.encode_tiff(a16, compression="none", tiled=False,
+                         rows_per_strip=50)        # single strip
+    tags, _ = tiff._read_ifd(d)
+    strip_off, strip_len = tags[273][0], tags[279][0]
+    assert strip_off + strip_len == len(d)
+    a32 = (a16.astype(np.uint32) * 65537 + 70000)  # exercises bits > 16
+    d2 = d[:strip_off] + a32.astype("<u4").tobytes()
+    d2 = _patch_tag(d2, 258, 3, 1, struct.pack("<H", 16),
+                    struct.pack("<H", 32))
+    d2 = _patch_tag(d2, 279, 4, 1, struct.pack("<I", strip_len),
+                    struct.pack("<I", strip_len * 2))
+    pure = tiff.decode_tiff(d2)
+    assert pure.dtype == np.uint32 and pure.max() > 0xFFFF
+    np.testing.assert_array_equal(pure, a32)
+    try:
+        out = fastjpeg.decode_tif(d2)
+        np.testing.assert_array_equal(out, a32)
+    finally:
+        fastjpeg.close()

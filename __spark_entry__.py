@@ -380,7 +380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_tile_assign": _q_g2_tile_assign,
         "j1_pip_rect": _q_j1_pip_rect,
         "j2_bbox_join": _q_j2_bbox_join,
-        "j6_knn": _q_j6_knn,
+        # j6_knn (the crossJoin oracle twin) rotated OUT in round 6 to free
+        # a cap slot for d6_dedup_corpus/d7_phash_pairs — J6 stays hash-
+        # covered by k1_knn_kring + i1_idw (the ENGINE k-ring plan); the
+        # twin keeps running in tests/test_driver_contract.py.
         "a9_value_counts": _q_a9_value_counts,
         "q1_pricing": _q_q1_pricing,
         "a15_regression": _q_a15_regression,
@@ -414,7 +417,6 @@ def oracle_sql() -> dict[str, str]:
         "g2_tile_assign": _SQL_G2,
         "j1_pip_rect": _SQL_J1,
         "j2_bbox_join": _SQL_J2,
-        "j6_knn": _SQL_J6,
         "a9_value_counts": _SQL_A9,
         "q1_pricing": _SQL_Q1,
         "a15_regression": _SQL_A15,

@@ -124,6 +124,76 @@ def main():
         z_op.zonal_partials(imgs1, zones1, nodata=-1.0)).count()
     sf1["full_zonal_sec"] = round(time.time() - t0, 3)
 
+    # dedup PIPELINE row (round-5 verdict #6): minhash_lsh -> connected
+    # components over a planted 20%-duplicate corpus — pair count,
+    # component count, and rounds-to-convergence guard against a
+    # quadratic-join or non-converging regression.
+    from geo_raster_spark.operators import components as cc_op
+    from geo_raster_spark.operators import dedup as dd_op
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    n_docs = docs.count()
+    tenth = max(n_docs // 10, 1)
+    near = (docs.orderBy("doc_id").limit(tenth)
+                .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                        F.concat("text", F.lit(" nearcopy")).alias("text")))
+    exact = (docs.orderBy(F.col("doc_id").desc()).limit(tenth)
+                 .select((F.col("doc_id") + 20_000_000).alias("doc_id"),
+                         "text"))
+    corpus = docs.unionByName(near).unionByName(exact)
+    dd: dict = {"n_docs": n_docs + 2 * tenth}
+    t0 = time.time()
+    pr = dd_op.minhash_lsh(corpus, jaccard_threshold=0.5) \
+        .select("id_a", "id_b")
+    dd["n_pairs"] = pr.count()
+    dd["pairs_sec"] = round(time.time() - t0, 3)
+    cstats: dict = {}
+    t0 = time.time()
+    comp = cc_op.connected_components(pr, stats=cstats)
+    dd["n_dup_nodes"] = comp.count()
+    dd["n_components"] = comp.select("root").distinct().count()
+    dd["components_sec"] = round(time.time() - t0, 3)
+    dd["cc_rounds"] = cstats.get("iterations")
+    t0 = time.time()
+    dd["n_survivors"] = cc_op.dedup_corpus(
+        corpus, pr, components=comp).count()
+    dd["survivor_sec"] = round(time.time() - t0, 3)
+    pr.unpersist()
+
+    # seam A/B rows (round-5 verdict #3): the decode-dominated JFIF
+    # tile_cut, pure-NumPy decoder vs GSR_FASTJPEG=1 (JVM ImageIO through
+    # the unchanged codec seam), one fresh process per variant (the env
+    # gate registers per Python worker at import), PSNR-gated in-run.
+    # Subprocess JVM startup is excluded — each row times the job only.
+    import subprocess
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "bench_native_tilecut.py")
+
+    def _seam_run(fast: bool) -> dict:
+        try:
+            r = subprocess.run(
+                [sys.executable, tool] + (["--fast"] if fast else []),
+                capture_output=True, text=True, timeout=600)
+            for ln in r.stdout.splitlines():
+                if ln.startswith("{"):
+                    return json.loads(ln)
+            return {"error": r.stderr[-300:], "fast": fast}
+        except Exception as exc:  # never let the seam rows sink the bench
+            return {"error": str(exc)[:300], "fast": fast}
+
+    seam_pure = _seam_run(False)
+    seam_fast = _seam_run(True)
+    native = {"tile_cut_jfif_sec": seam_pure.get("sec"),
+              "tile_cut_jfif_native_sec": seam_fast.get("sec"),
+              "n_images": seam_pure.get("n_images"),
+              "psnr_min_db": seam_fast.get("psnr_min_db"),
+              "rows_equal": seam_pure.get("rows") == seam_fast.get("rows")}
+    if seam_pure.get("sec") and seam_fast.get("sec"):
+        native["speedup"] = round(seam_pure["sec"] / seam_fast["sec"], 2)
+    for s in (seam_pure, seam_fast):
+        if "error" in s:
+            native.setdefault("errors", []).append(s["error"])
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline query wall time (flagship PIP+tile + operator suite)",
@@ -138,6 +208,8 @@ def main():
         "images_per_sec": round(N_IMAGES / flagship_sec, 1),
         "queries_extra": extras,
         "sf1_pixel_path": sf1,
+        "dedup_pipeline": dd,
+        "native_seam": native,
     }
     print(json.dumps(out))
 

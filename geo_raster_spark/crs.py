@@ -72,7 +72,115 @@ def _kruger_consts(a: float, f: float):
 _KRUGER = {
     "WGS84": _kruger_consts(_WGS84_A, _WGS84_F),
     "GRS80": _kruger_consts(6378137.0, 1.0 / 298.257222101),
+    "INTL": _kruger_consts(6378388.0, 1.0 / 297.0),        # Hayford/ED50
+    "AIRY": _kruger_consts(6377563.396, 1.0 / 299.3249646),  # OSGB36
 }
+
+# --- datums beyond WGS84/GRS80: 7-parameter Helmert (round-5 verdict #5) ---
+# (a, 1/f) per ellipsoid; position-vector (EPSG 9606) shift TO WGS84 as
+# (tx, ty, tz [m], rx, ry, rz [arcsec], s [ppm]).  GRS80/NAD83 stays a
+# zero shift (sub-metre from WGS84, same treatment as the reference's OSR
+# default pipeline).  Grid-shift datums (NAD27/NTv2) remain a loud raise.
+_ELLPS = {
+    "WGS84": (6378137.0, 1.0 / 298.257223563),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+    "INTL": (6378388.0, 1.0 / 297.0),
+    "AIRY": (6377563.396, 1.0 / 299.3249646),
+}
+_DATUMS = {
+    # ED50 -> WGS84: the PROJ-registry mean European shift (3-parameter;
+    # EPSG catalogs per-country refinements — same class, swap the vector)
+    "ED50": ("INTL", (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)),
+    # OSGB36 -> WGS84: Ordnance Survey's published single mean Helmert
+    # (OS "A guide to coordinate systems in Great Britain", ~5 m accuracy
+    # by construction — the datum's own realization noise, not ours)
+    "OSGB36": ("AIRY", (446.448, -125.157, 542.060,
+                        0.1502, 0.2470, 0.8421, -20.4894)),
+}
+
+
+def _geodetic_to_ecef(lon, lat, ellps: str):
+    """(deg, deg, h=0) on ellipsoid -> geocentric XYZ (metres)."""
+    a, f = _ELLPS[ellps]
+    e2 = f * (2.0 - f)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    nu = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+    X = nu * np.cos(phi) * np.cos(lam)
+    Y = nu * np.cos(phi) * np.sin(lam)
+    Z = nu * (1.0 - e2) * np.sin(phi)
+    return X, Y, Z
+
+
+def _ecef_to_geodetic(X, Y, Z, ellps: str):
+    """Geocentric XYZ -> (lon, lat) degrees (height discarded; the
+    fixed-point iteration converges to float64 in a handful of steps)."""
+    a, f = _ELLPS[ellps]
+    e2 = f * (2.0 - f)
+    p = np.hypot(X, Y)
+    lam = np.arctan2(Y, X)
+    phi = np.arctan2(Z, p * (1.0 - e2))
+    for _ in range(6):
+        nu = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+        h = p / np.cos(phi) - nu
+        phi = np.arctan2(Z, p * (1.0 - e2 * nu / (nu + h)))
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _helmert_matrix(params):
+    tx, ty, tz, rx, ry, rz, s = params
+    r = np.radians(np.array([rx, ry, rz]) / 3600.0)
+    m = (1.0 + s * 1e-6) * np.array([
+        [1.0, -r[2], r[1]],
+        [r[2], 1.0, -r[0]],
+        [-r[1], r[0], 1.0]])
+    return np.array([tx, ty, tz]), m
+
+
+def _datum_to_wgs84(lon, lat, datum: str):
+    ellps, params = _DATUMS[datum]
+    X, Y, Z = _geodetic_to_ecef(lon, lat, ellps)
+    t, m = _helmert_matrix(params)
+    out = m @ np.vstack([np.ravel(X), np.ravel(Y), np.ravel(Z)]) \
+        + t[:, None]
+    lon2, lat2 = _ecef_to_geodetic(out[0], out[1], out[2], "WGS84")
+    return lon2.reshape(np.shape(X)), lat2.reshape(np.shape(X))
+
+
+def _wgs84_to_datum(lon, lat, datum: str):
+    """Exact inverse: solve the linear system rather than negate the
+    small-angle parameters, so round-trips close to float precision."""
+    ellps, params = _DATUMS[datum]
+    X, Y, Z = _geodetic_to_ecef(lon, lat, "WGS84")
+    t, m = _helmert_matrix(params)
+    out = np.linalg.solve(
+        m, np.vstack([np.ravel(X), np.ravel(Y), np.ravel(Z)]) - t[:, None])
+    lon2, lat2 = _ecef_to_geodetic(out[0], out[1], out[2], ellps)
+    return lon2.reshape(np.shape(X)), lat2.reshape(np.shape(X))
+
+
+# EPSG:27700 British National Grid: general transverse Mercator on Airy
+# (lat0 49N, lon0 2W, k0, FE 400000, FN -100000), OSGB36 datum.
+_BNG = (-2.0, 49.0, 0.9996012717, 400000.0, -100000.0, "AIRY")
+
+
+def _parse_datum_crs(c: str):
+    """CRS ids living on a non-WGS84 datum -> (datum, kind, params):
+    EPSG:4230 (ED50 geographic), EPSG:23028-23038 (ED50 / UTM north —
+    the European catalog), EPSG:4277 (OSGB36 geographic), EPSG:27700
+    (British National Grid)."""
+    if c == "EPSG:4230":
+        return ("ED50", "geog", None)
+    if c == "EPSG:4277":
+        return ("OSGB36", "geog", None)
+    if c == "EPSG:27700":
+        return ("OSGB36", "tmerc", _BNG)
+    m = re.match(r"^EPSG:230(\d{2})$", c)
+    if m and 28 <= int(m.group(1)) <= 38:
+        zone = int(m.group(1))
+        return ("ED50", "tmerc",
+                (zone * 6 - 183, 0.0, _K0, 500000.0, 0.0, "INTL"))
+    return None
 
 # --- Lambert Conformal Conic (ellipsoidal, 2SP) — Snyder 1987 §15 ----------
 # EPSG:3978 (NAD83 / Canada Atlas Lambert); generic LCC:lat1,lat2,lat0,lon0.
@@ -342,6 +450,110 @@ def _utm_inverse(zone: int, north: bool, E, Nn, ellps: str = "WGS84"):
     return np.degrees(lam + lon0), np.degrees(phi)
 
 
+def _tmerc_base_northing(lat0: float, k0: float, ellps: str) -> float:
+    """k0-scaled Krüger meridian arc from the equator to lat0 (the
+    northing origin of a general transverse Mercator; 0 for UTM)."""
+    if lat0 == 0.0:
+        return 0.0
+    n_, a_bar, alpha, _b, _d = _KRUGER[ellps]
+    c = 2.0 * math.sqrt(n_) / (1.0 + n_)
+    phi0 = math.radians(lat0)
+    t0 = math.sinh(math.atanh(math.sin(phi0))
+                   - c * math.atanh(c * math.sin(phi0)))
+    xi0 = math.atan(t0)
+    y0 = xi0
+    for j, a in enumerate(alpha, start=1):
+        y0 += a * math.sin(2 * j * xi0)
+    return k0 * a_bar * y0
+
+
+def _tmerc_forward(params, lon, lat):
+    """General transverse Mercator (lon0, lat0, k0, FE, FN, ellps) —
+    the Krüger series shared with UTM, plus an origin-latitude offset.
+    Covers EPSG:27700 (British National Grid) and the ED50 UTM zones."""
+    lon0, lat0, k0, fe, fn, ellps = params
+    n_, a_bar, alpha, _beta, _delta = _KRUGER[ellps]
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) \
+        - math.radians(lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    c = 2.0 * math.sqrt(n_) / (1.0 + n_)
+    t = np.sinh(np.arctanh(np.sin(phi)) - c * np.arctanh(c * np.sin(phi)))
+    xi = np.arctan2(t, np.cos(lam))
+    eta = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    x, y = eta.copy(), xi.copy()
+    for j, a in enumerate(alpha, start=1):
+        x += a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        y += a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+    E = fe + k0 * a_bar * x
+    Nn = fn - _tmerc_base_northing(lat0, k0, ellps) + k0 * a_bar * y
+    return E, Nn
+
+
+def _tmerc_inverse(params, E, Nn):
+    lon0, lat0, k0, fe, fn, ellps = params
+    _n, a_bar, _alpha, beta, delta = _KRUGER[ellps]
+    xi = (np.asarray(Nn, dtype=np.float64) - fn
+          + _tmerc_base_northing(lat0, k0, ellps)) / (k0 * a_bar)
+    eta = (np.asarray(E, dtype=np.float64) - fe) / (k0 * a_bar)
+    xi_p, eta_p = xi.copy(), eta.copy()
+    for j, b in enumerate(beta, start=1):
+        xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
+    phi = chi.copy()
+    for j, d in enumerate(delta, start=1):
+        phi += d * np.sin(2 * j * chi)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+def _proj4_datum_crs(kv: dict, s: str) -> str:
+    """proj4 strings carrying a NONZERO ``+towgs84``: accepted when the
+    (ellipsoid, shift) pair matches a registered Helmert datum and the
+    projection is in the implemented set; anything else — including
+    grid-shift datums like NAD27 — raises loudly (round-5 verdict #5)."""
+    tow = [float(t) for t in str(kv["towgs84"]).split(",")]
+    ellps = str(kv.get("ellps", "")).upper()
+    datum = None
+    for name, (dellps, params) in _DATUMS.items():
+        p = list(params)
+        if len(tow) == 3:
+            ok = (all(abs(a - b) < 1e-9 for a, b in zip(tow, p[:3]))
+                  and all(v == 0.0 for v in p[3:]))
+        elif len(tow) == 7:
+            ok = all(abs(a - b) < 1e-9 for a, b in zip(tow, p))
+        else:
+            ok = False
+        if ok and ellps == dellps:
+            datum = name
+            break
+    if datum is None:
+        raise ValueError(
+            "proj4 +towgs84 does not match a registered Helmert datum "
+            "(ED50 on +ellps=intl, OSGB36 on +ellps=airy); grid-shift "
+            f"datums (NAD27/NTv2) are unsupported: {s}")
+    proj = kv.get("proj")
+    if datum == "ED50":
+        if proj in ("longlat", "latlong", "lonlat"):
+            return "EPSG:4230"
+        if proj == "utm" and not kv.get("south"):
+            zone = int(kv.get("zone", 0))
+            if 28 <= zone <= 38:
+                return f"EPSG:230{zone}"
+        raise ValueError(
+            f"ED50 is supported as longlat or UTM north zones 28-38: {s}")
+    if proj in ("longlat", "latlong", "lonlat"):
+        return "EPSG:4277"
+    if proj == "tmerc":
+        want = {"lat_0": 49.0, "lon_0": -2.0, "k": 0.9996012717,
+                "x_0": 400000.0, "y_0": -100000.0}
+        if all(abs(float(kv.get(k2, 0.0)) - v) < 1e-9
+               for k2, v in want.items()):
+            return "EPSG:27700"
+    raise ValueError(
+        f"OSGB36 is supported as longlat or the EPSG:27700 tmerc: {s}")
+
+
 def parse_proj4(s: str):
     """PROJ.4 string -> this registry's canonical CRS id, or None.
 
@@ -369,6 +581,13 @@ def parse_proj4(s: str):
     proj = kv.get("proj")
     if proj is None:
         return None
+
+    tow = kv.get("towgs84")
+    if tow not in (None, True) and any(float(t) != 0.0
+                                       for t in str(tow).split(",")):
+        # nonzero datum shift: resolve through the Helmert registry
+        # (raises loudly when the datum/projection isn't implemented)
+        return _proj4_datum_crs(kv, s)
 
     def num(k, default=0.0):
         return float(kv.get(k, default))
@@ -772,6 +991,14 @@ def _to_geog(crs, x, y):
         lon = np.degrees(x / R_MERC)
         lat = np.degrees(2.0 * np.arctan(np.exp(y / R_MERC)) - math.pi / 2)
         return lon, lat
+    dd = _parse_datum_crs(c)
+    if dd is not None:
+        datum, kind, params = dd
+        if kind == "geog":
+            dlon, dlat = x, y
+        else:
+            dlon, dlat = _tmerc_inverse(params, x, y)
+        return _datum_to_wgs84(dlon, dlat, datum)
     utm = parse_utm(c)
     if utm is not None:
         return _utm_inverse(utm[0], utm[1], x, y, utm[2])
@@ -803,6 +1030,13 @@ def _from_geog(crs, lon, lat):
         lat_c = np.clip(lat, -85.06, 85.06)
         y = R_MERC * np.log(np.tan(math.pi / 4 + np.radians(lat_c) / 2))
         return x, y
+    dd = _parse_datum_crs(c)
+    if dd is not None:
+        datum, kind, params = dd
+        dlon, dlat = _wgs84_to_datum(lon, lat, datum)
+        if kind == "geog":
+            return dlon, dlat
+        return _tmerc_forward(params, dlon, dlat)
     utm = parse_utm(c)
     if utm is not None:
         return _utm_forward(utm[0], utm[1], lon, lat, utm[2])

@@ -1,0 +1,166 @@
+"""Distributed connected components + duplicate-corpus survivor selection.
+
+The dedup end-game (round-5 verdict #1): every pair generator in this
+package (``minhash_lsh``, ``simhash_pairs``, ``phash_pairs``,
+``embedding_dup_pairs``, ``exact_dedup``) stops at PAIRS; turning pairs
+into "the deduplicated table" needs the transitive closure — A~B and B~C
+must collapse to ONE survivor even though A and C never paired directly.
+
+``connected_components`` implements the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC 2014 — public literature): each iteration is two
+groupBy/join rounds over the edge list, converging in O(log n) iterations
+REGARDLESS of component diameter (plain min-label propagation needs
+O(diameter) rounds — a pathological near-dup chain at 100 TB could be
+millions long).  At the fixpoint every component is a star whose center
+is its minimum node id.
+
+Scale shape per iteration: two shuffles on node id (well-distributed —
+these are doc/image ids, and AQE splits any residual skew), edge count
+never exceeds the input edge count after the first canonicalization, and
+each iteration's result is eagerly localCheckpoint-ed so both the data
+AND the logical plan stay O(1) deep (an iterated self-join otherwise
+doubles its plan every round).  Convergence is detected by an aggregate
+signature (count + bit_xor of edge hashes) confirmed by one exact
+``subtract`` check when the signature first repeats.
+
+No SQL oracle can express the iteration, but the driver query d6 writes
+the PAIR artifact and DuckDB re-derives the same components with a
+recursive CTE — transitive closure IS ANSI-SQL-expressible at test scale.
+
+[ref: the reference repo has no dedup analogue — this is part of the
+LLM-training-data pipeline surface the build brief adds on top.]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Undirected edge set -> canonical (u > v), self-loops dropped."""
+    return (e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .distinct())
+
+
+def _sig(e: DataFrame):
+    """Cheap order-insensitive edge-set signature: (count, xor of hashes).
+    Exactness is NOT assumed — a matching signature only triggers the one
+    exact subtract check in the loop below."""
+    row = e.select(F.count("*").alias("n"),
+                   F.expr("bit_xor(xxhash64(u, v))").alias("x")).collect()[0]
+    return (row["n"], row["x"])
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 50,
+                         stats: dict | None = None) -> DataFrame:
+    """Pair graph -> (node, root) for every node that appears in a pair;
+    ``root`` is the component's minimum node id.  Nodes in no pair are
+    absent (they are their own singleton component by definition —
+    ``dedup_corpus`` keeps them via the anti-join).
+
+    Works over long OR string ids (only ``<`` ordering is used).  Pass a
+    dict as ``stats`` to receive ``iterations`` (star rounds to
+    convergence) and ``edges`` (input edge count after canonicalization)
+    — the bench's rounds-to-convergence evidence."""
+    e = _canon(pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")))
+    # localCheckpoint (NOT just persist): each iteration self-joins the
+    # previous result, so without truncation the LOGICAL PLAN doubles per
+    # round — analysis/optimization time explodes long before the data
+    # does.  Checkpointing materializes the blocks AND cuts the lineage,
+    # keeping every iteration's plan O(1) deep.  (On a real cluster with
+    # executor loss concerns, set a reliable checkpoint dir; the shape is
+    # identical.)
+    e = e.localCheckpoint(eager=True)
+    if e.limit(1).count() == 0:
+        schema_src = pairs.select(F.col(id_a).alias("node"),
+                                  F.col(id_a).alias("root"))
+        return schema_src.limit(0)
+
+    prev, prev_sig = e, _sig(e)
+    if stats is not None:
+        stats["edges"] = prev_sig[0]
+    for it in range(max_iter):
+        # -- large-star: for each u over the UNDIRECTED neighborhood,
+        #    m = min(N(u) + {u}); emit (v, m) for the LARGER neighbors only
+        nbrs = prev.unionByName(
+            prev.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+                    .select("u", F.least("mv", "u").alias("m")))
+        ls = _canon(nbrs.join(mins, "u")
+                        .where(F.col("v") > F.col("u"))
+                        .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        # -- small-star: edges already canonical (u > v); for each u,
+        #    m = min of its smaller neighbors; rewire them all (and u) to m
+        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        j = ls.join(smins, "u")
+        ss = _canon(j.select(F.col("u"), F.col("m").alias("v"))
+                     .unionByName(
+                         j.where(F.col("v") != F.col("m"))
+                          .select(F.col("v").alias("u"),
+                                  F.col("m").alias("v"))))
+        cur = ss.localCheckpoint(eager=True)
+        cur_sig = _sig(cur)
+        if cur_sig == prev_sig and \
+                cur.subtract(prev).limit(1).count() == 0:
+            prev = cur
+            if stats is not None:
+                stats["iterations"] = it + 1
+            break
+        prev, prev_sig = cur, cur_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large/small-star iterations (O(log n) expected — this "
+            "indicates a bug, not a data property)")
+
+    # fixpoint: every edge is (member, component-min); roots map to
+    # themselves.  A root never appears on the u side of a star.
+    comp = prev.select(F.col("u").alias("node"), F.col("v").alias("root"))
+    roots = (prev.select(F.col("v").alias("node")).distinct()
+                 .withColumn("root", F.col("node")))
+    return comp.unionByName(roots)
+
+
+def component_stats(comp: DataFrame) -> DataFrame:
+    """(root, n_members) per duplicate cluster — monitoring surface."""
+    return comp.groupBy("root").agg(F.count("*").alias("n_members"))
+
+
+def dedup_corpus(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 keep: str = "min_id", order_col: str | None = None,
+                 components: DataFrame | None = None) -> DataFrame:
+    """The deduplicated table: one survivor per duplicate component, all
+    unpaired rows kept.  Composition: ``minhash_lsh`` (or any pair
+    generator) -> ``connected_components`` -> survivor anti-join.
+
+    ``keep='min_id'``: survivor = component root (no extra join).
+    ``keep='max_order'``: survivor = the member maximizing ``order_col``
+    (e.g. a length or quality score), ties broken by min id — one extra
+    broadcast-sized join of the component mapping to the doc attributes.
+
+    Pass a precomputed ``components`` mapping to amortize one closure
+    across several survivor policies."""
+    comp = components if components is not None \
+        else connected_components(pairs)
+    if keep == "min_id":
+        losers = (comp.where(F.col("node") != F.col("root"))
+                      .select(F.col("node").alias(id_col)))
+    elif keep == "max_order":
+        if not order_col:
+            raise ValueError("keep='max_order' requires order_col=")
+        attrs = docs.select(F.col(id_col).alias("node"), order_col)
+        w = Window.partitionBy("root").orderBy(
+            F.col(order_col).desc(), F.col("node").asc())
+        losers = (comp.join(attrs, "node")
+                      .withColumn("_rk", F.row_number().over(w))
+                      .where(F.col("_rk") > 1)
+                      .select(F.col("node").alias(id_col)))
+    else:
+        raise ValueError(f"keep must be 'min_id' or 'max_order', got "
+                         f"{keep!r}")
+    return docs.join(losers, id_col, "left_anti")

@@ -435,6 +435,24 @@ def simhash_pairs_from_sig(sig: DataFrame, max_hamming: int = 3,
     return out
 
 
+def phash_pairs(images: DataFrame, id_col: str = "image_id",
+                phash_col: str = "phash", max_hamming: int = 3,
+                max_bucket: int = 200) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance:
+    (id_a < id_b, hamming <= max_hamming) over the input table's
+    ``phash:int64`` column (the BASELINE.json ``input_hint`` carries it
+    for exactly this).  Identical machinery to ``simhash_pairs_from_sig``
+    — the 64-bit pigeonhole guarantee is hash-agnostic: any pair within
+    ``max_hamming`` flipped bits matches exactly on one of the
+    ``max_hamming + 1`` blocks, so candidates form only inside
+    (block_id, block_value) buckets, verified by a JVM ``bit_count(xor)``.
+    Works for long OR string ids (only ``<`` ordering is used).  Feed the
+    result into ``components.dedup_corpus`` for the survivor table."""
+    sig = images.select(F.col(id_col).alias("_id"),
+                        F.col(phash_col).cast("long").alias("simhash"))
+    return simhash_pairs_from_sig(sig, max_hamming, max_bucket)
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 5) -> DataFrame:

@@ -167,6 +167,8 @@ def build_lsh_index(emb: DataFrame, dim: int, path: str,
     spark.createDataFrame(pd.DataFrame({
         "dim": [dim], "n_planes": [n_planes], "seed": [seed],
         "center": [mu.tolist()],
+        # build-time drift baseline for append_to_index
+        "mean_dist": [_mean_center_dist(emb, mu, vec_col)],
     })).write.mode("overwrite").parquet(f"{path}/stats")
     return mu
 
@@ -269,7 +271,86 @@ def build_ivf_index(emb: DataFrame, dim: int, path: str,
         "centroid_id": range(len(C)),
         "vec": [c.tolist() for c in C],
     })).write.mode("overwrite").parquet(f"{path}/centroids")
+    # build-time drift baseline for append_to_index
+    spark.createDataFrame(pd.DataFrame({
+        "mean_dist": [_mean_ivf_dist(emb, C, vec_col)],
+    })).write.mode("overwrite").parquet(f"{path}/stats")
     return C
+
+
+def _mean_center_dist(df: DataFrame, center: np.ndarray,
+                      vec_col: str) -> float:
+    """Mean L2 distance of rows to a fixed vector (one JVM aggregate)."""
+    v = F.col(vec_col).cast("array<double>")
+    d = F.sqrt(F.aggregate(
+        F.zip_with(v, probe_literal(center), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    row = df.select(F.avg(d).alias("m")).collect()[0]
+    return float(row["m"]) if row["m"] is not None else 0.0
+
+
+def _mean_ivf_dist(df: DataFrame, centroids: np.ndarray,
+                   vec_col: str) -> float:
+    """Mean L2 distance of rows to their NEAREST centroid (the IVF
+    quantization error — the canonical index-drift statistic)."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = [
+        F.aggregate(F.zip_with(v, probe_literal(c),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+        for c in centroids]
+    row = df.select(
+        F.avg(F.sqrt(F.array_min(F.array(*dists)))).alias("m")).collect()[0]
+    return float(row["m"]) if row["m"] is not None else 0.0
+
+
+def append_to_index(spark, path: str, new_emb: DataFrame, kind: str,
+                    vec_col: str = "embedding") -> dict:
+    """Incremental index maintenance (round-5 verdict #4): assign NEW rows
+    with the index's EXISTING quantizer (stored centroids / planes+center
+    — no refit, no touch of the resident data) and append them to the
+    partitioned assignments layout; queries pick them up on their next
+    partition-pruned read with zero rebuild.
+
+    Returns the drift report: mean quantization distance of the appended
+    batch vs the build-time value from the stats sidecar.  A
+    ``drift_ratio`` creeping above ~1.5 is the standard re-train signal —
+    the quantizer no longer represents the incoming distribution (probe
+    recall decays silently otherwise).  The append itself stays correct
+    at any drift: assignments use the same quantizer queries use."""
+    if kind == "ivf":
+        C = load_ivf_centroids(spark, path)
+        assigned = with_ivf_bucket(new_emb, C, vec_col)
+        assigned.write.mode("append").partitionBy("ivf") \
+            .parquet(f"{path}/assignments")
+        new_dist = _mean_ivf_dist(new_emb, C, vec_col)
+    elif kind == "lsh":
+        stats = spark.read.parquet(f"{path}/stats").collect()[0]
+        mu = np.asarray(stats["center"], dtype=np.float64)
+        assigned = with_lsh_bucket(new_emb, int(stats["dim"]),
+                                   int(stats["n_planes"]),
+                                   int(stats["seed"]), vec_col, center=mu)
+        assigned.write.mode("append").partitionBy("bucket") \
+            .parquet(f"{path}/assignments")
+        new_dist = _mean_center_dist(new_emb, mu, vec_col)
+    else:
+        raise ValueError(f"kind must be 'ivf' or 'lsh', got {kind!r}")
+
+    build_dist = None
+    try:
+        srow = spark.read.parquet(f"{path}/stats").collect()[0]
+        if "mean_dist" in srow.__fields__:
+            build_dist = float(srow["mean_dist"])
+    except Exception:
+        pass  # pre-round-6 index without the drift sidecar field
+    n = new_emb.count()
+    out = {"kind": kind, "n_appended": n,
+           "mean_dist_new": round(new_dist, 6),
+           "mean_dist_build": (round(build_dist, 6)
+                               if build_dist is not None else None)}
+    if build_dist:
+        out["drift_ratio"] = round(new_dist / build_dist, 4)
+    return out
 
 
 def load_ivf_centroids(spark, path: str) -> np.ndarray:

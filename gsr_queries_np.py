@@ -525,6 +525,68 @@ def q_d5_simhash_pairs(spark, sf_dir):
         sig.withColumnRenamed("doc_id", "_id"), max_hamming=6)
 
 
+def q_d6_dedup_corpus(spark, sf_dir):
+    """Corpus dedup END-GAME: pairs -> distributed connected components
+    (alternating large-star/small-star) -> min-id survivor anti-join.
+
+    Plants a 3-link near-dup CHAIN per seed (A -> A+10M -> A+20M, one
+    token appended each step) so TRANSITIVITY is exercised: both copies
+    must collapse into A even when the chain ends never pair directly —
+    the semantics pair lists alone cannot express.
+
+    ORACLE-CHECKED via the aux artifact: Spark writes the candidate PAIRS
+    (minhash_lsh output); the DuckDB oracle re-derives the transitive
+    closure with a recursive CTE and the same min-id survivor rule over
+    the same planted corpus.  The result is invariant to WHICH candidate
+    pairs LSH emitted (both engines consume the identical artifact)."""
+    from geo_raster_spark.operators import components as cc
+    from geo_raster_spark.operators import dedup
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = d.orderBy("doc_id").limit(5)
+    b = seeds.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                     F.concat("text", F.lit(" nearcopy")).alias("text"))
+    c = b.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                 F.concat("text", F.lit(" again")).alias("text"))
+    corpus = d.unionByName(b).unionByName(c)
+    pairs = dedup.minhash_lsh(corpus, jaccard_threshold=0.5) \
+        .select("id_a", "id_b")
+    if _aux_enabled():
+        path = f"{AUX_DIR}/d6_pairs"
+        pairs.write.mode("overwrite").parquet(path)
+        pairs = spark.read.parquet(path)
+    kept = cc.dedup_corpus(corpus, pairs, id_col="doc_id", keep="min_id")
+    return kept.select("doc_id", F.length("text").alias("text_len"))
+
+
+def q_d7_phash_pairs(spark, sf_dir):
+    """Image near-dup pairs over the input_hint's ``phash:int64`` column
+    (pigeonhole Hamming buckets — the simhash machinery, hash-agnostic).
+
+    Plants 5 near-dups (3 flipped bits, image_id + '_dup') so a working
+    operator returns >= 5 rows with exact hamming values; random
+    splitmix64 phashes land within hamming<=3 with probability ~2^-48
+    per pair, so the planted pairs dominate.
+
+    ORACLE-CHECKED via the aux artifact: Spark writes (image_id, phash);
+    the DuckDB oracle re-runs block split + hot-bucket exclusion + pair
+    join + bit_count(xor) verify from it."""
+    from geo_raster_spark import synth
+    from geo_raster_spark.operators import dedup
+    imgs = synth.images_df(spark, 400, 8, with_bytes=False) \
+        .select("image_id", "phash")
+    planted = (imgs.orderBy("image_id").limit(5)
+                   .select(F.concat("image_id", F.lit("_dup"))
+                            .alias("image_id"),
+                           F.col("phash").bitwiseXOR(F.lit(73))
+                            .alias("phash")))   # 73 = 0b1001001: 3 bits
+    both = imgs.unionByName(planted)
+    if _aux_enabled():
+        path = f"{AUX_DIR}/d7_phash"
+        both.write.mode("overwrite").parquet(path)
+        both = spark.read.parquet(path)
+    return dedup.phash_pairs(both, max_hamming=3)
+
+
 def q_d4_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard on LSH candidate pairs.
 
@@ -974,6 +1036,70 @@ WHERE bit_count(xor(ba.simhash, bb.simhash)) <= {max_hamming}
 """
 
 
+SQL_D6 = f"""
+WITH RECURSIVE
+seeds AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 5),
+planted AS (
+  SELECT doc_id + 10000000 AS doc_id, text || ' nearcopy' AS text FROM seeds
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text || ' nearcopy again' AS text
+  FROM seeds
+),
+corpus AS (
+  SELECT doc_id, text FROM documents UNION ALL SELECT * FROM planted
+),
+pairs AS (
+  SELECT id_a, id_b FROM read_parquet('{AUX_DIR}/d6_pairs/*.parquet')
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+roots AS (SELECT node, MIN(r) AS root FROM reach GROUP BY node),
+losers AS (SELECT node AS doc_id FROM roots WHERE node <> root)
+SELECT c.doc_id, CAST(LENGTH(c.text) AS INT) AS text_len
+FROM corpus c ANTI JOIN losers l USING (doc_id)
+"""
+
+
+def _sql_d7(max_hamming=3, max_bucket=200):
+    """Pigeonhole pair join re-expressed in SQL over the (image_id, phash)
+    artifact — the _sql_d5 pattern with string ids (same block math; the
+    >> / & extraction is sign-fill-proof because the mask keeps only bits
+    below the block width)."""
+    from geo_raster_spark.operators.dedup import simhash_blocks
+    widths, offs = simhash_blocks(max_hamming)
+    blocks = "\n  UNION ALL ".join(
+        f"SELECT _id, simhash, {b} AS block_id, "
+        f"(simhash >> {offs[b]}) & {(1 << widths[b]) - 1} AS block_val FROM s"
+        for b in range(len(widths)))
+    return f"""
+WITH s AS (
+  SELECT image_id AS _id, phash AS simhash
+  FROM read_parquet('{AUX_DIR}/d7_phash/*.parquet')
+), b AS (
+  {blocks}
+), hot AS (
+  SELECT block_id, block_val FROM b GROUP BY 1, 2 HAVING COUNT(*) > {max_bucket}
+), bf AS (
+  SELECT b.* FROM b ANTI JOIN hot USING (block_id, block_val)
+)
+SELECT DISTINCT ba._id AS id_a, bb._id AS id_b,
+       CAST(bit_count(xor(ba.simhash, bb.simhash)) AS INT) AS hamming
+FROM bf ba JOIN bf bb
+  ON ba.block_id = bb.block_id AND ba.block_val = bb.block_val
+ AND ba._id < bb._id
+WHERE bit_count(xor(ba.simhash, bb.simhash)) <= {max_hamming}
+"""
+
+
 _SQL_SHINGLES = ("list_distinct(list_transform("
                  "range(1, greatest(length(lower(text)) - 4, 1) + 1), "
                  "i -> substr(lower(text), CAST(i AS INT), 5)))")
@@ -1327,7 +1453,8 @@ ORACLES = {
                                  f"{AUX_DIR}/e4_probe/*.parquet", "ivf"),
     "k1_knn_kring": SQL_K1,
     "i1_idw": SQL_I1,
-    "d3_simhash": SQL_D3,
+    "d6_dedup_corpus": SQL_D6,
+    "d7_phash_pairs": _sql_d7(),
     "d4_ngram_jaccard": SQL_D4,
     "d5_simhash_pairs": _sql_d5(),
     "e3_embedding_dups": SQL_E3,
@@ -1354,7 +1481,8 @@ QUERIES = {
     "k1_knn_kring": q_k1_knn_kring,
     "i1_idw": q_i1_idw,
     "d2_minhash": q_d2_minhash,
-    "d3_simhash": q_d3_simhash,
+    "d6_dedup_corpus": q_d6_dedup_corpus,
+    "d7_phash_pairs": q_d7_phash_pairs,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
     "d5_simhash_pairs": q_d5_simhash_pairs,
     "m1_image_features": q_m1_image_features,

@@ -1,0 +1,156 @@
+"""Connected components + survivor selection (the dedup end-game) and
+phash image near-dup pairs — round-5 verdict items #1/#2."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geo_raster_spark.operators import components as cc
+from geo_raster_spark.operators import dedup
+
+
+def _union_find(pairs):
+    """Test-side oracle: classic union-find over the same pair list."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc_dict(spark, pairs):
+    pdf = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    df = spark.createDataFrame(pdf)
+    out = cc.connected_components(df)
+    got = {r["node"]: r["root"] for r in out.collect()}
+    out.unpersist()
+    return got
+
+
+def test_components_planted_chain(spark):
+    """A~B~C collapses to one component rooted at A even though A,C never
+    pair directly — the exact transitivity pairs alone cannot express."""
+    got = _cc_dict(spark, [(10, 20), (20, 30)])
+    assert got == {10: 10, 20: 10, 30: 10}
+
+
+def test_components_random_graph_vs_union_find(spark):
+    """200-node random sparse graph (chains, cliques, singleton edges,
+    components merging late) matches a union-find oracle exactly."""
+    rng = np.random.default_rng(42)
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 200, (150, 2))
+             if a != b]
+    # a long chain forces many hops (diameter >> log n)
+    pairs += [(1000 + i, 1000 + i + 1) for i in range(40)]
+    want = _union_find(pairs)
+    got = _cc_dict(spark, pairs)
+    assert got == want
+
+
+def test_components_string_ids_and_empty(spark):
+    got = _cc_dict(spark, [("img_b", "img_a"), ("img_b", "img_c"),
+                           ("img_x", "img_y")])
+    assert got == {"img_a": "img_a", "img_b": "img_a", "img_c": "img_a",
+                   "img_x": "img_x", "img_y": "img_x"}
+    empty = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [2]})) \
+                 .where(F.lit(False))
+    assert cc.connected_components(empty).count() == 0
+
+
+def test_dedup_corpus_min_id_and_max_order(spark):
+    """Survivor policies: min_id keeps the root; max_order keeps the
+    longest text (ties -> min id); unpaired docs always survive."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["aa", "aaaa", "aaa", "zz", "yy", "xxxx"],
+    }))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": [1, 2, 4], "id_b": [2, 3, 5]}))  # {1,2,3}, {4,5}; 6 alone
+    comp = cc.connected_components(pairs)
+
+    kept_min = sorted(r["doc_id"] for r in
+                      cc.dedup_corpus(docs, pairs, components=comp)
+                        .collect())
+    assert kept_min == [1, 4, 6]
+
+    # max_order over an explicit length column
+    docs_len = docs.withColumn("text_len", F.length("text"))
+    kept_long = sorted(r["doc_id"] for r in
+                       cc.dedup_corpus(docs_len, pairs, keep="max_order",
+                                       order_col="text_len",
+                                       components=comp).collect())
+    assert kept_long == [2, 4, 6]  # 2 longest in {1,2,3}; tie {4,5} -> 4
+    comp.unpersist()
+
+    with pytest.raises(ValueError, match="order_col"):
+        cc.dedup_corpus(docs, pairs, keep="max_order")
+    with pytest.raises(ValueError, match="keep"):
+        cc.dedup_corpus(docs, pairs, keep="first")
+
+
+def test_minhash_to_corpus_pipeline(spark, sf_dir):
+    """End-to-end: planted near-dup CHAIN through minhash_lsh ->
+    components -> survivor anti-join.  The chain A->B->C (each step one
+    token appended) must collapse to A regardless of whether A~C also
+    paired directly."""
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .select("doc_id", "text"))
+    base = d.orderBy("doc_id").limit(3)
+    b = base.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                    F.concat("text", F.lit(" nearcopy")).alias("text"))
+    c = b.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                 F.concat("text", F.lit(" again")).alias("text"))
+    both = d.unionByName(b).unionByName(c)
+    pairs = dedup.minhash_lsh(both, jaccard_threshold=0.5)
+    kept = cc.dedup_corpus(both, pairs.select("id_a", "id_b"))
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    planted_b = {r["doc_id"] + 10_000_000 for r in base.collect()}
+    planted_c = {i + 10_000_000 for i in planted_b}
+    # every planted copy collapsed into its original
+    assert not (kept_ids & (planted_b | planted_c))
+    assert {r["doc_id"] for r in base.collect()} <= kept_ids
+    pairs.unpersist()
+
+
+def test_phash_pairs_planted_near_dups(spark):
+    """phash Hamming near-dups: planted copies within <= k flipped bits
+    are found (100% recall via pigeonhole blocks), a 20-bit-away pair is
+    not, and hamming values are exact."""
+    from geo_raster_spark import synth
+    imgs = synth.images_df(spark, 60, 4, with_bytes=False) \
+        .select("image_id", "phash")
+    pdf = imgs.toPandas()
+    seeds = pdf.iloc[:5]
+    rows = []
+    for j, (_, r) in enumerate(seeds.iterrows()):
+        flips = [1 << (7 * j + k) for k in range(j % 3 + 1)]  # 1..3 bits
+        ph = np.int64(r["phash"])
+        for fbit in flips:
+            ph = np.int64(np.uint64(ph) ^ np.uint64(fbit))
+        rows.append({"image_id": r["image_id"] + "_dup", "phash": ph})
+    # a far-away decoy: 20 bits flipped from seed 0
+    far = np.uint64(np.int64(seeds.iloc[0]["phash"]))
+    for k in range(20):
+        far ^= np.uint64(1) << np.uint64(3 * k)
+    rows.append({"image_id": seeds.iloc[0]["image_id"] + "_far",
+                 "phash": np.int64(far)})
+    allimgs = spark.createDataFrame(
+        pd.concat([pdf, pd.DataFrame(rows)], ignore_index=True))
+
+    got = dedup.phash_pairs(allimgs, max_hamming=3)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in got.collect()}
+    got.unpersist()
+    for j, (_, r) in enumerate(seeds.iterrows()):
+        key = tuple(sorted([r["image_id"], r["image_id"] + "_dup"]))
+        assert key in found and found[key] == j % 3 + 1
+    assert not any("_far" in a or "_far" in b for a, b in found)

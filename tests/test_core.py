@@ -1,5 +1,7 @@
 """Core module tests: grid math, CRS, geometry, DGGS, codecs, synth."""
 
+import math
+
 import numpy as np
 import pytest
 
@@ -1147,3 +1149,123 @@ def test_jfif_encoder_cross_validated_by_jdk_imageio():
             assert codecs.psnr(np.squeeze(ours), np.squeeze(theirs)) >= x_min
     finally:
         fastjpeg.close()
+
+
+# --- Helmert (towgs84) datums: ED50 + OSGB36 (round-5 verdict #5) ----------
+
+def test_bng_projection_matches_os_published_vector():
+    """EPSG:27700 projection math against the Ordnance Survey's published
+    worked example (OS 'A guide to coordinate systems in Great Britain',
+    Annex C): OSGB36 lat 52deg39'27.2531\"N, lon 1deg43'4.5177\"E ->
+    E 651409.903, N 313177.270.  This is a DATUM-INTERNAL vector (no
+    Helmert involved) — it pins the general transverse Mercator
+    (lat0/k0/FE/FN on Airy 1830) to an oracle this repo did not write."""
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    E, N = crs._tmerc_forward(crs._BNG, np.array([lon]), np.array([lat]))
+    np.testing.assert_allclose(E[0], 651409.903, atol=2e-3)
+    np.testing.assert_allclose(N[0], 313177.270, atol=2e-3)
+    lo, la = crs._tmerc_inverse(crs._BNG, np.array([651409.903]),
+                                np.array([313177.270]))
+    np.testing.assert_allclose(lo[0], lon, atol=1e-8)
+    np.testing.assert_allclose(la[0], lat, atol=1e-8)
+
+
+def test_helmert_datum_roundtrips_and_magnitudes():
+    """WGS84 <-> ED50/OSGB36 round-trips close to float precision (the
+    inverse SOLVES the 3x3 system instead of negating small-angle
+    params), and the ground displacement lands in each datum's known
+    window (~100-250 m for ED50 in Europe, ~50-130 m for OSGB36)."""
+    lon = np.linspace(-5.0, 10.0, 7)
+    lat = np.linspace(40.0, 55.0, 7)
+    for c in ("EPSG:4230", "EPSG:4277"):
+        X, Y = crs.transform("EPSG:4326", c, lon, lat)
+        lo, la = crs.transform(c, "EPSG:4326", X, Y)
+        # 1e-7 deg ~ 1 cm: the round-trip discards ellipsoidal height
+        # (points re-enter at h=0 on the other ellipsoid), a mm-level
+        # effect by construction, not an inversion error
+        np.testing.assert_allclose(lo, lon, atol=1e-7)
+        np.testing.assert_allclose(la, lat, atol=1e-7)
+    m_per_deg = 111_320.0
+    dlon, dlat = crs.transform("EPSG:4326", "EPSG:4230",
+                               np.array([5.0]), np.array([47.0]))
+    disp = math.hypot((dlon[0] - 5.0) * m_per_deg * math.cos(math.radians(47)),
+                      (dlat[0] - 47.0) * m_per_deg)
+    assert 80.0 < disp < 300.0, disp
+    glon, glat = crs.transform("EPSG:4326", "EPSG:4277",
+                               np.array([-1.0]), np.array([52.0]))
+    gdisp = math.hypot((glon[0] + 1.0) * m_per_deg * math.cos(math.radians(52)),
+                       (glat[0] - 52.0) * m_per_deg)
+    assert 40.0 < gdisp < 200.0, gdisp
+
+
+def test_helmert_matches_independent_scalar_formula():
+    """The vectorized ECEF+Helmert path vs an independent scalar
+    position-vector implementation written here from the EPSG 9606
+    definition (different code shape: per-point trig, explicit matrix)."""
+    a_airy, inv_f = 6377563.396, 299.3249646
+    f = 1.0 / inv_f
+    e2 = f * (2 - f)
+    tx, ty, tz, rx, ry, rz, s = (446.448, -125.157, 542.060,
+                                 0.1502, 0.2470, 0.8421, -20.4894)
+
+    def scalar_osgb36_to_wgs84(lon_d, lat_d):
+        phi, lam = math.radians(lat_d), math.radians(lon_d)
+        nu = a_airy / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        x = nu * math.cos(phi) * math.cos(lam)
+        y = nu * math.cos(phi) * math.sin(lam)
+        z = nu * (1 - e2) * math.sin(phi)
+        sc = 1 + s * 1e-6
+        rxr = math.radians(rx / 3600)
+        ryr = math.radians(ry / 3600)
+        rzr = math.radians(rz / 3600)
+        x2 = tx + sc * (x - rzr * y + ryr * z)
+        y2 = ty + sc * (rzr * x + y - rxr * z)
+        z2 = tz + sc * (-ryr * x + rxr * y + z)
+        # WGS84 inverse by iteration
+        aw, fw = 6378137.0, 1 / 298.257223563
+        ew2 = fw * (2 - fw)
+        p = math.hypot(x2, y2)
+        phi2 = math.atan2(z2, p * (1 - ew2))
+        for _ in range(10):
+            nu2 = aw / math.sqrt(1 - ew2 * math.sin(phi2) ** 2)
+            h = p / math.cos(phi2) - nu2
+            phi2 = math.atan2(z2, p * (1 - ew2 * nu2 / (nu2 + h)))
+        return math.degrees(math.atan2(y2, x2)), math.degrees(phi2)
+
+    for lon_d, lat_d in ((-1.5, 51.2), (0.3, 53.7), (-4.1, 55.9)):
+        want = scalar_osgb36_to_wgs84(lon_d, lat_d)
+        got = crs._datum_to_wgs84(np.array([lon_d]), np.array([lat_d]),
+                                  "OSGB36")
+        np.testing.assert_allclose([got[0][0], got[1][0]], want, atol=1e-10)
+
+
+def test_ed50_utm_zone_and_proj4_resolution():
+    """EPSG:23031 (ED50/UTM 31N): differs from WGS84 UTM 31N by the
+    datum-shift magnitude, round-trips exactly, and the proj4/raise
+    grammar covers the datum class (nonzero towgs84 accepted for the
+    registered datums, loud raise otherwise — NAD27 stays rejected)."""
+    lon, lat = np.array([3.0]), np.array([46.5])
+    E50, N50 = crs.transform("EPSG:4326", "EPSG:23031", lon, lat)
+    E84, N84 = crs.transform("EPSG:4326", "EPSG:32631", lon, lat)
+    d = math.hypot(E50[0] - E84[0], N50[0] - N84[0])
+    assert 80.0 < d < 300.0, d
+    lo, la = crs.transform("EPSG:23031", "EPSG:4326", E50, N50)
+    np.testing.assert_allclose(lo, lon, atol=1e-7)
+    np.testing.assert_allclose(la, lat, atol=1e-7)
+
+    assert crs.parse_proj4(
+        "+proj=longlat +ellps=intl +towgs84=-87,-98,-121") == "EPSG:4230"
+    assert crs.parse_proj4(
+        "+proj=utm +zone=31 +ellps=intl +towgs84=-87,-98,-121 +units=m"
+    ) == "EPSG:23031"
+    assert crs.parse_proj4(
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+        "+y_0=-100000 +ellps=airy "
+        "+towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894"
+    ) == "EPSG:27700"
+    with _pytest.raises(ValueError, match="registered Helmert datum"):
+        crs.parse_proj4("+proj=longlat +ellps=intl +towgs84=-1,-2,-3")
+    with _pytest.raises(ValueError,
+                        match="changes the transform|unsupported|unknown"):
+        crs.normalize_crs("+proj=utm +zone=11 +datum=NAD27")

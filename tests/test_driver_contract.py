@@ -45,3 +45,37 @@ def test_queries_survive_hostile_host_session(tmp_path):
     assert got["entry"] == 182
     assert got["w_sessionize"] == 15   # one row per user at sf0.001
     assert all(v > 0 for v in got.values()), got
+
+
+def test_rows_only_exemption_stays_pinned():
+    """Round-5 verdict #8: x3_parity is the ONLY query allowed to ship
+    without a DuckDB oracle (it IS the per-row invariant check).  Pin the
+    exemption list so no future round can quietly demote an oracle-backed
+    query back to rows-only."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as m
+    assert m._ROWS_ONLY_KEYS == ["x3_parity"]
+    qs, oracles = m.queries(), m.oracle_sql()
+    assert set(qs) - set(oracles) == {"x3_parity"}
+    assert len(qs) <= m._REGISTRY_MAX
+
+
+def test_retired_j6_crossjoin_twin_matches_kring(spark):
+    """j6_knn (the crossJoin oracle twin) rotated out of the registry in
+    round 6; keep its exact-equality link to the ENGINE k-ring plan alive
+    here so the twin can re-enter the registry any time."""
+    import __spark_entry__ as m
+    import gsr_queries_np
+    sf = "/root/testdata/sf0.001"
+    twin = m._q_j6_knn(spark, sf).orderBy("n_nationkey", "rank").collect()
+    assert len(twin) > 0 and all(r["rank"] <= 3 for r in twin)
+    # oracle SQL for the twin still parses and matches via DuckDB
+    import duckdb
+    con = duckdb.connect()
+    for t in ("customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(m._SQL_J6 + " ORDER BY n_nationkey, rank").fetchall()
+    got = [(r["n_nationkey"], r["rank"], r["c_custkey"], r["dist2"])
+           for r in twin]
+    assert got == [tuple(w) for w in want]

@@ -474,3 +474,56 @@ def test_shp_kml_write_roundtrip(tmp_path):
     np.testing.assert_allclose(got0, geometry.ring_close(rings[0]))
     cp = pms[2].find(".//k:coordinates", ns).text
     np.testing.assert_allclose([float(v) for v in cp.split(",")[:2]], pts[0])
+
+
+def test_append_to_index_incremental_ivf_and_lsh(spark, sf_dir, tmp_path):
+    """Round-5 verdict #4: build on HALF the table, append the rest with
+    the EXISTING quantizer (no refit) — indexed queries must then answer
+    identically to the non-indexed plan over the FULL table with the same
+    centroids/planes, an appended vector must be findable at rank 1, and
+    the drift stat must be ~1 for same-distribution appends."""
+    from geo_raster_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    first = emb.orderBy("vec_id").limit(n // 2)
+    rest = emb.join(first.select("vec_id"), "vec_id", "left_anti")
+    probe = [1.0 if i % 7 == 0 else 0.1 for i in range(64)]
+
+    # --- IVF ---
+    path = str(tmp_path / "ivf_inc")
+    C = similarity.build_ivf_index(first, 64, path, n_centroids=12)
+    rep = similarity.append_to_index(spark, path, rest, kind="ivf")
+    assert rep["n_appended"] == n - n // 2
+    assert rep["mean_dist_build"] is not None
+    assert 0.5 < rep["drift_ratio"] < 1.5  # same distribution -> ~1
+    got = similarity.ivf_topk_indexed(spark, path, probe, k=10, nprobe=4) \
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    want = similarity.ivf_topk(emb, probe, k=10, nprobe=4, centroids=C) \
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    np.testing.assert_allclose(got["cosine"], want["cosine"], atol=1e-8)
+    # an appended vector probes back at rank 1 (cosine 1 with itself)
+    rv = rest.orderBy("vec_id").limit(1).collect()[0]
+    hit = similarity.ivf_topk_indexed(spark, path,
+                                      [float(x) for x in rv["embedding"]],
+                                      k=1, nprobe=2).collect()[0]
+    assert hit["vec_id"] == rv["vec_id"] and hit["rank"] == 1
+
+    # --- sign-LSH ---
+    lpath = str(tmp_path / "lsh_inc")
+    mu = similarity.build_lsh_index(first, 64, lpath, n_planes=6)
+    lrep = similarity.append_to_index(spark, lpath, rest, kind="lsh")
+    assert lrep["n_appended"] == n - n // 2
+    assert 0.5 < lrep["drift_ratio"] < 1.5
+    lgot = similarity.lsh_topk_indexed(spark, lpath, probe, k=10,
+                                      multiprobe_bits=1) \
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    lwant = similarity.lsh_topk(emb, probe, k=10, n_planes=6,
+                                multiprobe_bits=1, center=mu) \
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    assert list(lgot["vec_id"]) == list(lwant["vec_id"])
+    np.testing.assert_allclose(lgot["cosine"], lwant["cosine"], atol=1e-8)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="kind"):
+        similarity.append_to_index(spark, path, rest, kind="flat")

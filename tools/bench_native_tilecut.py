@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Seam A/B rows for bench.py (round-5 verdict #3): time the
+decode-dominated JFIF tile_cut once with the pure-NumPy decoder and once
+with ``GSR_FASTJPEG=1`` (JVM ImageIO through the UNCHANGED codec seam).
+Each variant runs in its own process because the env gate registers per
+Python worker at import time.
+
+Usage: python tools/bench_native_tilecut.py [--fast]
+Prints ONE JSON line: {"sec": s, "rows": n, "fast": bool,
+                       "psnr_min_db": x | null}
+
+The corpus is the seam_decode_ab fixture (256 scenes x 1.44 Mpix real
+baseline JFIF, cached under /tmp) — the Landsat-shape workload where
+decode IS the wall.  If the cache is missing, a smaller 64-scene x
+0.36 Mpix corpus is built and cached so the row stays affordable.
+
+The parity gate is asserted IN-RUN for the fast variant: a payload
+sample decodes through BOTH decoders and must agree within >= 40 dB
+PSNR — a drifted native decoder aborts the row rather than report a
+fast-but-wrong number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+FAST = "--fast" in sys.argv
+if FAST:
+    os.environ["GSR_FASTJPEG"] = "1"
+os.environ["GSR_BENCH"] = "1"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+AB_CACHE = "/tmp/gsr_seam_ab/jpg_256_1200.parquet"
+SMALL_CACHE = "/tmp/gsr_seam_ab/jpg_64_600.parquet"
+
+
+def _fixture_pdf():
+    import pandas as pd
+
+    from geo_raster_spark import codecs, synth
+    if os.path.exists(AB_CACHE):
+        return pd.read_parquet(AB_CACHE)
+    if os.path.exists(SMALL_CACHE):
+        return pd.read_parquet(SMALL_CACHE)
+    n, px, cell = 64, 600, 0.0008
+    span = px * cell
+    rows = []
+    for i in range(n):
+        truth = synth.image_pixels(i, px, px, i * 2654435761 % 2**32)
+        minx = -170.0 + (i % 64) * 5.0 + 0.02
+        maxy = 60.0 - (i // 64) * 5.0 - 0.02
+        rows.append({
+            "image_id": f"scene{i:05d}", "bytes": codecs.encode(truth, "jpg"),
+            "fmt": "jpg", "w": px, "h": px,
+            "minx": minx, "miny": maxy - span,
+            "maxx": minx + span, "maxy": maxy,
+            "gt": [minx, cell, 0.0, maxy, 0.0, -cell],
+        })
+    pdf = pd.DataFrame(rows)
+    os.makedirs(os.path.dirname(SMALL_CACHE), exist_ok=True)
+    pdf.to_parquet(SMALL_CACHE)
+    return pdf
+
+
+def main():
+    from geo_raster_spark import codecs, fastjpeg, jpeg
+    from geo_raster_spark.operators import mosaic as mz
+    from geo_raster_spark.session import get_spark
+
+    if FAST and not fastjpeg.available():
+        print(json.dumps({"sec": None, "fast": True, "error": "no JVM"}))
+        return
+
+    pdf = _fixture_pdf()
+
+    psnr_min = None
+    if FAST:
+        psnr_min = float("inf")
+        try:
+            for data in pdf["bytes"].iloc[:2]:
+                p = codecs.psnr(jpeg.decode(bytes(data)),
+                                fastjpeg.decode(bytes(data)))
+                assert p >= 40.0, f"seam PSNR {p:.1f} dB < 40 — gate failed"
+                psnr_min = min(psnr_min, p)
+        finally:
+            fastjpeg.close()
+
+    spark = get_spark(app_name="gsr-bench-seam", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    imgs = spark.createDataFrame(pdf).repartition(CPUS)
+    # warm codegen/Arrow (and per-worker JVM helpers) on a slice
+    mz.tile_cut(imgs.limit(2 * CPUS), nodata=0.0).count()
+    t0 = time.time()
+    rows = mz.tile_cut(imgs, nodata=0.0).count()
+    sec = round(time.time() - t0, 3)
+    print(json.dumps({
+        "sec": sec, "rows": rows, "fast": FAST,
+        "n_images": len(pdf),
+        "psnr_min_db": round(psnr_min, 1) if psnr_min is not None else None,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

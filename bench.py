@@ -128,6 +128,8 @@ def main():
     # components over a planted 20%-duplicate corpus — pair count,
     # component count, and rounds-to-convergence guard against a
     # quadratic-join or non-converging regression.
+    from pyspark.sql import functions as F
+
     from geo_raster_spark.operators import components as cc_op
     from geo_raster_spark.operators import dedup as dd_op
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \

@@ -43,7 +43,13 @@ def _fixture_pdf():
 
     from geo_raster_spark import codecs, synth
     if os.path.exists(AB_CACHE):
-        return pd.read_parquet(AB_CACHE)
+        # a quarter of the A/B fixture: 64 x 1.44 Mpix keeps the row
+        # decode-dominated (~92 Mpix through the decoder) while holding
+        # the pure-NumPy variant near ~30 s so the whole bench stays
+        # inside the driver's budget; the speedup RATIO is what the row
+        # records, and it is size-independent here (per-image decode
+        # dominates both variants' numerators)
+        return pd.read_parquet(AB_CACHE).iloc[:64].reset_index(drop=True)
     if os.path.exists(SMALL_CACHE):
         return pd.read_parquet(SMALL_CACHE)
     n, px, cell = 64, 600, 0.0008
@@ -92,8 +98,9 @@ def main():
     spark = get_spark(app_name="gsr-bench-seam", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     imgs = spark.createDataFrame(pdf).repartition(CPUS)
-    # warm codegen/Arrow (and per-worker JVM helpers) on a slice
-    mz.tile_cut(imgs.limit(2 * CPUS), nodata=0.0).count()
+    # warm codegen/Arrow (and per-worker JVM helpers) on a SMALL slice —
+    # a big warm re-pays the pure decode wall before the measured run
+    mz.tile_cut(imgs.limit(8), nodata=0.0).count()
     t0 = time.time()
     rows = mz.tile_cut(imgs, nodata=0.0).count()
     sec = round(time.time() - t0, 3)

@@ -375,3 +375,23 @@ def test_seam_tif_decode_routes_wide_samples_to_pure_decoder():
         np.testing.assert_array_equal(out, a32)
     finally:
         fastjpeg.close()
+
+
+@pytest.mark.skipif(not __import__("geo_raster_spark.fastjpeg",
+                                   fromlist=["available"]).available(),
+                    reason="no JVM")
+def test_packbits_encode_cross_validated_by_jdk_imageio():
+    """A self-consistent encoder/decoder pair can hide spec deviations
+    (the round-5 LZW lesson) — the PackBits ENCODER must also be readable
+    by a decoder this repo did not write (JDK ImageIO TIFF reader)."""
+    from geo_raster_spark import fastjpeg
+    a = synth.image_pixels(8, 137, 91, 0x3C)
+    rgb = synth.image_pixels_rgb(2, 70, 44, 0xB2)
+    try:
+        for arr in (a, rgb):
+            for tiled in (False, True):
+                d = tiff.encode_tiff(arr, compression="packbits",
+                                     tiled=tiled, tile_size=64)
+                np.testing.assert_array_equal(fastjpeg.decode(d), arr)
+    finally:
+        fastjpeg.close()

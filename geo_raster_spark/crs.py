@@ -789,7 +789,8 @@ def _wkt_spheroid(node):
 
 
 def _wkt_datum_family(node, s: str) -> str:
-    """'WGS84' | 'GRS80' | 'SPHERE:<radius>' — loud on anything else."""
+    """'WGS84' | 'GRS80' | 'INTL' | 'AIRY' | 'SPHERE:<radius>' — loud on
+    anything else."""
     a, invf = _wkt_spheroid(node)
     if invf == 0.0:
         return f"SPHERE:{a!r}"
@@ -797,8 +798,41 @@ def _wkt_datum_family(node, s: str) -> str:
         return "WGS84"
     if a == _WGS84_A and abs(invf - 298.257222101) < 1e-6:
         return "GRS80"
+    if a == 6378388.0 and abs(invf - 297.0) < 1e-6:
+        return "INTL"          # International 1924 (ED50)
+    if abs(a - 6377563.396) < 1e-3 and abs(invf - 299.3249646) < 1e-6:
+        return "AIRY"          # Airy 1830 (OSGB36)
     raise ValueError(f"WKT: unsupported ellipsoid a={a} 1/f={invf} "
-                     "(WGS84 / GRS80 / spheres only): " + s[:80])
+                     "(WGS84 / GRS80 / Intl-1924 / Airy-1830 / spheres "
+                     "only): " + s[:80])
+
+
+def _wkt_towgs84(node):
+    """TOWGS84 float list from the GEOGCS/DATUM subtree, or None."""
+    geog = ([node] if node[0] in ("GEOGCS", "GEOGCRS")
+            else _wkt_children(node, "GEOGCS"))
+    for g in geog:
+        for d in _wkt_children(g, "DATUM"):
+            for t in _wkt_children(d, "TOWGS84"):
+                return [float(v) for v in t[1]]
+    return None
+
+
+def _wkt_check_towgs84(node, datum: str, s: str):
+    """If the WKT carries an explicit TOWGS84, it must match the
+    registered shift for ``datum`` — a silently different realization
+    would shift every coordinate by metres with no error.  1e-3 slack
+    absorbs catalog rounding; absent TOWGS84 is fine (the datum name
+    implies the registered shift)."""
+    tow = _wkt_towgs84(node)
+    if tow is None:
+        return
+    want = list(_DATUMS[datum][1])
+    got = tow + [0.0] * (7 - len(tow)) if len(tow) in (3, 7) else None
+    if got is None or any(abs(a - b) > 1e-3 for a, b in zip(got, want)):
+        raise ValueError(
+            f"WKT: TOWGS84{tuple(tow)} does not match the registered "
+            f"{datum} shift {tuple(want)}: {s[:80]}")
 
 
 def parse_wkt(s: str):
@@ -816,8 +850,7 @@ def parse_wkt(s: str):
     node, _ = _wkt_node(s.strip(), 0)
 
     if node[0] == "GEOGCS":
-        if _wkt_datum_family(node, s) != "WGS84":
-            raise ValueError(f"WKT: only WGS84 geographic supported: {s[:80]}")
+        fam = _wkt_datum_family(node, s)
         for pm in _wkt_children(node, "PRIMEM"):
             if float(pm[1][1]) != 0.0:
                 raise ValueError(f"WKT: non-Greenwich prime meridian: {s[:80]}")
@@ -825,6 +858,15 @@ def parse_wkt(s: str):
             if abs(float(u[1][1]) - math.pi / 180.0) > 1e-9:
                 raise ValueError(f"WKT: geographic UNIT must be degree, "
                                  f"got {u[1][0]!r} = {u[1][1]}: {s[:80]}")
+        if fam == "INTL":
+            _wkt_check_towgs84(node, "ED50", s)
+            return "EPSG:4230"
+        if fam == "AIRY":
+            _wkt_check_towgs84(node, "OSGB36", s)
+            return "EPSG:4277"
+        if fam != "WGS84":
+            raise ValueError(f"WKT: unsupported geographic datum {fam}: "
+                             f"{s[:80]}")
         return GEOGRAPHIC
 
     proj_nodes = _wkt_children(node, "PROJECTION")
@@ -851,6 +893,30 @@ def parse_wkt(s: str):
     fe, fn = num("false_easting"), num("false_northing")
 
     if proj == "transverse_mercator":
+        if fam == "AIRY":
+            # the one Airy tmerc in the wild: EPSG:27700 British National
+            # Grid (OSGB36); any other parameter set raises
+            _wkt_check_towgs84(node, "OSGB36", s)
+            if (num("latitude_of_origin") == 49.0
+                    and num("central_meridian") == -2.0
+                    and abs(num("scale_factor", 1.0) - 0.9996012717) < 1e-12
+                    and fe == 400000.0 and fn == -100000.0):
+                return "EPSG:27700"
+            raise ValueError(f"WKT: Airy Transverse_Mercator supported only "
+                             f"with the EPSG:27700 parameter set: {s[:80]}")
+        if fam == "INTL":
+            # ED50 UTM north zones 28-38 (the EPSG European catalog)
+            _wkt_check_towgs84(node, "ED50", s)
+            if num("scale_factor", 1.0) != _K0 or fe != 500000.0 \
+                    or fn != 0.0 or num("latitude_of_origin") != 0.0:
+                raise ValueError(f"WKT: non-UTM Intl-1924 "
+                                 f"Transverse_Mercator: {s[:80]}")
+            lon0 = num("central_meridian")
+            zone = (lon0 + 183.0) / 6.0
+            if zone != int(zone) or not 28 <= int(zone) <= 38:
+                raise ValueError(f"WKT: ED50 UTM zones 28-38 only, "
+                                 f"central_meridian {lon0}: {s[:80]}")
+            return f"EPSG:230{int(zone)}"
         if fam not in ("WGS84", "GRS80"):
             raise ValueError(f"WKT: UTM needs WGS84 or GRS80/NAD83: "
                              f"{s[:80]}")

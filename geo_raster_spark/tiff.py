@@ -263,7 +263,12 @@ def _geokeys(crs_id: str):
     from . import crs as crs_mod
     cid = crs_mod.normalize_crs(crs_id)
     code = crs_mod.to_epsg(cid)
-    geographic = crs_mod.is_geographic(cid.upper())
+    # degree-unit CRSs take the GeographicType key: WGS84 itself plus the
+    # non-WGS84 geographic datums (EPSG:4230/4277), which is_geographic()
+    # deliberately excludes (it answers "is this the pivot frame")
+    dd = crs_mod._parse_datum_crs(cid.upper())
+    geographic = crs_mod.is_geographic(cid.upper()) \
+        or (dd is not None and dd[1] == "geog")
     citation = (cid + "|").encode("ascii")
     keys = [(1024, 0, 1, 2 if geographic else 1),   # GTModelType
             (1025, 0, 1, 1),                        # GTRasterType: area

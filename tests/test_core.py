@@ -1269,3 +1269,116 @@ def test_ed50_utm_zone_and_proj4_resolution():
     with _pytest.raises(ValueError,
                         match="changes the transform|unsupported|unknown"):
         crs.normalize_crs("+proj=utm +zone=11 +datum=NAD27")
+
+
+def test_wkt_datum_crs_resolution():
+    """Real-world WKT1 of the datum CRSs (GDAL-style strings, including
+    GDAL's ROUNDED TOWGS84 values) resolves to the registry ids; a WKT
+    carrying a DIFFERENT shift for the same ellipsoid raises instead of
+    silently transforming metres off."""
+    bng = ('PROJCS["OSGB 1936 / British National Grid",'
+           'GEOGCS["OSGB 1936",DATUM["OSGB_1936",'
+           'SPHEROID["Airy 1830",6377563.396,299.3249646],'
+           'TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],'
+           'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Transverse_Mercator"],'
+           'PARAMETER["latitude_of_origin",49],'
+           'PARAMETER["central_meridian",-2],'
+           'PARAMETER["scale_factor",0.9996012717],'
+           'PARAMETER["false_easting",400000],'
+           'PARAMETER["false_northing",-100000],UNIT["metre",1],'
+           'AUTHORITY["EPSG","27700"]]')
+    assert crs.parse_wkt(bng) == "EPSG:27700"
+    ed50_utm = ('PROJCS["ED50 / UTM zone 31N",GEOGCS["ED50",'
+                'DATUM["European_Datum_1950",'
+                'SPHEROID["International 1924",6378388,297],'
+                'TOWGS84[-87,-98,-121,0,0,0,0]],'
+                'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+                'PROJECTION["Transverse_Mercator"],'
+                'PARAMETER["latitude_of_origin",0],'
+                'PARAMETER["central_meridian",3],'
+                'PARAMETER["scale_factor",0.9996],'
+                'PARAMETER["false_easting",500000],'
+                'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    assert crs.parse_wkt(ed50_utm) == "EPSG:23031"
+    ed50_geog = ('GEOGCS["ED50",DATUM["European_Datum_1950",'
+                 'SPHEROID["International 1924",6378388,297]],'
+                 'PRIMEM["Greenwich",0],'
+                 'UNIT["degree",0.0174532925199433]]')
+    assert crs.parse_wkt(ed50_geog) == "EPSG:4230"
+    bad = bng.replace("446.448", "100.0")
+    with _pytest.raises(ValueError, match="TOWGS84"):
+        crs.parse_wkt(bad)
+    with _pytest.raises(ValueError, match="zones 28-38"):
+        crs.parse_wkt(ed50_utm.replace('"central_meridian",3',
+                                       '"central_meridian",-111'))
+
+
+def test_bng_full_chain_matches_os_dual_datum_station():
+    """The Helmert datum step against the Ordnance Survey guide's own
+    dual-datum station (Caister water tower), published in BOTH frames:
+    OSGB36 52°39'27.2531"N 1°43'4.5177"E == ETRS89(~WGS84)
+    52°39'28.8282"N 1°42'57.8663"E.  The single mean Helmert is ~3-5 m
+    accurate BY CONSTRUCTION (the OS states it); a sign/convention error
+    in any step (rotation sense, ppm scale, ellipsoid) misses by tens to
+    hundreds of metres.  Assert < 5 m, then the end-to-end chain into
+    grid coordinates and a coarse London sanity window."""
+    w_lon = 1 + 42 / 60 + 57.8663 / 3600
+    w_lat = 52 + 39 / 60 + 28.8282 / 3600
+    o_lon = 1 + 43 / 60 + 4.5177 / 3600
+    o_lat = 52 + 39 / 60 + 27.2531 / 3600
+    lo, la = crs._wgs84_to_datum(np.array([w_lon]), np.array([w_lat]),
+                                 "OSGB36")
+    dlat_m = abs(la[0] - o_lat) * 111_320.0
+    dlon_m = abs(lo[0] - o_lon) * 111_320.0 * math.cos(math.radians(o_lat))
+    assert dlat_m < 5.0 and dlon_m < 5.0, (dlat_m, dlon_m)
+    # full chain: the station's WGS84 coords -> BNG, vs the published
+    # OSGB36 coords projected datum-internally (isolates the Helmert)
+    E, N = crs.transform("EPSG:4326", "EPSG:27700",
+                         np.array([w_lon]), np.array([w_lat]))
+    E0, N0 = crs._tmerc_forward(crs._BNG, np.array([o_lon]),
+                                np.array([o_lat]))
+    assert abs(E[0] - E0[0]) < 5.0 and abs(N[0] - N0[0]) < 5.0
+    lo2, la2 = crs.transform("EPSG:27700", "EPSG:4326", E, N)
+    np.testing.assert_allclose(lo2, [w_lon], atol=1e-7)
+    np.testing.assert_allclose(la2, [w_lat], atol=1e-7)
+    # coarse real-world window: central London lands near E 530km N 180km
+    El, Nl = crs.transform("EPSG:4326", "EPSG:27700",
+                           np.array([-0.1278]), np.array([51.5074]))
+    assert abs(El[0] - 530_000) < 3000 and abs(Nl[0] - 180_500) < 3000
+
+
+def test_warp_4326_to_bng_cross_datum():
+    """G10 across a DATUM boundary: warp a geographic (WGS84) source into
+    an EPSG:27700 (OSGB36/Airy) metre grid — every output pixel equals
+    the source pixel its cell center maps to through the full
+    Helmert+tmerc chain, and the grid genuinely overlaps (a broken datum
+    step shifts the gather by ~100 m = whole pixels here)."""
+    from geo_raster_spark.grid import RasterInfo
+    from geo_raster_spark.kernels import warp as warp_k
+    src_info = RasterInfo((-1.5, 0.001, 0.0, 51.8, 0.0, -0.001),
+                          400, 400, "EPSG:4326")
+    rng = np.random.default_rng(9)
+    src = rng.integers(1, 255, size=(400, 400)).astype(np.float64)
+    E0, N0 = crs.transform("EPSG:4326", "EPSG:27700",
+                           np.array([-1.3]), np.array([51.6]))
+    dst_info = RasterInfo((float(E0[0]) - 3000, 60.0, 0.0,
+                           float(N0[0]) + 3000, 0.0, -60.0),
+                          100, 100, "EPSG:27700")
+    out = warp_k.warp_band(src, src_info, dst_info, nodata=0.0)
+    cols, rows = np.meshgrid(np.arange(100), np.arange(100))
+    tx = dst_info.gt[0] + 60.0 * (cols + 0.5)
+    ty = dst_info.gt[3] - 60.0 * (rows + 0.5)
+    lo, la = crs.transform("EPSG:27700", "EPSG:4326", tx.ravel(), ty.ravel())
+    sc = np.trunc((lo - (-1.5)) / 0.001).astype(int)
+    sr = np.trunc((la - 51.8) / -0.001).astype(int)
+    ok = (sc >= 0) & (sc < 400) & (sr >= 0) & (sr < 400)
+    want = np.zeros(100 * 100)
+    want[ok] = src[sr[ok], sc[ok]]
+    assert ok.sum() == 100 * 100  # dst sits fully inside the source
+    np.testing.assert_array_equal(out.ravel(), want)
+    # datum sensitivity: ignoring the Helmert (treating the grid as a
+    # WGS84 tmerc) must move the gather by at least one source pixel
+    lo2, la2 = crs._tmerc_inverse(crs._BNG, tx.ravel(), ty.ravel())
+    shift_deg = np.hypot(lo2 - lo, la2 - la).max()
+    assert shift_deg > 0.001  # > one 0.001-deg source pixel

@@ -395,3 +395,27 @@ def test_packbits_encode_cross_validated_by_jdk_imageio():
                 np.testing.assert_array_equal(fastjpeg.decode(d), arr)
     finally:
         fastjpeg.close()
+
+
+def test_geokeys_datum_crs_roundtrip():
+    """Datum CRSs land in the right GeoKey: EPSG:27700 as ProjectedCSType
+    (model type 1), EPSG:4230 as GeographicType (model type 2 — it is a
+    degree-unit CRS even though is_geographic(), the WGS84-pivot check,
+    is false for it), and both read back verbatim."""
+    a = synth.image_pixels(3, 60, 40, 0x5)
+    d = tiff.encode_tiff(a, gt=[400000.0, 10.0, 0.0, 200000.0, 0.0, -10.0],
+                         crs="EPSG:27700")
+    assert tiff.read_crs(d) == "EPSG:27700"
+    tags, _ = tiff._read_ifd(d)
+    dirr = tags[34735]
+    keys = {dirr[4 + 4 * i]: dirr[7 + 4 * i] for i in range(dirr[3])}
+    assert keys.get(3072) == 27700 and keys.get(1024) == 1
+
+    d2 = tiff.encode_tiff(a, gt=[0.0, 0.001, 0.0, 52.0, 0.0, -0.001],
+                          crs="EPSG:4230")
+    assert tiff.read_crs(d2) == "EPSG:4230"
+    tags2, _ = tiff._read_ifd(d2)
+    dirr2 = tags2[34735]
+    keys2 = {dirr2[4 + 4 * i]: dirr2[7 + 4 * i] for i in range(dirr2[3])}
+    assert keys2.get(2048) == 4230 and 3072 not in keys2
+    assert keys2.get(1024) == 2

@@ -196,6 +196,23 @@ def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return out
 
 
+def band_table(sig: DataFrame, n_hashes: int = 32,
+               bands: int = 8) -> DataFrame:
+    """(_id, band_id, band_hash) LSH band table from a signature table —
+    the shared banding step of ``minhash_pairs_from_sig`` and the
+    persisted incremental store (``build_minhash_store``)."""
+    r = n_hashes // bands
+    return sig.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.xxhash64(F.concat_ws(",", *[
+                         F.element_at("sig", b * r + j + 1).cast("string")
+                         for j in range(r)])).alias("band_hash"))
+            for b in range(bands)])).alias("band")
+    ).select("_id", "band.band_id", "band.band_hash")
+
+
 def minhash_pairs_from_sig(sig: DataFrame, n_hashes: int = 32,
                            bands: int = 8, jaccard_threshold: float = 0.6,
                            max_bucket: int = 200) -> DataFrame:
@@ -204,18 +221,9 @@ def minhash_pairs_from_sig(sig: DataFrame, n_hashes: int = 32,
     callable over a persisted signature artifact so an external oracle can
     re-run the same banding/join/estimate SQL-side (band buckets formed by
     xxhash64 of the band tuple here ≡ grouping by the raw tuple there)."""
-    r = n_hashes // bands
     sig = sig.persist()
 
-    bands_df = sig.select(
-        "_id", "sig",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_id"),
-                     F.xxhash64(F.concat_ws(",", *[
-                         F.element_at("sig", b * r + j + 1).cast("string")
-                         for j in range(r)])).alias("band_hash"))
-            for b in range(bands)])).alias("band")
-    ).select("_id", "band.band_id", "band.band_hash").persist()
+    bands_df = band_table(sig, n_hashes, bands).persist()
     bands_cached = bands_df   # keep the persisted handle (bands_df is
     #                           reassigned by the skew filter below)
 
@@ -473,3 +481,154 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
     out.count()
     sh.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted signature store (round 6 — the
+# streaming-ingest analog of similarity.append_to_index: a training-data
+# pipeline appends documents daily and must reject near-dups of the
+# RESIDENT corpus without recomputing anything over it)
+# ---------------------------------------------------------------------------
+
+def build_minhash_store(docs: DataFrame, path: str, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        n_hashes: int = 32, bands: int = 8) -> None:
+    """Persist the corpus's minhash state: ``sigs`` (_id, sig) and the
+    LSH ``bands`` table, plus a params sidecar.  One full pass at build;
+    every :func:`incremental_minhash_pairs` batch afterwards touches the
+    store only as (a) one SCAN of ``bands`` probed by a BROADCAST of the
+    new batch's bands (the resident rows never shuffle), and (b) a
+    semi-joined read of ``sigs`` bounded by the candidate count."""
+    import pandas as pd
+    sig = minhash_signatures_np(docs, text_col, id_col, k, n_hashes)
+    sig.write.mode("overwrite").parquet(f"{path}/sigs")
+    spark = docs.sparkSession
+    stored_sig = spark.read.parquet(f"{path}/sigs")
+    band_table(stored_sig, n_hashes, bands) \
+        .write.mode("overwrite").parquet(f"{path}/bands")
+    spark.createDataFrame(pd.DataFrame({
+        "k": [k], "n_hashes": [n_hashes], "bands": [bands],
+    })).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def incremental_minhash_pairs(spark, path: str, new_docs: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              jaccard_threshold: float = 0.6,
+                              max_bucket: int = 200):
+    """Near-dup pairs of a NEW batch against the persisted store AND
+    within the batch itself, touching only O(batch + candidates) of the
+    resident corpus.  Returns ``(pairs, new_sig)``: pairs carry
+    ``id_a``/``id_b``/``est_jaccard`` with id_a from the store side for
+    cross pairs (canonical id_a < id_b within the batch); ``new_sig`` is
+    the batch signature table for :func:`append_to_minhash_store`.
+
+    Scale shape: the daily batch is small relative to the corpus, so the
+    batch's band table BROADCASTS and the resident ``bands`` table is
+    only SCANNED (no shuffle of resident rows); signature re-attachment
+    reads ``sigs`` through a join keyed by the (bounded) candidate ids."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    k, n_hashes, bands = int(p["k"]), int(p["n_hashes"]), int(p["bands"])
+
+    new_sig = minhash_signatures_np(new_docs, text_col, id_col, k,
+                                    n_hashes).persist()
+    new_sig.count()
+    new_bands = band_table(new_sig, n_hashes, bands)
+
+    stored_bands = spark.read.parquet(f"{path}/bands")
+    if max_bucket is not None:
+        # resident hot buckets are a property of the STORE — exclude them
+        # store-side (broadcast list), same guard as minhash_lsh
+        hot = (stored_bands.groupBy("band_id", "band_hash").count()
+                           .where(F.col("count") > max_bucket)
+                           .select("band_id", "band_hash"))
+        stored_bands = stored_bands.join(F.broadcast(hot),
+                                         ["band_id", "band_hash"],
+                                         "left_anti")
+
+    cross = (stored_bands.alias("sb")
+             .join(F.broadcast(new_bands).alias("nb"),
+                   (F.col("sb.band_id") == F.col("nb.band_id"))
+                   & (F.col("sb.band_hash") == F.col("nb.band_hash")))
+             .select(F.col("sb._id").alias("id_a"),
+                     F.col("nb._id").alias("id_b"))
+             .where(F.col("id_a") != F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    stored_sig = spark.read.parquet(f"{path}/sigs")
+    sa = stored_sig.select(F.col("_id").alias("id_a"),
+                           F.col("sig").alias("sig_a"))
+    sb = new_sig.select(F.col("_id").alias("id_b"),
+                        F.col("sig").alias("sig_b"))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y),
+                           lambda m: m)).cast("double")
+           / F.lit(float(n_hashes)))
+    cross_pairs = (cross.join(sa, "id_a").join(F.broadcast(sb), "id_b")
+                        .withColumn("est_jaccard", F.round(est, 6))
+                        .where(F.col("est_jaccard") >= jaccard_threshold)
+                        .select("id_a", "id_b", "est_jaccard"))
+
+    intra = minhash_pairs_from_sig(new_sig, n_hashes, bands,
+                                   jaccard_threshold, max_bucket)
+    pairs = cross_pairs.unionByName(intra).persist()
+    pairs.count()
+    intra.unpersist()
+    return pairs, new_sig
+
+
+def append_to_minhash_store(spark, path: str, new_sig: DataFrame) -> int:
+    """Append a batch's signatures + bands to the store (call with the
+    ACCEPTED subset after dedup so rejected near-dups never pollute the
+    store).  Returns the number of rows appended."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    n = new_sig.count()
+    new_sig.write.mode("append").parquet(f"{path}/sigs")
+    band_table(new_sig, int(p["n_hashes"]), int(p["bands"])) \
+        .write.mode("append").parquet(f"{path}/bands")
+    return n
+
+
+def incremental_dedup(spark, path: str, new_docs: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      jaccard_threshold: float = 0.6,
+                      max_bucket: int = 200) -> DataFrame:
+    """Admission control for a new batch: reject rows near-duplicating
+    the RESIDENT corpus, collapse duplicate clusters WITHIN the batch to
+    their min-id survivor (transitively, via connected components), and
+    append only the accepted rows' signatures to the store — "first seen
+    wins", the streaming-natural survivor policy.  Returns the accepted
+    rows of ``new_docs``.  Re-submitting an already-accepted batch
+    rejects every row (its first copy now lives in the store)."""
+    from . import components as cc
+    pairs, new_sig = incremental_minhash_pairs(
+        spark, path, new_docs, text_col, id_col, jaccard_threshold,
+        max_bucket)
+    new_ids = new_sig.select(F.col("_id").alias(id_col))
+    # any pair with a stored doc rejects the new side outright
+    stored_ids = spark.read.parquet(f"{path}/sigs").select("_id")
+    hit_store = (pairs.join(stored_ids.withColumnRenamed("_id", "id_a"),
+                            "id_a", "left_semi")
+                      .select(F.col("id_b").alias(id_col))
+                 .unionByName(
+                     pairs.join(stored_ids.withColumnRenamed("_id", "id_b"),
+                                "id_b", "left_semi")
+                          .select(F.col("id_a").alias(id_col)))
+                 .join(new_ids, id_col, "left_semi")
+                 .distinct())
+    # batch-internal clusters -> min-id survivor
+    intra = (pairs.join(new_ids.withColumnRenamed(id_col, "id_a"),
+                        "id_a", "left_semi")
+                  .join(new_ids.withColumnRenamed(id_col, "id_b"),
+                        "id_b", "left_semi"))
+    survivors_in_batch = cc.dedup_corpus(
+        new_docs, intra.select("id_a", "id_b"), id_col=id_col)
+    accepted = survivors_in_batch.join(hit_store, id_col, "left_anti") \
+                                 .persist()
+    accepted.count()
+    append_to_minhash_store(
+        spark, path,
+        new_sig.join(accepted.select(F.col(id_col).alias("_id")),
+                     "_id", "left_semi"))
+    new_sig.unpersist()
+    pairs.unpersist()
+    return accepted

@@ -154,3 +154,93 @@ def test_phash_pairs_planted_near_dups(spark):
         key = tuple(sorted([r["image_id"], r["image_id"] + "_dup"]))
         assert key in found and found[key] == j % 3 + 1
     assert not any("_far" in a or "_far" in b for a, b in found)
+
+
+def test_components_clique_and_hub_skew(spark):
+    """Degree skew: a 60-node clique (1,770 pairs) plus a 50-leaf hub
+    star — the shapes boilerplate dedup actually produces.  Both must
+    collapse to single components quickly (well under max_iter) and
+    match union-find."""
+    clique = [(i, j) for i in range(100, 160) for j in range(100, i)]
+    hub = [(5000, 5000 + k) for k in range(1, 51)]
+    pairs = clique + hub
+    want = _union_find(pairs)
+    stats = {}
+    pdf = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    out = cc.connected_components(spark.createDataFrame(pdf), stats=stats)
+    got = {r["node"]: r["root"] for r in out.collect()}
+    assert got == want
+    assert set(got.values()) == {100, 5000}
+    assert stats["iterations"] <= 6
+
+
+def test_phash_dedup_corpus_end_to_end(spark):
+    """Image-level dedup END-TO-END: phash_pairs -> dedup_corpus over an
+    images table — near-dup copies (<= 2 flipped bits) drop, originals
+    and the far decoy survive."""
+    from geo_raster_spark import synth
+    imgs = synth.images_df(spark, 40, 4, with_bytes=False) \
+        .select("image_id", "phash", "caption")
+    pdf = imgs.toPandas()
+    extra = []
+    for _, r in pdf.iloc[:4].iterrows():
+        extra.append({"image_id": r["image_id"] + "_c1",
+                      "phash": np.int64(np.uint64(r["phash"]) ^ np.uint64(3)),
+                      "caption": r["caption"]})
+        extra.append({"image_id": r["image_id"] + "_c2",
+                      "phash": np.int64(np.uint64(r["phash"]) ^ np.uint64(5)),
+                      "caption": r["caption"]})
+    allimgs = spark.createDataFrame(
+        pd.concat([pdf, pd.DataFrame(extra)], ignore_index=True))
+    pairs = dedup.phash_pairs(allimgs, max_hamming=3)
+    kept = cc.dedup_corpus(allimgs, pairs.select("id_a", "id_b"),
+                           id_col="image_id")
+    kept_ids = {r["image_id"] for r in kept.collect()}
+    assert not any(i.endswith(("_c1", "_c2")) for i in kept_ids)
+    assert set(pdf["image_id"]) <= kept_ids
+    pairs.unpersist()
+
+
+def test_incremental_minhash_store_admission(spark, sf_dir, tmp_path):
+    """Incremental dedup against a persisted signature store (the
+    streaming-ingest path): near-copies of RESIDENT docs are rejected
+    without touching the resident corpus beyond a band scan; fresh docs
+    are accepted; in-batch copies collapse to their min-id survivor; and
+    re-submitting the same batch rejects everything (first-seen-wins is
+    durable across calls)."""
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .select("doc_id", "text"))
+    path = str(tmp_path / "mh_store")
+    dedup.build_minhash_store(d, path)
+    n0 = spark.read.parquet(f"{path}/sigs").count()
+
+    stored = d.orderBy("doc_id").limit(2).collect()
+    batch = spark.createDataFrame(pd.DataFrame([
+        # near-copies of resident docs -> must be rejected
+        {"doc_id": 20_000_001, "text": stored[0]["text"] + " nearcopy"},
+        {"doc_id": 20_000_002, "text": stored[1]["text"] + " nearcopy"},
+        # fresh content -> accepted
+        {"doc_id": 20_000_003,
+         "text": "completely original text about penguins and glaciers "
+                 "that is long enough to shingle meaningfully"},
+        # in-batch near-copy of the fresh doc -> loses to min id
+        {"doc_id": 20_000_004,
+         "text": "completely original text about penguins and glaciers "
+                 "that is long enough to shingle meaningfully extra"},
+    ]))
+    accepted = dedup.incremental_dedup(spark, path, batch,
+                                       jaccard_threshold=0.5)
+    got = sorted(r["doc_id"] for r in accepted.collect())
+    assert got == [20_000_003]
+    # only the accepted row entered the store
+    assert spark.read.parquet(f"{path}/sigs").count() == n0 + 1
+    accepted.unpersist()
+
+    # idempotence: the same batch resubmitted is now fully rejected
+    # (20000003's first copy is resident; ids must differ per submission)
+    batch2 = batch.withColumn("doc_id", F.col("doc_id") + 10)
+    accepted2 = dedup.incremental_dedup(spark, path, batch2,
+                                        jaccard_threshold=0.5)
+    assert accepted2.count() == 0
+    assert spark.read.parquet(f"{path}/sigs").count() == n0 + 1
+    accepted2.unpersist()

@@ -60,3 +60,39 @@ def windowed_event_counts(spark: SparkSession, events_path: str,
                   F.round(F.sum("value"), 4).alias("sum_value"))
              .select(F.col("w.start").alias("w_start"),
                      F.col("w.end").alias("w_end"), "event_type", "n", "sum_value"))
+
+
+def streaming_dedup_admission(spark: SparkSession, docs_path: str,
+                              store_path: str, out_path: str,
+                              checkpoint_path: str,
+                              schema: str = "doc_id long, text string",
+                              jaccard_threshold: float = 0.6):
+    """AvailableNow admission control over a documents directory: each
+    micro-batch of newly-arrived parquet files runs
+    ``dedup.incremental_dedup`` against the persisted minhash store
+    (built once with ``dedup.build_minhash_store``) — near-dups of the
+    resident corpus are rejected, in-batch clusters collapse to their
+    first-seen survivor, accepted rows append to ``out_path`` and their
+    signatures enter the store.  File-source offsets in
+    ``checkpoint_path`` make re-runs process only NEW files: the
+    reference's skip-if-done queue semantics, but with content-level
+    dedup at the door.  Returns the StreamingQuery."""
+    from ..operators import dedup
+
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+
+    def process_batch(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        accepted = dedup.incremental_dedup(
+            spark, store_path, batch_df,
+            jaccard_threshold=jaccard_threshold)
+        (accepted.withColumn("batch_id", F.lit(batch_id))
+                 .write.mode("append").parquet(out_path))
+        accepted.unpersist()
+
+    return (stream.writeStream
+                  .foreachBatch(process_batch)
+                  .option("checkpointLocation", checkpoint_path)
+                  .trigger(availableNow=True)
+                  .start())

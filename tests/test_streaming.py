@@ -101,3 +101,49 @@ def test_stateful_sessionize_across_batches(spark, tmp_path, sf_dir):
         if len(later) and r["session_end"] <= cut_ts and later[0] > np.datetime64(cut_ts, "us"):
             cross += 1
     assert cross > 0
+
+
+def test_streaming_dedup_admission(spark, sf_dir, tmp_path):
+    """AvailableNow content-dedup at the ingest door: wave 1 admits fresh
+    docs; wave 2 (copies of wave-1 docs + one fresh doc) admits only the
+    fresh doc — dedup state persists in the minhash store across
+    restarts, and file offsets make each run process only new files."""
+    import pandas as pd
+
+    from geo_raster_spark.operators import dedup
+
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "dckpt")
+
+    base = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                 .select("doc_id", "text"))
+    dedup.build_minhash_store(base, store)
+
+    long_a = ("an entirely new treatise on tidal glaciers and penguin "
+              "colonies with ample length for shingling")
+    long_b = ("a different but equally novel essay about orbital "
+              "mechanics and station keeping maneuvers")
+    w1 = pd.DataFrame([{"doc_id": 30_000_001, "text": long_a},
+                       {"doc_id": 30_000_002, "text": long_b}])
+    spark.createDataFrame(w1).write.mode("append").parquet(src)
+    q = incremental.streaming_dedup_admission(spark, src, store, out, ckpt,
+                                              jaccard_threshold=0.5)
+    q.awaitTermination(120)
+    a1 = spark.read.parquet(out).toPandas()
+    assert sorted(a1["doc_id"]) == [30_000_001, 30_000_002]
+
+    w2 = pd.DataFrame([
+        {"doc_id": 30_000_011, "text": long_a + " appended"},  # near-copy
+        {"doc_id": 30_000_012, "text": long_b},                # exact copy
+        {"doc_id": 30_000_013,
+         "text": "yet another wholly original document concerning deep "
+                 "sea vents and chemosynthetic ecosystems"},
+    ])
+    spark.createDataFrame(w2).write.mode("append").parquet(src)
+    q2 = incremental.streaming_dedup_admission(spark, src, store, out, ckpt,
+                                               jaccard_threshold=0.5)
+    q2.awaitTermination(120)
+    a2 = spark.read.parquet(out).toPandas()
+    assert sorted(a2["doc_id"]) == [30_000_001, 30_000_002, 30_000_013]

@@ -432,7 +432,9 @@ def sniff_fmt(data: bytes):
     head = bytes(data[:8])
     if head[:8] == _PNG_SIG:
         return "png"
-    if head[:2] in (b"II", b"MM") and len(head) >= 4             and head[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+    if head[:2] in (b"II", b"MM") and len(head) >= 4 and \
+            head[2:4] in (b"\x2a\x00", b"\x00\x2a",    # classic (42)
+                          b"\x2b\x00", b"\x00\x2b"):   # BigTIFF (43)
         return "tif"
     if head[:6] == b"\x93NUMPY":
         return "npy"

@@ -7,7 +7,9 @@ subset a real image table carrying those payloads needs, with zero native
 dependencies:
 
 - container: little-endian ("II") encode; II + big-endian ("MM") decode,
-  first IFD, inline/offset tag values;
+  first IFD, inline/offset tag values; BigTIFF (magic 43, 64-bit
+  offsets) DECODE — archival mosaics past 4 GiB read; the encoder stays
+  classic with a loud offset-ceiling guard;
 - layout: STRIPED and TILED (RowsPerStrip / TileWidth+TileLength), both
   directions;
 - compression: none (1), LZW (5) with the TIFF "early change" code
@@ -454,7 +456,13 @@ def encode_tiff(arr: np.ndarray, compression: str = "lzw",
 # ---------------------------------------------------------------------------
 
 def _read_ifd(data: bytes):
-    """-> (tags dict {id: list-of-values}, byteorder '<'|'>')."""
+    """-> (tags dict {id: list-of-values}, byteorder '<'|'>').
+
+    Reads classic TIFF (magic 42) AND BigTIFF (magic 43, TIFF spec
+    supplement 2: 8-byte offset size, 64-bit IFD offsets/counts, 20-byte
+    IFD entries, LONG8/SLONG8/IFD8 value types) — archival mosaics past
+    the 4 GiB ceiling DECODE; the encoder stays classic-only with its
+    loud offset-ceiling guard."""
     try:
         if data[:2] == b"II":
             bo = "<"
@@ -462,18 +470,39 @@ def _read_ifd(data: bytes):
             bo = ">"
         else:
             raise ValueError("not a TIFF (no II/MM byte-order mark)")
-        magic, ifd_off = struct.unpack_from(bo + "HI", data, 2)
-        if magic != 42:
-            raise ValueError(f"not a TIFF (magic {magic}, want 42)")
-        (n,) = struct.unpack_from(bo + "H", data, ifd_off)
+        (magic,) = struct.unpack_from(bo + "H", data, 2)
+        if magic == 42:
+            big = False
+            (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+        elif magic == 43:
+            big = True
+            osize, zero, ifd_off = struct.unpack_from(bo + "HHQ", data, 4)
+            if osize != 8 or zero != 0:
+                raise ValueError(
+                    f"BigTIFF offset size {osize}/reserved {zero} "
+                    "(want 8/0)")
+        else:
+            raise ValueError(f"not a TIFF (magic {magic}, want 42 or 43)")
+        if big:
+            (n,) = struct.unpack_from(bo + "Q", data, ifd_off)
+            ent0, ent_sz, val_off, cnt_fmt = ifd_off + 8, 20, 12, "Q"
+            inline_max = 8
+        else:
+            (n,) = struct.unpack_from(bo + "H", data, ifd_off)
+            ent0, ent_sz, val_off, cnt_fmt = ifd_off + 2, 12, 8, "I"
+            inline_max = 4
         tags = {}
         type_fmt = {1: "B", 2: "s", 3: "H", 4: "I", 5: "II", 12: "d",
-                    6: "b", 8: "h", 9: "i", 11: "f"}
+                    6: "b", 8: "h", 9: "i", 11: "f",
+                    16: "Q", 17: "q", 18: "Q"}
         type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8, 6: 1, 8: 2,
-                     9: 4, 11: 4}
+                     9: 4, 11: 4, 16: 8, 17: 8, 18: 8}
+        if n > (len(data) - ent0) // ent_sz:
+            raise ValueError(f"TIFF IFD claims {n} entries beyond payload")
         for i in range(n):
-            tag, typ, cnt = struct.unpack_from(bo + "HHI",
-                                               data, ifd_off + 2 + i * 12)
+            tag, typ = struct.unpack_from(bo + "HH", data, ent0 + i * ent_sz)
+            (cnt,) = struct.unpack_from(bo + cnt_fmt, data,
+                                        ent0 + i * ent_sz + 4)
             if typ not in type_fmt:
                 continue
             sz = type_size[typ] * cnt
@@ -481,9 +510,10 @@ def _read_ifd(data: bytes):
                 raise ValueError(
                     f"TIFF tag {tag}: {cnt} values ({sz} bytes) exceed "
                     f"the {len(data)}-byte payload")
-            vpos = ifd_off + 2 + i * 12 + 8
-            if sz > 4:
-                (vpos,) = struct.unpack_from(bo + "I", data, vpos)
+            vpos = ent0 + i * ent_sz + val_off
+            if sz > inline_max:
+                (vpos,) = struct.unpack_from(bo + ("Q" if big else "I"),
+                                             data, vpos)
             if typ == 2:
                 tags[tag] = [data[vpos:vpos + cnt].split(b"\0")[0].decode(
                     "ascii", "replace")]

@@ -38,8 +38,9 @@ import numpy as np
 _CLEAR, _EOI = 256, 257
 
 # classic TIFF addresses blocks with 32-bit offsets; anything larger needs
-# BigTIFF (unsupported — see encode_tiff's guard).  Module-level so tests
-# can exercise the guard without materializing 4 GiB.
+# BigTIFF (which this module DECODES but does not write — see
+# encode_tiff's guard).  Module-level so tests can exercise the guard
+# without materializing 4 GiB.
 _MAX_CLASSIC_OFFSET = 0xFFFFFFFF
 
 

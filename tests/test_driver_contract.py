@@ -25,7 +25,8 @@ import __spark_entry__ as m
 qs = m.queries()
 out = {{}}
 for name in ["w_sessionize", "g2_tile_assign", "d2_minhash", "e1_cosine_topk",
-             "w3_stateful_sessions", "m1_image_features"]:
+             "w3_stateful_sessions", "m1_image_features", "d6_dedup_corpus",
+             "d7_phash_pairs"]:
     out[name] = qs[name](spark, "/root/testdata/sf0.001").count()
 out["entry"] = m.entry(spark).count()
 print("RESULT " + json.dumps(out))

@@ -127,6 +127,26 @@ def main():
     if "Window" not in p6:
         failures.append("asof: expected the carry-forward Window")
 
+    # 6b. connected components (round 6): the star rounds are hash/sort
+    # joins on node ids — never a cartesian — and the survivor anti-join
+    # broadcasts the (small) loser side
+    import pandas as pd
+
+    from geo_raster_spark.operators import components as cc_op
+    cpairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": [1, 2, 4, 6], "id_b": [2, 3, 5, 7]}))
+    comp = cc_op.connected_components(cpairs)
+    docs6 = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4, 5, 6, 7, 8]}))
+    kept6 = cc_op.dedup_corpus(docs6, cpairs, components=comp)
+    p6b = plan_of(kept6)
+    sections.append(("Dedup corpus (components + survivor anti-join)", p6b))
+    if "CartesianProduct" in p6b or "NestedLoop" in p6b:
+        failures.append("dedup_corpus: cross/nested-loop join appeared")
+    if "BroadcastHashJoin" not in p6b or "LeftAnti" not in p6b:
+        failures.append("dedup_corpus: survivor anti-join is not a "
+                        "broadcast anti-join")
+
     # 7. persisted LSH index: the per-query scan prunes to the candidate
     # bucket PARTITIONS (no full-table pass at query time — VERDICT r2 #2)
     import shutil
@@ -153,8 +173,9 @@ def main():
                 "shuffle, parquet filter pushdown + column pruning, map-side "
                 "tile explode, parallel top-k (TakeOrderedAndProject), "
                 "broadcast zonal candidates (no pixel shuffle), as-of join "
-                "without a cross product, LSH-index bucket partition "
-                "pruning.\n\n")
+                "without a cross product, dedup-corpus survivor broadcast "
+                "anti-join with no cartesian in the star rounds, LSH-index "
+                "bucket partition pruning.\n\n")
         for title, plan in sections:
             f.write(f"## {title}\n\n```\n{plan}\n```\n\n")
 

@@ -7,6 +7,8 @@ console scripts (SURVEY.md §2.1 util/).
     python -m geo_raster_spark.cli extent-geojson --images 200 --out /tmp/fp.geojson
     python -m geo_raster_spark.cli zonal      --images 300 --zones 12
     python -m geo_raster_spark.cli knn        --points 20000 --lon 10 --lat 20 -k 5
+    python -m geo_raster_spark.cli dedup      --docs /data/docs.parquet --out /tmp/unique \
+                                              [--keep min_id|max_order --order-col score]
 
 Reference CLI -> subcommand map:
   split_raster_tiles.py      -> tile-cut   (plan+exec+resume in one job)
@@ -127,6 +129,34 @@ def cmd_knn(args):
                        "dist_km": round(r["dist_km"], 3)} for r in out]))
 
 
+def cmd_dedup(args):
+    """Corpus dedup end-game: docs parquet -> near-dup pairs ->
+    connected components -> one survivor per cluster -> survivors
+    parquet.  The CLI face of dedup_corpus (SURVEY.md §2.11 D6)."""
+    from .operators import components as cc
+    from .operators import dedup
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    pairs = dedup.minhash_lsh(docs, text_col=args.text_col,
+                              id_col=args.id_col,
+                              jaccard_threshold=args.threshold)
+    stats: dict = {}
+    comp = cc.connected_components(pairs.select("id_a", "id_b"),
+                                   stats=stats)
+    kept = cc.dedup_corpus(docs, pairs, id_col=args.id_col,
+                           keep=args.keep, order_col=args.order_col,
+                           components=comp)
+    kept.write.mode("overwrite").parquet(args.out)
+    n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
+    print(json.dumps({"n_docs": n_in, "n_pairs": pairs.count(),
+                      "n_dup_nodes": stats.get("edges"),
+                      "cc_rounds": stats.get("iterations"),
+                      "n_survivors": n_out,
+                      "n_dropped": n_in - n_out, "out": args.out}))
+    pairs.unpersist()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="geo_raster_spark")
     p.add_argument("--cores", type=int, default=8)
@@ -172,10 +202,22 @@ def main(argv=None):
     k.add_argument("-k", type=int, default=5)
     k.add_argument("--ring", type=int, default=3)
 
+    d = sub.add_parser("dedup")
+    d.add_argument("--docs", required=True, help="input docs parquet")
+    d.add_argument("--out", required=True, help="survivors parquet")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--threshold", type=float, default=0.6)
+    d.add_argument("--keep", default="min_id",
+                   choices=["min_id", "max_order"])
+    d.add_argument("--order-col", default=None,
+                   help="column to maximize when --keep max_order")
+
     args = p.parse_args(argv)
     {"flagship": cmd_flagship, "tile-cut": cmd_tile_cut,
      "tile-index": cmd_tile_index, "extent-geojson": cmd_extent_geojson,
-     "zonal": cmd_zonal, "knn": cmd_knn}[args.cmd](args)
+     "zonal": cmd_zonal, "knn": cmd_knn,
+     "dedup": cmd_dedup}[args.cmd](args)
 
 
 if __name__ == "__main__":

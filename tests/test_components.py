@@ -244,3 +244,26 @@ def test_incremental_minhash_store_admission(spark, sf_dir, tmp_path):
     assert accepted2.count() == 0
     assert spark.read.parquet(f"{path}/sigs").count() == n0 + 1
     accepted2.unpersist()
+
+
+def test_cli_dedup_end_to_end(spark, sf_dir, tmp_path):
+    """The dedup end-game is user-reachable from the CLI: docs parquet in,
+    survivors parquet out, machine-readable stats on stdout."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from geo_raster_spark import cli
+
+    out_dir = str(tmp_path / "unique")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.main(["--cores", "8", "dedup",
+                  "--docs", f"{sf_dir}/documents.parquet",
+                  "--out", out_dir, "--threshold", "0.5"])
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["n_survivors"] == stats["n_docs"] - stats["n_dropped"]
+    assert stats["cc_rounds"] is not None or stats["n_pairs"] == 0
+    kept = spark.read.parquet(out_dir)
+    assert kept.count() == stats["n_survivors"]
+    assert kept.select("doc_id").distinct().count() == stats["n_survivors"]

@@ -189,7 +189,12 @@ def main():
               "tile_cut_jfif_native_sec": seam_fast.get("sec"),
               "n_images": seam_pure.get("n_images"),
               "psnr_min_db": seam_fast.get("psnr_min_db"),
-              "rows_equal": seam_pure.get("rows") == seam_fast.get("rows")}
+              # None when either side failed — never fabricate parity
+              # from two missing row counts (None == None)
+              "rows_equal": (seam_pure.get("rows") == seam_fast.get("rows")
+                             if seam_pure.get("rows") is not None
+                             and seam_fast.get("rows") is not None
+                             else None)}
     if seam_pure.get("sec") and seam_fast.get("sec"):
         native["speedup"] = round(seam_pure["sec"] / seam_fast["sec"], 2)
     for s in (seam_pure, seam_fast):

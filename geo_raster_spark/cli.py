@@ -150,7 +150,8 @@ def cmd_dedup(args):
     kept.write.mode("overwrite").parquet(args.out)
     n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
     print(json.dumps({"n_docs": n_in, "n_pairs": pairs.count(),
-                      "n_dup_nodes": stats.get("edges"),
+                      "n_pair_edges": stats.get("edges"),
+                      "n_dup_nodes": comp.count(),   # same key as bench.py
                       "cc_rounds": stats.get("iterations"),
                       "n_survivors": n_out,
                       "n_dropped": n_in - n_out, "out": args.out}))

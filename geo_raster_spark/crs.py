@@ -533,6 +533,48 @@ def _proj4_datum_crs(kv: dict, s: str) -> str:
             "(ED50 on +ellps=intl, OSGB36 on +ellps=airy); grid-shift "
             f"datums (NAD27/NTv2) are unsupported: {s}")
     proj = kv.get("proj")
+
+    def check(allowed: dict):
+        """Same loud-whitelist discipline as parse_proj4's main path: a
+        modifier that would change the transform away from the closed
+        form (+units=km, +pm=paris, +k on UTM, shifted false origins)
+        must raise, not be silently ignored."""
+        base = {
+            "proj": lambda v: True, "ellps": lambda v: True,
+            "towgs84": lambda v: True,
+            "no_defs": lambda v: True, "wktext": lambda v: True,
+            "type": lambda v: v == "crs", "axis": lambda v: v == "enu",
+        }
+        base.update(allowed)
+        for key, v in kv.items():
+            pred = base.get(key)
+            if pred is None:
+                raise ValueError(
+                    f"unsupported proj4 modifier +{key} on the "
+                    f"{datum} datum path: {s}")
+            if not pred(v):
+                raise ValueError(
+                    f"proj4 +{key}={v} changes the transform away from "
+                    f"the implemented {datum} closed form: {s}")
+
+    if proj in ("longlat", "latlong", "lonlat"):
+        check({"units": lambda v: v in ("degrees", "deg"),
+               "x_0": lambda v: float(v) == 0.0,
+               "y_0": lambda v: float(v) == 0.0})
+    elif proj == "utm":
+        check({"zone": lambda v: True,
+               "units": lambda v: v == "m",
+               "k": lambda v: float(v) == _K0,
+               "k_0": lambda v: float(v) == _K0,
+               "x_0": lambda v: float(v) == 500000.0,
+               "y_0": lambda v: float(v) == 0.0})
+    elif proj == "tmerc":
+        check({"lat_0": lambda v: True, "lon_0": lambda v: True,
+               "k": lambda v: True, "k_0": lambda v: True,
+               "x_0": lambda v: True, "y_0": lambda v: True,
+               "units": lambda v: v == "m"})
+        # exact parameter-set match happens in the branch below
+
     if datum == "ED50":
         if proj in ("longlat", "latlong", "lonlat"):
             return "EPSG:4230"

@@ -221,7 +221,14 @@ def minhash_pairs_from_sig(sig: DataFrame, n_hashes: int = 32,
     callable over a persisted signature artifact so an external oracle can
     re-run the same banding/join/estimate SQL-side (band buckets formed by
     xxhash64 of the band tuple here ≡ grouping by the raw tuple there)."""
-    sig = sig.persist()
+    # persist only if the CALLER hasn't: Spark has no persist refcounting,
+    # so unpersisting a caller-cached input here would silently evict
+    # their cache (incremental_minhash_pairs passes an already-persisted
+    # batch signature table it keeps using afterwards)
+    lvl = sig.storageLevel
+    sig_owned = not (lvl.useMemory or lvl.useDisk)
+    if sig_owned:
+        sig = sig.persist()
 
     bands_df = band_table(sig, n_hashes, bands).persist()
     bands_cached = bands_df   # keep the persisted handle (bands_df is
@@ -273,7 +280,8 @@ def minhash_pairs_from_sig(sig: DataFrame, n_hashes: int = 32,
     # across repeated calls in one session.  Callers owning long sessions
     # may unpersist() the returned DataFrame when done with it.
     out.count()
-    sig.unpersist()
+    if sig_owned:
+        sig.unpersist()
     bands_cached.unpersist()
     return out
 
@@ -588,24 +596,25 @@ def append_to_minhash_store(spark, path: str, new_sig: DataFrame) -> int:
     return n
 
 
-def incremental_dedup(spark, path: str, new_docs: DataFrame,
-                      text_col: str = "text", id_col: str = "doc_id",
-                      jaccard_threshold: float = 0.6,
-                      max_bucket: int = 200) -> DataFrame:
-    """Admission control for a new batch: reject rows near-duplicating
-    the RESIDENT corpus, collapse duplicate clusters WITHIN the batch to
-    their min-id survivor (transitively, via connected components), and
-    append only the accepted rows' signatures to the store — "first seen
-    wins", the streaming-natural survivor policy.  Returns the accepted
-    rows of ``new_docs``.  Re-submitting an already-accepted batch
-    rejects every row (its first copy now lives in the store)."""
+def _admit_batch(new_docs: DataFrame, pairs: DataFrame,
+                 new_ids: DataFrame, stored_ids: DataFrame,
+                 id_col: str) -> DataFrame:
+    """Pure admission set-logic of :func:`incremental_dedup` (separated
+    so its edge semantics are unit-testable with handcrafted pairs):
+
+    (a) an id ALREADY RESIDENT is rejected outright — the cross band
+        join cannot represent a self-pair (id_a == id_b is filtered), so
+        a replayed batch (foreachBatch crash-replay, duplicate feeds)
+        would otherwise re-admit its rows and double-append signatures;
+    (b) direct near-dups of resident docs are rejected;
+    (c) batch-internal clusters collapse to the min-id survivor — but a
+        cluster with ANY store-hitting member is rejected WHOLE
+        (B~A~S means B transitively duplicates resident S even when B
+        never band-matches S directly; the same closure semantics the
+        batch path gets from connected components)."""
     from . import components as cc
-    pairs, new_sig = incremental_minhash_pairs(
-        spark, path, new_docs, text_col, id_col, jaccard_threshold,
-        max_bucket)
-    new_ids = new_sig.select(F.col("_id").alias(id_col))
-    # any pair with a stored doc rejects the new side outright
-    stored_ids = spark.read.parquet(f"{path}/sigs").select("_id")
+    already = new_ids.join(stored_ids.withColumnRenamed("_id", id_col),
+                           id_col, "left_semi")
     hit_store = (pairs.join(stored_ids.withColumnRenamed("_id", "id_a"),
                             "id_a", "left_semi")
                       .select(F.col("id_b").alias(id_col))
@@ -615,15 +624,44 @@ def incremental_dedup(spark, path: str, new_docs: DataFrame,
                           .select(F.col("id_a").alias(id_col)))
                  .join(new_ids, id_col, "left_semi")
                  .distinct())
-    # batch-internal clusters -> min-id survivor
+    hits = hit_store.unionByName(already).distinct()
+
     intra = (pairs.join(new_ids.withColumnRenamed(id_col, "id_a"),
                         "id_a", "left_semi")
                   .join(new_ids.withColumnRenamed(id_col, "id_b"),
-                        "id_b", "left_semi"))
-    survivors_in_batch = cc.dedup_corpus(
-        new_docs, intra.select("id_a", "id_b"), id_col=id_col)
-    accepted = survivors_in_batch.join(hit_store, id_col, "left_anti") \
-                                 .persist()
+                        "id_b", "left_semi")
+                  .select("id_a", "id_b"))
+    comp = cc.connected_components(intra)
+    bad_roots = (comp.join(hits.withColumnRenamed(id_col, "node"),
+                           "node", "left_semi")
+                     .select("root").distinct())
+    cluster_reject = (comp.join(F.broadcast(bad_roots), "root", "left_semi")
+                          .select(F.col("node").alias(id_col)))
+    survivors_in_batch = cc.dedup_corpus(new_docs, intra, id_col=id_col,
+                                         components=comp)
+    reject = hits.unionByName(cluster_reject).distinct()
+    return survivors_in_batch.join(reject, id_col, "left_anti")
+
+
+def incremental_dedup(spark, path: str, new_docs: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      jaccard_threshold: float = 0.6,
+                      max_bucket: int = 200) -> DataFrame:
+    """Admission control for a new batch: reject rows near-duplicating
+    the RESIDENT corpus, collapse duplicate clusters WITHIN the batch to
+    their min-id survivor (transitively, via connected components), and
+    append only the accepted rows' signatures to the store — "first seen
+    wins", the streaming-natural survivor policy.  Returns the accepted
+    rows of ``new_docs``.  Re-submitting an already-accepted batch —
+    same ids or fresh ids — rejects every row (its first copy now lives
+    in the store)."""
+    pairs, new_sig = incremental_minhash_pairs(
+        spark, path, new_docs, text_col, id_col, jaccard_threshold,
+        max_bucket)
+    new_ids = new_sig.select(F.col("_id").alias(id_col))
+    stored_ids = spark.read.parquet(f"{path}/sigs").select("_id")
+    accepted = _admit_batch(new_docs, pairs, new_ids, stored_ids,
+                            id_col).persist()
     accepted.count()
     append_to_minhash_store(
         spark, path,

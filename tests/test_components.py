@@ -236,14 +236,51 @@ def test_incremental_minhash_store_admission(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{path}/sigs").count() == n0 + 1
     accepted.unpersist()
 
-    # idempotence: the same batch resubmitted is now fully rejected
-    # (20000003's first copy is resident; ids must differ per submission)
+    # idempotence with FRESH ids: content near-dups of accepted rows
     batch2 = batch.withColumn("doc_id", F.col("doc_id") + 10)
     accepted2 = dedup.incremental_dedup(spark, path, batch2,
                                         jaccard_threshold=0.5)
     assert accepted2.count() == 0
     assert spark.read.parquet(f"{path}/sigs").count() == n0 + 1
     accepted2.unpersist()
+
+    # idempotence with the SAME ids (foreachBatch crash-replay shape):
+    # resident ids are rejected outright, nothing double-appends —
+    # the cross band join cannot see a self-pair, so this is the
+    # `already`-resident guard (review find r6)
+    accepted3 = dedup.incremental_dedup(spark, path, batch,
+                                        jaccard_threshold=0.5)
+    assert accepted3.count() == 0
+    assert spark.read.parquet(f"{path}/sigs").count() == n0 + 1
+    accepted3.unpersist()
+
+
+def test_admit_batch_transitive_cluster_rejection(spark):
+    """Unit semantics of the admission logic (handcrafted pairs):
+    a batch cluster whose NON-surviving member duplicates the resident
+    corpus is rejected WHOLE — its min-id survivor transitively
+    duplicates the store through the chain B~A~S even though B never
+    pairs with S directly."""
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [3, 5, 9], "text": ["b", "a", "free"]}))
+    new_ids = docs.select("doc_id")
+    stored = spark.createDataFrame(pd.DataFrame({"_id": [100]}))
+    # S=100 ~ A=5 (cross); B=3 ~ A=5 (intra); 9 unpaired
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": [100, 3], "id_b": [5, 5]}))
+    kept = dedup._admit_batch(docs, pairs, new_ids, stored, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [9]
+    # without the store hit, the same cluster admits its min-id survivor
+    pairs2 = spark.createDataFrame(pd.DataFrame(
+        {"id_a": [3], "id_b": [5]}))
+    kept2 = dedup._admit_batch(docs, pairs2, new_ids, stored, "doc_id")
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [3, 9]
+    # same-id replay: a new id equal to a resident id is rejected even
+    # with no pairs at all
+    stored3 = spark.createDataFrame(pd.DataFrame({"_id": [9]}))
+    kept3 = dedup._admit_batch(docs, pairs2.limit(0), new_ids, stored3,
+                               "doc_id")
+    assert sorted(r["doc_id"] for r in kept3.collect()) == [3, 5]
 
 
 def test_cli_dedup_end_to_end(spark, sf_dir, tmp_path):

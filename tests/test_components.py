@@ -304,3 +304,29 @@ def test_cli_dedup_end_to_end(spark, sf_dir, tmp_path):
     kept = spark.read.parquet(out_dir)
     assert kept.count() == stats["n_survivors"]
     assert kept.select("doc_id").distinct().count() == stats["n_survivors"]
+
+
+def test_embedding_pairs_dedup_corpus_end_to_end(spark, sf_dir):
+    """Completes the composition matrix: EMBEDDING near-dup pairs
+    (knn_pairs_exact) feed the same components/survivor machinery as
+    minhash (text) and phash (image) pairs — planted near-identical
+    vectors collapse to their min-id representative."""
+    from pyspark.sql import functions as F2
+
+    from geo_raster_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = emb.orderBy("vec_id").limit(3)
+    planted = seeds.select(
+        (F2.col("vec_id") + 10_000_000).alias("vec_id"),
+        F2.transform("embedding",
+                     lambda x: x + F2.lit(1e-6)).alias("embedding"))
+    allv = emb.select("vec_id", "embedding").unionByName(planted)
+    pairs = similarity.knn_pairs_exact(allv, dim=64, threshold=0.999,
+                                       id_col="vec_id")
+    kept = cc.dedup_corpus(allv, pairs.select("id_a", "id_b"),
+                           id_col="vec_id")
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    planted_ids = {r["vec_id"] + 10_000_000 for r in seeds.collect()}
+    assert not (kept_ids & planted_ids)          # copies collapsed
+    assert {r["vec_id"] for r in seeds.collect()} <= kept_ids
+    pairs.unpersist()

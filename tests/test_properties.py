@@ -222,7 +222,7 @@ def test_tiff_roundtrip_any_config(seed):
         arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
     else:
         arr = (rng.normal(0, 1000, (h, w))).astype(np.float32)
-    comp = ("none", "lzw")[int(rng.integers(0, 2))]
+    comp = ("none", "lzw", "deflate", "packbits")[int(rng.integers(0, 4))]
     pred = (1, 2)[int(rng.integers(0, 2))]
     tiled = bool(rng.integers(0, 2))
     ts = (16, 32, 64)[int(rng.integers(0, 3))]
@@ -257,3 +257,46 @@ def test_tiff_truncation_fuzz_fails_cleanly(seed):
         assert isinstance(out, np.ndarray)
     except ValueError:
         pass
+
+
+@SET
+@given(st.binary(max_size=4000))
+def test_packbits_roundtrip_any_bytes(data):
+    """PackBits encode/decode round-trips for ARBITRARY byte strings, and
+    the encoder never expands worse than the spec bound (1 header byte
+    per 128 literals, +1 worst case on tiny inputs)."""
+    from geo_raster_spark import tiff
+    enc = tiff.packbits_encode(data)
+    assert tiff.packbits_decode(enc, len(data)) == data
+    if data:
+        assert len(enc) <= len(data) + (len(data) + 127) // 128 + 1
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(st.integers(0, 2**31 - 1))
+def test_components_any_graph_matches_union_find(seed):
+    """Distributed connected components == union-find for arbitrary
+    random graphs (sparse, dense, chains, self-loops, duplicate and
+    reversed edges).  One Spark session, many generated graphs — the
+    union-find oracle lives in tests/test_components.py."""
+    from geo_raster_spark.operators import components as cc
+    from geo_raster_spark.session import get_spark
+    from tests.test_components import _union_find
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    n_nodes = int(rng.integers(2, 40))
+    n_edges = int(rng.integers(1, 80))
+    pairs = [(int(a), int(b))
+             for a, b in rng.integers(0, n_nodes, (n_edges, 2))]
+    if rng.integers(0, 2):
+        pairs += [(i, i + 1) for i in range(100, 100 + int(rng.integers(1, 15)))]
+    clean = [(a, b) for a, b in pairs if a != b]
+    if not clean:
+        return
+    want = _union_find(clean)
+    spark = get_spark(app_name="cc-prop")
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    got = {r["node"]: r["root"]
+           for r in cc.connected_components(df).collect()}
+    assert got == want

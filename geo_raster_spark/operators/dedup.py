@@ -400,19 +400,14 @@ def simhash_blocks(max_hamming: int):
     return widths, offs
 
 
-def simhash_pairs_from_sig(sig: DataFrame, max_hamming: int = 3,
-                           max_bucket: int = 200) -> DataFrame:
-    """Pigeonhole pair join over a precomputed signature table (columns
-    ``_id``, ``simhash``) — the pair-join stage of ``simhash_pairs``,
-    callable over a persisted signature artifact so an external oracle can
-    re-run the same join SQL-side."""
+def pigeonhole_block_table(sig: DataFrame,
+                           max_hamming: int = 3) -> DataFrame:
+    """(_id, simhash, block_id, block_val) pigeonhole table from a
+    64-bit signature table — shared by the in-session pair join and the
+    persisted incremental phash store."""
     n_tables = max_hamming + 1
     widths, offs = simhash_blocks(max_hamming)
-
-    sig = sig.persist()
-    sig.count()  # materialize before the self-join (see minhash_lsh)
-
-    blocks = sig.select(
+    return sig.select(
         "_id", "simhash",
         F.explode(F.array(*[
             F.struct(
@@ -420,7 +415,22 @@ def simhash_pairs_from_sig(sig: DataFrame, max_hamming: int = 3,
                 F.shiftrightunsigned(F.col("simhash"), offs[b])
                  .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("block_val"))
             for b in range(n_tables)])).alias("blk")
-    ).select("_id", "simhash", "blk.block_id", "blk.block_val").persist()
+    ).select("_id", "simhash", "blk.block_id", "blk.block_val")
+
+
+def simhash_pairs_from_sig(sig: DataFrame, max_hamming: int = 3,
+                           max_bucket: int = 200) -> DataFrame:
+    """Pigeonhole pair join over a precomputed signature table (columns
+    ``_id``, ``simhash``) — the pair-join stage of ``simhash_pairs``,
+    callable over a persisted signature artifact so an external oracle can
+    re-run the same join SQL-side."""
+    lvl = sig.storageLevel
+    sig_owned = not (lvl.useMemory or lvl.useDisk)
+    if sig_owned:
+        sig = sig.persist()
+    sig.count()  # materialize before the self-join (see minhash_lsh)
+
+    blocks = pigeonhole_block_table(sig, max_hamming).persist()
     blocks.count()
 
     if max_bucket is not None:
@@ -446,7 +456,8 @@ def simhash_pairs_from_sig(sig: DataFrame, max_hamming: int = 3,
                .dropDuplicates(["id_a", "id_b"]))
     out = pairs.persist()
     out.count()   # materialize the (small) result, release intermediates
-    sig.unpersist()
+    if sig_owned:
+        sig.unpersist()
     blocks.unpersist()
     return out
 
@@ -660,13 +671,118 @@ def incremental_dedup(spark, path: str, new_docs: DataFrame,
         max_bucket)
     new_ids = new_sig.select(F.col("_id").alias(id_col))
     stored_ids = spark.read.parquet(f"{path}/sigs").select("_id")
+    # localCheckpoint (NOT persist): the append below writes into
+    # {path}/sigs, and Spark's InsertIntoHadoopFsRelation refreshes that
+    # path's file index — invalidating any CACHED plan that reads it
+    # (this plan does, via stored_ids).  A recompute after the append
+    # would see the just-accepted rows as resident and reject them.
+    # Checkpointing truncates the plan to materialized blocks with no
+    # path dependency, so the returned DataFrame is stable.
     accepted = _admit_batch(new_docs, pairs, new_ids, stored_ids,
-                            id_col).persist()
-    accepted.count()
+                            id_col).localCheckpoint(eager=True)
     append_to_minhash_store(
         spark, path,
         new_sig.join(accepted.select(F.col(id_col).alias("_id")),
                      "_id", "left_semi"))
+    new_sig.unpersist()
+    pairs.unpersist()
+    return accepted
+
+
+def build_phash_store(images: DataFrame, path: str,
+                      id_col: str = "image_id", phash_col: str = "phash",
+                      max_hamming: int = 3) -> None:
+    """Persist the IMAGE corpus's phash state — the multimodal twin of
+    :func:`build_minhash_store`: ``sigs`` (_id, simhash) plus the
+    pigeonhole ``blocks`` table and a params sidecar.  Incremental
+    batches then touch the resident corpus only as a block scan probed
+    by a broadcast (no resident shuffle)."""
+    import pandas as pd
+    sig = images.select(F.col(id_col).alias("_id"),
+                        F.col(phash_col).cast("long").alias("simhash"))
+    sig.write.mode("overwrite").parquet(f"{path}/sigs")
+    spark = images.sparkSession
+    stored = spark.read.parquet(f"{path}/sigs")
+    pigeonhole_block_table(stored, max_hamming) \
+        .write.mode("overwrite").parquet(f"{path}/blocks")
+    spark.createDataFrame(pd.DataFrame({
+        "max_hamming": [max_hamming],
+    })).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def incremental_phash_pairs(spark, path: str, new_images: DataFrame,
+                            id_col: str = "image_id",
+                            phash_col: str = "phash",
+                            max_bucket: int = 200):
+    """Near-dup pairs of a new image batch vs the persisted phash store
+    AND within the batch — same scale shape as
+    :func:`incremental_minhash_pairs` (batch blocks broadcast, resident
+    rows scanned, hamming verified JVM-side).  Returns
+    ``(pairs, new_sig)``."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    max_hamming = int(p["max_hamming"])
+
+    new_sig = new_images.select(
+        F.col(id_col).alias("_id"),
+        F.col(phash_col).cast("long").alias("simhash")).persist()
+    new_sig.count()
+    new_blocks = pigeonhole_block_table(new_sig, max_hamming)
+
+    stored_blocks = spark.read.parquet(f"{path}/blocks")
+    if max_bucket is not None:
+        hot = (stored_blocks.groupBy("block_id", "block_val").count()
+                            .where(F.col("count") > max_bucket)
+                            .select("block_id", "block_val"))
+        stored_blocks = stored_blocks.join(F.broadcast(hot),
+                                           ["block_id", "block_val"],
+                                           "left_anti")
+
+    cross = (stored_blocks.alias("sb")
+             .join(F.broadcast(new_blocks).alias("nb"),
+                   (F.col("sb.block_id") == F.col("nb.block_id"))
+                   & (F.col("sb.block_val") == F.col("nb.block_val")))
+             .select(F.col("sb._id").alias("id_a"),
+                     F.col("nb._id").alias("id_b"),
+                     F.bit_count(F.col("sb.simhash")
+                                 .bitwiseXOR(F.col("nb.simhash")))
+                      .alias("hamming"))
+             .where((F.col("hamming") <= max_hamming)
+                    & (F.col("id_a") != F.col("id_b")))
+             .dropDuplicates(["id_a", "id_b"]))
+
+    intra = simhash_pairs_from_sig(new_sig, max_hamming, max_bucket)
+    pairs = cross.unionByName(intra).persist()
+    pairs.count()
+    intra.unpersist()
+    return pairs, new_sig
+
+
+def incremental_phash_dedup(spark, path: str, new_images: DataFrame,
+                            id_col: str = "image_id",
+                            phash_col: str = "phash",
+                            max_bucket: int = 200) -> DataFrame:
+    """Image admission control vs the persisted phash store — identical
+    semantics to :func:`incremental_dedup` (same ``_admit_batch`` logic:
+    resident-id replay rejection, direct near-dup rejection, WHOLE-
+    cluster transitive rejection, min-id in-batch survivor), with
+    accepted rows' phashes appended (first-seen-wins, durable)."""
+    import pandas as pd  # noqa: F401  (parity with the text path)
+    pairs, new_sig = incremental_phash_pairs(
+        spark, path, new_images, id_col, phash_col, max_bucket)
+    new_ids = new_sig.select(F.col("_id").alias(id_col))
+    stored_ids = spark.read.parquet(f"{path}/sigs").select("_id")
+    # localCheckpoint, not persist — see incremental_dedup (the sig
+    # append refreshes the path's file index and would invalidate a
+    # cached plan reading it, flipping the returned rows to rejected)
+    accepted = _admit_batch(new_images, pairs.select("id_a", "id_b"),
+                            new_ids, stored_ids,
+                            id_col).localCheckpoint(eager=True)
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    acc_sig = new_sig.join(
+        accepted.select(F.col(id_col).alias("_id")), "_id", "left_semi")
+    acc_sig.write.mode("append").parquet(f"{path}/sigs")
+    pigeonhole_block_table(acc_sig, int(p["max_hamming"])) \
+        .write.mode("append").parquet(f"{path}/blocks")
     new_sig.unpersist()
     pairs.unpersist()
     return accepted

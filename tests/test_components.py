@@ -330,3 +330,40 @@ def test_embedding_pairs_dedup_corpus_end_to_end(spark, sf_dir):
     assert not (kept_ids & planted_ids)          # copies collapsed
     assert {r["vec_id"] for r in seeds.collect()} <= kept_ids
     pairs.unpersist()
+
+
+def test_incremental_phash_store_admission(spark, tmp_path):
+    """Image admission vs the persisted phash store: near-dup phashes of
+    RESIDENT images (<= max_hamming bits) are rejected, fresh images
+    accepted, in-batch copies collapse, same-id replay rejected, store
+    grows only by accepted rows — the multimodal twin of the minhash
+    store test."""
+    from geo_raster_spark import synth
+    imgs = synth.images_df(spark, 50, 4, with_bytes=False) \
+        .select("image_id", "phash")
+    path = str(tmp_path / "ph_store")
+    dedup.build_phash_store(imgs, path)
+    n0 = spark.read.parquet(f"{path}/sigs").count()
+
+    stored = imgs.orderBy("image_id").limit(2).collect()
+    fresh_ph = np.int64(0x123456789ABCDEF)
+    batch = spark.createDataFrame(pd.DataFrame([
+        # 2-bit flip of a resident phash -> rejected
+        {"image_id": "new_a",
+         "phash": np.int64(np.uint64(stored[0]["phash"]) ^ np.uint64(5))},
+        # fresh phash -> accepted
+        {"image_id": "new_b", "phash": fresh_ph},
+        # in-batch 1-bit copy of the fresh one -> loses to min id (new_b)
+        {"image_id": "new_c",
+         "phash": np.int64(np.uint64(fresh_ph) ^ np.uint64(8))},
+    ]))
+    accepted = dedup.incremental_phash_dedup(spark, path, batch)
+    assert sorted(r["image_id"] for r in accepted.collect()) == ["new_b"]
+    assert spark.read.parquet(f"{path}/sigs").count() == n0 + 1
+    accepted.unpersist()
+
+    # same-id replay (crash-replay shape): everything rejected, no growth
+    accepted2 = dedup.incremental_phash_dedup(spark, path, batch)
+    assert accepted2.count() == 0
+    assert spark.read.parquet(f"{path}/sigs").count() == n0 + 1
+    accepted2.unpersist()

@@ -517,11 +517,15 @@ def _proj4_datum_crs(kv: dict, s: str) -> str:
     datum = None
     for name, (dellps, params) in _DATUMS.items():
         p = list(params)
+        # 1e-3 slack absorbs catalog rounding — PROJ/GDAL emit e.g.
+        # +towgs84=...,0.15,0.247,0.842,-20.489 for OSGB36 (the registry
+        # holds 0.1502/0.2470/0.8421/-20.4894); same tolerance as the
+        # WKT TOWGS84 check
         if len(tow) == 3:
-            ok = (all(abs(a - b) < 1e-9 for a, b in zip(tow, p[:3]))
+            ok = (all(abs(a - b) < 1e-3 for a, b in zip(tow, p[:3]))
                   and all(v == 0.0 for v in p[3:]))
         elif len(tow) == 7:
-            ok = all(abs(a - b) < 1e-9 for a, b in zip(tow, p))
+            ok = all(abs(a - b) < 1e-3 for a, b in zip(tow, p))
         else:
             ok = False
         if ok and ellps == dellps:
@@ -569,8 +573,12 @@ def _proj4_datum_crs(kv: dict, s: str) -> str:
                "x_0": lambda v: float(v) == 500000.0,
                "y_0": lambda v: float(v) == 0.0})
     elif proj == "tmerc":
+        # +k_0 is PROJ's alias for +k — both spellings must carry the
+        # one implemented (BNG) scale; "accept any, match later" would
+        # let a transform-changing +k_0 slip past the k-only match below
+        bng_k = lambda v: abs(float(v) - 0.9996012717) < 1e-12  # noqa: E731
         check({"lat_0": lambda v: True, "lon_0": lambda v: True,
-               "k": lambda v: True, "k_0": lambda v: True,
+               "k": bng_k, "k_0": bng_k,
                "x_0": lambda v: True, "y_0": lambda v: True,
                "units": lambda v: v == "m"})
         # exact parameter-set match happens in the branch below
@@ -587,10 +595,12 @@ def _proj4_datum_crs(kv: dict, s: str) -> str:
     if proj in ("longlat", "latlong", "lonlat"):
         return "EPSG:4277"
     if proj == "tmerc":
-        want = {"lat_0": 49.0, "lon_0": -2.0, "k": 0.9996012717,
+        want = {"lat_0": 49.0, "lon_0": -2.0,
                 "x_0": 400000.0, "y_0": -100000.0}
-        if all(abs(float(kv.get(k2, 0.0)) - v) < 1e-9
-               for k2, v in want.items()):
+        k_val = float(kv.get("k", kv.get("k_0", 0.0)))
+        if abs(k_val - 0.9996012717) < 1e-12 and \
+                all(abs(float(kv.get(k2, 0.0)) - v) < 1e-9
+                    for k2, v in want.items()):
             return "EPSG:27700"
     raise ValueError(
         f"OSGB36 is supported as longlat or the EPSG:27700 tmerc: {s}")
@@ -860,6 +870,20 @@ def _wkt_towgs84(node):
     return None
 
 
+def _wkt_reject_unregistered_towgs84(node, fam: str, s: str):
+    """A NONZERO TOWGS84 on a family with no registered shift (WGS84,
+    GRS80, spheres) would silently move every coordinate by metres if
+    dropped — raise instead.  INTL/AIRY are validated against their
+    registered datums by _wkt_check_towgs84 in their own branches."""
+    if fam in ("INTL", "AIRY"):
+        return
+    tow = _wkt_towgs84(node)
+    if tow is not None and any(abs(v) > 1e-9 for v in tow):
+        raise ValueError(
+            f"WKT: nonzero TOWGS84{tuple(tow)} on a {fam} ellipsoid has "
+            f"no registered datum shift — refusing to drop it: {s[:80]}")
+
+
 def _wkt_check_towgs84(node, datum: str, s: str):
     """If the WKT carries an explicit TOWGS84, it must match the
     registered shift for ``datum`` — a silently different realization
@@ -893,6 +917,7 @@ def parse_wkt(s: str):
 
     if node[0] == "GEOGCS":
         fam = _wkt_datum_family(node, s)
+        _wkt_reject_unregistered_towgs84(node, fam, s)
         for pm in _wkt_children(node, "PRIMEM"):
             if float(pm[1][1]) != 0.0:
                 raise ValueError(f"WKT: non-Greenwich prime meridian: {s[:80]}")
@@ -925,6 +950,7 @@ def parse_wkt(s: str):
     proj = proj_nodes[0][1][0].lower()
     par = _wkt_params(node)
     fam = _wkt_datum_family(node, s)
+    _wkt_reject_unregistered_towgs84(node, fam, s)
 
     def num(k, default=0.0, *alts):
         for key in (k,) + alts:

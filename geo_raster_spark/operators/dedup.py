@@ -600,10 +600,18 @@ def append_to_minhash_store(spark, path: str, new_sig: DataFrame) -> int:
     ACCEPTED subset after dedup so rejected near-dups never pollute the
     store).  Returns the number of rows appended."""
     p = spark.read.parquet(f"{path}/params").collect()[0]
+    # checkpoint: the (semi-join) input evaluates ONCE, not per action.
+    # Write order bands THEN sigs: a crash between the files leaves
+    # duplicate-band rows a replay re-appends harmlessly, whereas
+    # sigs-without-bands would trip the same-id replay guard while
+    # silently losing CONTENT rejection for those docs forever.  (At
+    # deployment both appends belong in one transactional Iceberg
+    # commit — SCALE.md checkpoint row.)
+    new_sig = new_sig.localCheckpoint(eager=True)
     n = new_sig.count()
-    new_sig.write.mode("append").parquet(f"{path}/sigs")
     band_table(new_sig, int(p["n_hashes"]), int(p["bands"])) \
         .write.mode("append").parquet(f"{path}/bands")
+    new_sig.write.mode("append").parquet(f"{path}/sigs")
     return n
 
 
@@ -657,7 +665,8 @@ def _admit_batch(new_docs: DataFrame, pairs: DataFrame,
 def incremental_dedup(spark, path: str, new_docs: DataFrame,
                       text_col: str = "text", id_col: str = "doc_id",
                       jaccard_threshold: float = 0.6,
-                      max_bucket: int = 200) -> DataFrame:
+                      max_bucket: int = 200,
+                      out_sink=None) -> DataFrame:
     """Admission control for a new batch: reject rows near-duplicating
     the RESIDENT corpus, collapse duplicate clusters WITHIN the batch to
     their min-id survivor (transitively, via connected components), and
@@ -680,6 +689,14 @@ def incremental_dedup(spark, path: str, new_docs: DataFrame,
     # path dependency, so the returned DataFrame is stable.
     accepted = _admit_batch(new_docs, pairs, new_ids, stored_ids,
                             id_col).localCheckpoint(eager=True)
+    if out_sink is not None:
+        # deliver BEFORE the store append: a crash after the append but
+        # before delivery would make the replay reject these rows as
+        # already-resident — accepted docs silently lost from the
+        # output forever.  Sink-first + an idempotent per-batch sink
+        # narrows the failure window to a mid-append crash, whose
+        # residue is duplicate store rows, not lost documents.
+        out_sink(accepted)
     append_to_minhash_store(
         spark, path,
         new_sig.join(accepted.select(F.col(id_col).alias("_id")),
@@ -757,16 +774,28 @@ def incremental_phash_pairs(spark, path: str, new_images: DataFrame,
     return pairs, new_sig
 
 
+def append_to_phash_store(spark, path: str, new_sig: DataFrame) -> int:
+    """Image twin of :func:`append_to_minhash_store`: checkpoint once,
+    write blocks THEN sigs (same crash-ordering rationale)."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    new_sig = new_sig.localCheckpoint(eager=True)
+    n = new_sig.count()
+    pigeonhole_block_table(new_sig, int(p["max_hamming"])) \
+        .write.mode("append").parquet(f"{path}/blocks")
+    new_sig.write.mode("append").parquet(f"{path}/sigs")
+    return n
+
+
 def incremental_phash_dedup(spark, path: str, new_images: DataFrame,
                             id_col: str = "image_id",
                             phash_col: str = "phash",
-                            max_bucket: int = 200) -> DataFrame:
+                            max_bucket: int = 200,
+                            out_sink=None) -> DataFrame:
     """Image admission control vs the persisted phash store — identical
     semantics to :func:`incremental_dedup` (same ``_admit_batch`` logic:
     resident-id replay rejection, direct near-dup rejection, WHOLE-
     cluster transitive rejection, min-id in-batch survivor), with
     accepted rows' phashes appended (first-seen-wins, durable)."""
-    import pandas as pd  # noqa: F401  (parity with the text path)
     pairs, new_sig = incremental_phash_pairs(
         spark, path, new_images, id_col, phash_col, max_bucket)
     new_ids = new_sig.select(F.col("_id").alias(id_col))
@@ -777,12 +806,12 @@ def incremental_phash_dedup(spark, path: str, new_images: DataFrame,
     accepted = _admit_batch(new_images, pairs.select("id_a", "id_b"),
                             new_ids, stored_ids,
                             id_col).localCheckpoint(eager=True)
-    p = spark.read.parquet(f"{path}/params").collect()[0]
-    acc_sig = new_sig.join(
-        accepted.select(F.col(id_col).alias("_id")), "_id", "left_semi")
-    acc_sig.write.mode("append").parquet(f"{path}/sigs")
-    pigeonhole_block_table(acc_sig, int(p["max_hamming"])) \
-        .write.mode("append").parquet(f"{path}/blocks")
+    if out_sink is not None:
+        out_sink(accepted)   # sink-first — see incremental_dedup
+    append_to_phash_store(
+        spark, path,
+        new_sig.join(accepted.select(F.col(id_col).alias("_id")),
+                     "_id", "left_semi"))
     new_sig.unpersist()
     pairs.unpersist()
     return accepted

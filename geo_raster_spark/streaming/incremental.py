@@ -66,6 +66,8 @@ def streaming_dedup_admission(spark: SparkSession, docs_path: str,
                               store_path: str, out_path: str,
                               checkpoint_path: str,
                               schema: str = "doc_id long, text string",
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
                               jaccard_threshold: float = 0.6):
     """AvailableNow admission control over a documents directory: each
     micro-batch of newly-arrived parquet files runs
@@ -84,12 +86,19 @@ def streaming_dedup_admission(spark: SparkSession, docs_path: str,
     def process_batch(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
-        accepted = dedup.incremental_dedup(
-            spark, store_path, batch_df,
-            jaccard_threshold=jaccard_threshold)
-        (accepted.withColumn("batch_id", F.lit(batch_id))
-                 .write.mode("append").parquet(out_path))
-        accepted.unpersist()
+
+        def sink(accepted):
+            # idempotent per-batch delivery, executed BEFORE the store
+            # append (incremental_dedup's out_sink contract): a replayed
+            # batch overwrites its own subdirectory instead of losing
+            # rows to the already-resident rejection or duplicating them
+            (accepted.write.mode("overwrite")
+                     .parquet(f"{out_path}/batch={batch_id}"))
+
+        dedup.incremental_dedup(
+            spark, store_path, batch_df, text_col=text_col,
+            id_col=id_col, jaccard_threshold=jaccard_threshold,
+            out_sink=sink)
 
     return (stream.writeStream
                   .foreachBatch(process_batch)

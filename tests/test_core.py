@@ -1382,3 +1382,27 @@ def test_warp_4326_to_bng_cross_datum():
     lo2, la2 = crs._tmerc_inverse(crs._BNG, tx.ravel(), ty.ravel())
     shift_deg = np.hypot(lo2 - lo, la2 - la).max()
     assert shift_deg > 0.001  # > one 0.001-deg source pixel
+
+
+def test_datum_parser_review_fixes():
+    """Round-6 review closures: (a) the PROJ/GDAL catalog-ROUNDED OSGB36
+    proj4 string resolves (1e-3 slack, same as WKT); (b) +k_0 (PROJ's
+    alias for +k) is honored — the canonical-alias spelling resolves and
+    a transform-changing +k_0 raises; (c) a nonzero WKT TOWGS84 on a
+    WGS84/GRS80 ellipsoid raises instead of being silently dropped."""
+    rounded = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+               "+x_0=400000 +y_0=-100000 +ellps=airy "
+               "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489 "
+               "+units=m")
+    assert crs.parse_proj4(rounded) == "EPSG:27700"
+    assert crs.parse_proj4(rounded.replace("+k=", "+k_0=")) == "EPSG:27700"
+    with _pytest.raises(ValueError, match="k_0"):
+        crs.parse_proj4(rounded + " +k_0=1.5")
+    shifted = ('GEOGCS["shifted",DATUM["D",'
+               'SPHEROID["WGS 84",6378137,298.257223563],TOWGS84[100,0,0]],'
+               'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]')
+    with _pytest.raises(ValueError, match="no registered datum shift"):
+        crs.parse_wkt(shifted)
+    # zero shift still resolves
+    assert crs.parse_wkt(shifted.replace("TOWGS84[100,0,0]",
+                                         "TOWGS84[0,0,0]")) == "EPSG:4326"

@@ -557,9 +557,14 @@ def incremental_minhash_pairs(spark, path: str, new_docs: DataFrame,
     stored_bands = spark.read.parquet(f"{path}/bands")
     if max_bucket is not None:
         # resident hot buckets are a property of the STORE — exclude them
-        # store-side (broadcast list), same guard as minhash_lsh
-        hot = (stored_bands.groupBy("band_id", "band_hash").count()
-                           .where(F.col("count") > max_bucket)
+        # store-side (broadcast list), same guard as minhash_lsh.
+        # countDistinct, not count: a crash-replayed append can leave
+        # DUPLICATE band rows (harmless for pairs, which dedupe), and a
+        # raw row count would let them push a legitimate bucket over the
+        # cap — silently disabling near-dup detection for it
+        hot = (stored_bands.groupBy("band_id", "band_hash")
+                           .agg(F.countDistinct("_id").alias("n"))
+                           .where(F.col("n") > max_bucket)
                            .select("band_id", "band_hash"))
         stored_bands = stored_bands.join(F.broadcast(hot),
                                          ["band_id", "band_hash"],
@@ -747,8 +752,11 @@ def incremental_phash_pairs(spark, path: str, new_images: DataFrame,
 
     stored_blocks = spark.read.parquet(f"{path}/blocks")
     if max_bucket is not None:
-        hot = (stored_blocks.groupBy("block_id", "block_val").count()
-                            .where(F.col("count") > max_bucket)
+        # countDistinct — see incremental_minhash_pairs (replay-duplicated
+        # rows must not inflate a bucket over the cap)
+        hot = (stored_blocks.groupBy("block_id", "block_val")
+                            .agg(F.countDistinct("_id").alias("n"))
+                            .where(F.col("n") > max_bucket)
                             .select("block_id", "block_val"))
         stored_blocks = stored_blocks.join(F.broadcast(hot),
                                            ["block_id", "block_val"],

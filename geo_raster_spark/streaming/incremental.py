@@ -65,7 +65,7 @@ def windowed_event_counts(spark: SparkSession, events_path: str,
 def streaming_dedup_admission(spark: SparkSession, docs_path: str,
                               store_path: str, out_path: str,
                               checkpoint_path: str,
-                              schema: str = "doc_id long, text string",
+                              schema: str | None = None,
                               id_col: str = "doc_id",
                               text_col: str = "text",
                               jaccard_threshold: float = 0.6):
@@ -81,6 +81,10 @@ def streaming_dedup_admission(spark: SparkSession, docs_path: str,
     dedup at the door.  Returns the StreamingQuery."""
     from ..operators import dedup
 
+    # couple the default schema to the column names — an explicit
+    # readStream schema fills ABSENT columns with NULLs rather than
+    # raising, so a mismatched default would silently dedup nothing
+    schema = schema or f"{id_col} long, {text_col} string"
     stream = spark.readStream.schema(schema).parquet(docs_path)
 
     def process_batch(batch_df, batch_id: int):
@@ -91,8 +95,15 @@ def streaming_dedup_admission(spark: SparkSession, docs_path: str,
             # idempotent per-batch delivery, executed BEFORE the store
             # append (incremental_dedup's out_sink contract): a replayed
             # batch overwrites its own subdirectory instead of losing
-            # rows to the already-resident rejection or duplicating them
-            (accepted.write.mode("overwrite")
+            # rows to the already-resident rejection or duplicating
+            # them.  An EMPTY accepted set never overwrites: a replay of
+            # a fully-committed batch recomputes empty (its ids are now
+            # resident) and must not erase the rows it delivered before
+            # the crash.
+            if accepted.limit(1).count() == 0:
+                return
+            (accepted.withColumn("batch_id", F.lit(batch_id))
+                     .write.mode("overwrite")
                      .parquet(f"{out_path}/batch={batch_id}"))
 
         dedup.incremental_dedup(

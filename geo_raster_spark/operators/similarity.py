@@ -16,11 +16,34 @@
 
 from __future__ import annotations
 
+import os
+import re
+import shutil
+import uuid
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..synth import splitmix64
+
+# every index build writes its assignments under this batch partition; each
+# append_to_index batch gets its own sibling batch_id=<id> directory so a
+# crash-replayed batch OVERWRITES itself instead of double-inserting
+_BUILD_BATCH = "__build__"
+_BATCH_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def _count_data_files(path: str) -> int:
+    """Data-file count of a (local) parquet layout — the small-files
+    pressure stat surfaced in the drift report.  At deployment the table
+    format's manifest answers this without a filesystem walk (Iceberg
+    ``files`` metadata table) — SCALE.md."""
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files
+                 if f.endswith(".parquet") and not f.startswith("_"))
+    return n
 
 
 def _dot(a, b):
@@ -157,11 +180,15 @@ def build_lsh_index(emb: DataFrame, dim: int, path: str,
     every ``lsh_topk_indexed`` query then reads ONLY its candidate bucket
     partitions and the one-row sidecar — no per-query full-table aggregate
     (the round-2 scale defect in ``lsh_topk``).  Same on-disk shape as
-    ``build_ivf_index``."""
+    ``build_ivf_index``: ``assignments/batch_id=__build__/bucket=*`` — the
+    batch_id level exists so :func:`append_to_index` deliveries are
+    idempotent per batch; a rebuild's static overwrite clears the whole
+    layout including stale append batches."""
     import pandas as pd
     mu = data_mean(emb, dim, vec_col)
     (with_lsh_bucket(emb, dim, n_planes, seed, vec_col, center=mu)
-        .write.mode("overwrite").partitionBy("bucket")
+        .withColumn("batch_id", F.lit(_BUILD_BATCH))
+        .write.mode("overwrite").partitionBy("batch_id", "bucket")
         .parquet(f"{path}/assignments"))
     spark = emb.sparkSession
     spark.createDataFrame(pd.DataFrame({
@@ -264,7 +291,8 @@ def build_ivf_index(emb: DataFrame, dim: int, path: str,
     C = fit_centroids(emb, dim, n_centroids, iters=iters, seed=seed,
                       vec_col=vec_col)
     (with_ivf_bucket(emb, C, vec_col)
-        .write.mode("overwrite").partitionBy("ivf")
+        .withColumn("batch_id", F.lit(_BUILD_BATCH))
+        .write.mode("overwrite").partitionBy("batch_id", "ivf")
         .parquet(f"{path}/assignments"))
     spark = emb.sparkSession
     spark.createDataFrame(pd.DataFrame({
@@ -304,53 +332,158 @@ def _mean_ivf_dist(df: DataFrame, centroids: np.ndarray,
     return float(row["m"]) if row["m"] is not None else 0.0
 
 
+def _compacted_batches(spark, path: str) -> set:
+    """Batch ids already folded away by :func:`compact_index` — a replay
+    of one of these must be SKIPPED, not re-inserted (its rows live in
+    the build partition now).  Local-FS existence check; at deployment
+    the ledger is a tiny catalog table."""
+    p = f"{path}/compacted_batches"
+    if not os.path.isdir(p):
+        return set()
+    return {r["batch_id"]
+            for r in spark.read.parquet(p).select("batch_id")
+                          .distinct().collect()}
+
+
 def append_to_index(spark, path: str, new_emb: DataFrame, kind: str,
-                    vec_col: str = "embedding") -> dict:
+                    vec_col: str = "embedding",
+                    batch_id: str | int | None = None) -> dict:
     """Incremental index maintenance (round-5 verdict #4): assign NEW rows
     with the index's EXISTING quantizer (stored centroids / planes+center
-    — no refit, no touch of the resident data) and append them to the
+    — no refit, no touch of the resident data) and deliver them into the
     partitioned assignments layout; queries pick them up on their next
     partition-pruned read with zero rebuild.
+
+    Crash-replay idempotency (round-6 verdict #1): each batch lands in its
+    own ``assignments/batch_id=<id>`` directory via an overwrite SCOPED to
+    that directory, so a foreachBatch replay REWRITES the same rows instead
+    of double-inserting them — the same exactly-once delivery contract its
+    dedup-store siblings carry (``dedup.append_to_minhash_store`` rejects
+    replays through admission; here the layout itself absorbs them).  Pass
+    the streaming epoch / ingest date as ``batch_id``; when omitted a fresh
+    uuid is generated (an AD-HOC append — correct, but a replay would
+    arrive under a new uuid and duplicate, so always pass a stable id when
+    the source is at-least-once).  Batches folded away by
+    :func:`compact_index` are remembered in a ledger and skipped here, so
+    a late replay after compaction cannot re-insert rows either.
 
     Returns the drift report: mean quantization distance of the appended
     batch vs the build-time value from the stats sidecar.  A
     ``drift_ratio`` creeping above ~1.5 is the standard re-train signal —
     the quantizer no longer represents the incoming distribution (probe
     recall decays silently otherwise).  The append itself stays correct
-    at any drift: assignments use the same quantizer queries use."""
+    at any drift: assignments use the same quantizer queries use.  The
+    report also carries ``n_assignment_files`` so operators see the
+    small-files pressure build toward the next :func:`compact_index`."""
+    if kind not in ("ivf", "lsh"):
+        raise ValueError(f"kind must be 'ivf' or 'lsh', got {kind!r}")
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    batch_id = str(batch_id)
+    if batch_id == _BUILD_BATCH or not _BATCH_ID_RE.match(batch_id):
+        raise ValueError(
+            f"batch_id must match [A-Za-z0-9._-]+ and not be the reserved "
+            f"{_BUILD_BATCH!r}, got {batch_id!r}")
+    if batch_id in _compacted_batches(spark, path):
+        # this batch's rows were folded into the build partition by
+        # compact_index — a replayed delivery must be a no-op
+        return {"kind": kind, "batch_id": batch_id, "n_appended": 0,
+                "skipped_compacted": True,
+                "n_assignment_files": _count_data_files(
+                    f"{path}/assignments")}
+
     if kind == "ivf":
         C = load_ivf_centroids(spark, path)
         assigned = with_ivf_bucket(new_emb, C, vec_col)
-        assigned.write.mode("append").partitionBy("ivf") \
-            .parquet(f"{path}/assignments")
+        part = "ivf"
         new_dist = _mean_ivf_dist(new_emb, C, vec_col)
-    elif kind == "lsh":
+    else:
         stats = spark.read.parquet(f"{path}/stats").collect()[0]
         mu = np.asarray(stats["center"], dtype=np.float64)
         assigned = with_lsh_bucket(new_emb, int(stats["dim"]),
                                    int(stats["n_planes"]),
                                    int(stats["seed"]), vec_col, center=mu)
-        assigned.write.mode("append").partitionBy("bucket") \
-            .parquet(f"{path}/assignments")
+        part = "bucket"
         new_dist = _mean_center_dist(new_emb, mu, vec_col)
-    else:
-        raise ValueError(f"kind must be 'ivf' or 'lsh', got {kind!r}")
+    # overwrite of the batch's OWN directory: first delivery creates it,
+    # a replay rewrites it with identical content — never touches sibling
+    # batches or the build partition
+    assigned.write.mode("overwrite").partitionBy(part) \
+        .parquet(f"{path}/assignments/batch_id={batch_id}")
 
     build_dist = None
     try:
         srow = spark.read.parquet(f"{path}/stats").collect()[0]
-        if "mean_dist" in srow.__fields__:
-            build_dist = float(srow["mean_dist"])
-    except Exception:
-        pass  # pre-round-6 index without the drift sidecar field
+    except Exception as exc:  # narrow: only a MISSING sidecar is benign
+        from pyspark.errors import AnalysisException
+        if not isinstance(exc, AnalysisException):
+            raise  # corrupt/unreadable stats must not silently suppress
+            # the drift_ratio retrain signal (advice r6)
+        srow = None  # pre-round-6 index without a stats sidecar
+    if srow is not None and "mean_dist" in srow.__fields__:
+        build_dist = float(srow["mean_dist"])
     n = new_emb.count()
-    out = {"kind": kind, "n_appended": n,
+    out = {"kind": kind, "batch_id": batch_id, "n_appended": n,
            "mean_dist_new": round(new_dist, 6),
            "mean_dist_build": (round(build_dist, 6)
-                               if build_dist is not None else None)}
+                               if build_dist is not None else None),
+           "n_assignment_files": _count_data_files(f"{path}/assignments")}
     if build_dist:
         out["drift_ratio"] = round(new_dist / build_dist, 4)
     return out
+
+
+def compact_index(spark, path: str, id_col: str = "vec_id") -> dict:
+    """Index maintenance (round-6 verdict #2): fold every appended batch
+    into the build partition — coalescing the daily-append small files to
+    one file per bucket/inverted list and dropping replay-duplicated ids —
+    and record the folded batch ids in a ledger so a LATE replay of a
+    pre-compaction batch is skipped by :func:`append_to_index` instead of
+    re-inserting its rows.  Query results are identical pre/post (pinned
+    by tests).
+
+    Crash ordering: the ledger append lands BEFORE the layout swap.  A
+    crash in between leaves the old (correct, merely un-compacted) layout
+    plus a ledger entry — replays are skipped either way and re-running
+    compaction converges; the reverse order would reopen the exact
+    duplicate-insert window this function closes.  At deployment both
+    steps are one transactional table-format rewrite (Iceberg
+    ``rewrite_data_files``) — SCALE.md checkpoint row."""
+    apath = f"{path}/assignments"
+    cur = spark.read.parquet(apath)
+    part = "ivf" if "ivf" in cur.columns else "bucket"
+    batches = [r["batch_id"]
+               for r in cur.select("batch_id").distinct().collect()]
+    files_before = _count_data_files(apath)
+    rows_before = cur.count()
+    # duplicates can only be byte-identical replay copies (every batch is
+    # assigned with the same frozen quantizer), so any-survivor dedup by
+    # id preserves query results exactly
+    compacted = cur.dropDuplicates([id_col]).drop("batch_id")
+    rows_after = compacted.count()
+
+    folded = sorted(b for b in batches if b != _BUILD_BATCH)
+    if folded:
+        spark.createDataFrame([(b,) for b in folded], "batch_id string") \
+            .write.mode("append").parquet(f"{path}/compacted_batches")
+
+    tmp = apath + "__compact_tmp"
+    # repartition BY the partition column: each bucket/list value lands in
+    # exactly one task -> exactly one output file per partition directory
+    (compacted.withColumn("batch_id", F.lit(_BUILD_BATCH))
+        .repartition(F.col(part))
+        .write.mode("overwrite").partitionBy("batch_id", part).parquet(tmp))
+    old = apath + "__compact_old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)  # residue of a crashed prior compaction
+    os.rename(apath, old)
+    os.rename(tmp, apath)
+    shutil.rmtree(old)
+    return {"part_col": part, "batches_folded": len(folded),
+            "files_before": files_before,
+            "files_after": _count_data_files(apath),
+            "rows_before": rows_before, "rows_after": rows_after,
+            "dup_rows_dropped": rows_before - rows_after}
 
 
 def load_ivf_centroids(spark, path: str) -> np.ndarray:

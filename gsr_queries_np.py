@@ -1447,9 +1447,12 @@ ORACLES = {
     "g5_tile_cut_agg": SQL_G5_AGG,
     "z1_zonal": SQL_Z1,
     "m1_image_features": SQL_M1,
-    "e2_lsh_topk": _sql_ann_topk(f"{AUX_DIR}/e2_lsh/assignments/*/*.parquet",
+    # ** glob: the assignments layout is batch_id=<id>/bucket|ivf=<v>/
+    # since round 7 (idempotent per-batch appends) — recursive match keeps
+    # the oracle independent of the partition depth
+    "e2_lsh_topk": _sql_ann_topk(f"{AUX_DIR}/e2_lsh/assignments/**/*.parquet",
                                  f"{AUX_DIR}/e2_probe/*.parquet", "bucket"),
-    "e4_ivf_topk": _sql_ann_topk(f"{AUX_DIR}/e4_ivf/assignments/*/*.parquet",
+    "e4_ivf_topk": _sql_ann_topk(f"{AUX_DIR}/e4_ivf/assignments/**/*.parquet",
                                  f"{AUX_DIR}/e4_probe/*.parquet", "ivf"),
     "k1_knn_kring": SQL_K1,
     "i1_idw": SQL_I1,

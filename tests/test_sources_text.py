@@ -527,3 +527,116 @@ def test_append_to_index_incremental_ivf_and_lsh(spark, sf_dir, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="kind"):
         similarity.append_to_index(spark, path, rest, kind="flat")
+
+
+def test_append_to_index_replay_idempotent(spark, sf_dir, tmp_path):
+    """Round-6 verdict #1: a foreachBatch crash-replay re-delivers the SAME
+    batch — with a stable batch_id the delivery must overwrite itself, so
+    indexed top-k results stay identical and no duplicate ids appear."""
+    from geo_raster_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    first = emb.orderBy("vec_id").limit(n // 2)
+    rest = emb.join(first.select("vec_id"), "vec_id", "left_anti")
+    probe = [1.0 if i % 7 == 0 else 0.1 for i in range(64)]
+
+    for kind in ("ivf", "lsh"):
+        path = str(tmp_path / f"{kind}_replay")
+        if kind == "ivf":
+            similarity.build_ivf_index(first, 64, path, n_centroids=12)
+            topk = lambda k=10: similarity.ivf_topk_indexed(  # noqa: E731
+                spark, path, probe, k=k, nprobe=4).toPandas()
+        else:
+            similarity.build_lsh_index(first, 64, path, n_planes=6)
+            topk = lambda k=10: similarity.lsh_topk_indexed(  # noqa: E731
+                spark, path, probe, k=k, multiprobe_bits=1).toPandas()
+        r1 = similarity.append_to_index(spark, path, rest, kind=kind,
+                                        batch_id="day-001")
+        assert r1["batch_id"] == "day-001"
+        assert r1["n_assignment_files"] > 0
+        once = topk()
+        rows_once = spark.read.parquet(f"{path}/assignments").count()
+        # replay: same batch id, same rows -> scoped overwrite, no dups
+        similarity.append_to_index(spark, path, rest, kind=kind,
+                                   batch_id="day-001")
+        rows_replayed = spark.read.parquet(f"{path}/assignments").count()
+        assert rows_replayed == rows_once == n
+        twice = topk()
+        assert list(twice["vec_id"]) == list(once["vec_id"])
+        np.testing.assert_allclose(twice["cosine"], once["cosine"],
+                                   atol=1e-12)
+        ids = spark.read.parquet(f"{path}/assignments") \
+            .select("vec_id").toPandas()["vec_id"]
+        assert ids.is_unique
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="batch_id"):
+        similarity.append_to_index(spark, path, rest, kind="lsh",
+                                   batch_id="__build__")
+    with _pt.raises(ValueError, match="batch_id"):
+        similarity.append_to_index(spark, path, rest, kind="lsh",
+                                   batch_id="../evil")
+
+
+def test_compact_index_folds_batches_and_dedups(spark, sf_dir, tmp_path):
+    """Round-6 verdict #2 (index side): compaction must shrink the file
+    count, drop replay-duplicated ids (an at-least-once source WITHOUT
+    stable batch ids), keep query results identical, and make a late
+    replay of a folded batch a no-op via the ledger."""
+    from geo_raster_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    first = emb.orderBy("vec_id").limit(n // 2)
+    rest = emb.join(first.select("vec_id"), "vec_id", "left_anti")
+    probe = [1.0 if i % 7 == 0 else 0.1 for i in range(64)]
+    path = str(tmp_path / "ivf_compact")
+    similarity.build_ivf_index(first, 64, path, n_centroids=12)
+    # the hazard compaction cleans: the same rows delivered under TWO
+    # different batch ids (replay without a stable id) -> duplicate ids
+    similarity.append_to_index(spark, path, rest, kind="ivf",
+                               batch_id="day-001")
+    clean = similarity.ivf_topk_indexed(spark, path, probe, k=10,
+                                        nprobe=12).toPandas()
+    similarity.append_to_index(spark, path, rest, kind="ivf",
+                               batch_id="day-001-replayed")
+    dup_ids = spark.read.parquet(f"{path}/assignments") \
+        .select("vec_id").toPandas()["vec_id"]
+    assert not dup_ids.is_unique          # the duplicate-insert hazard
+    corrupted = similarity.ivf_topk_indexed(spark, path, probe, k=10,
+                                            nprobe=12).toPandas()
+    # ...and it REACHES query results: duplicate ids in the top-k
+    assert not corrupted["vec_id"].is_unique
+
+    rep = similarity.compact_index(spark, path, id_col="vec_id")
+    assert rep["part_col"] == "ivf"
+    assert rep["batches_folded"] == 2
+    assert rep["files_after"] < rep["files_before"]
+    assert rep["dup_rows_dropped"] == n - n // 2
+    assert rep["rows_after"] == n
+    ids = spark.read.parquet(f"{path}/assignments") \
+        .select("vec_id").toPandas()["vec_id"]
+    assert ids.is_unique
+    after = similarity.ivf_topk_indexed(spark, path, probe, k=10,
+                                        nprobe=12).toPandas()
+    # nprobe=12 == n_centroids: exact top-k; results must match the
+    # CLEAN single-delivery state exactly (dup rows were identical copies)
+    assert list(after["vec_id"]) == list(clean["vec_id"])
+    np.testing.assert_allclose(after["cosine"], clean["cosine"],
+                               atol=1e-12)
+    # partition pruning still holds on the compacted layout
+    cand = spark.read.parquet(f"{path}/assignments") \
+        .where(F.col("ivf").isin([0, 1]))
+    plan = cand._sc._jvm.PythonSQLUtils.explainString(
+        cand._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
+    assert "ivf" in plan.split("PartitionFilters")[1].split("\n")[0]
+
+    # late replay of a folded batch: skipped by the ledger, rows unchanged
+    late = similarity.append_to_index(spark, path, rest, kind="ivf",
+                                      batch_id="day-001")
+    assert late["skipped_compacted"] and late["n_appended"] == 0
+    assert spark.read.parquet(f"{path}/assignments").count() == n
+
+    # rerun converges (idempotent maintenance): nothing left to fold
+    rep2 = similarity.compact_index(spark, path, id_col="vec_id")
+    assert rep2["dup_rows_dropped"] == 0 and rep2["rows_after"] == n

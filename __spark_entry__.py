@@ -316,17 +316,32 @@ FROM lineitem GROUP BY 1
 
 
 def _q_d1_exact_dedup(spark, sf_dir):
-    """Exact dedup: md5 content hash groups with >1 member."""
-    d = _t(spark, sf_dir, "documents")
-    return (d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+    """Exact dedup: md5 content hash groups with >1 member.
+
+    The raw documents table has NO exact duplicates at sf0.01 (round-6
+    verdict: both engines returned 0 rows — a vacuous green), so the
+    query PLANTS them: every 10th doc is unioned back under an offset id
+    on BOTH the Spark and DuckDB sides, making the row certify the
+    grouping + HAVING + keeper-min logic on non-empty data."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (d.where(F.col("doc_id") % 10 == 0)
+                .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000)))
+    u = d.unionByName(planted)
+    return (u.groupBy(F.md5(F.col("text")).alias("text_hash"))
              .agg(F.count("*").alias("n_dups"),
                   F.min("doc_id").alias("keeper_doc_id"))
              .where(F.col("n_dups") > 1))
 
 
 _SQL_D1 = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 0
+)
 SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_doc_id
-FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+FROM u GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 

@@ -267,7 +267,7 @@ def _geokeys(crs_id: str):
     cid = crs_mod.normalize_crs(crs_id)
     code = crs_mod.to_epsg(cid)
     # degree-unit CRSs take the GeographicType key: WGS84 itself plus the
-    # non-WGS84 geographic datums (EPSG:4230/4277), which is_geographic()
+    # non-WGS84 geographic datums (EPSG:4230/4277/4267), which is_geographic()
     # deliberately excludes (it answers "is this the pivot frame")
     dd = crs_mod._parse_datum_crs(cid.upper())
     geographic = crs_mod.is_geographic(cid.upper()) \

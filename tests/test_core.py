@@ -1244,7 +1244,9 @@ def test_ed50_utm_zone_and_proj4_resolution():
     """EPSG:23031 (ED50/UTM 31N): differs from WGS84 UTM 31N by the
     datum-shift magnitude, round-trips exactly, and the proj4/raise
     grammar covers the datum class (nonzero towgs84 accepted for the
-    registered datums, loud raise otherwise — NAD27 stays rejected)."""
+    registered datums, loud raise otherwise — +datum=NAD27 stays
+    rejected because PROJ's +datum keyword implies the NADCON grid
+    shift, not the Helmert approximation +towgs84=-8,160,176 opts into)."""
     lon, lat = np.array([3.0]), np.array([46.5])
     E50, N50 = crs.transform("EPSG:4326", "EPSG:23031", lon, lat)
     E84, N84 = crs.transform("EPSG:4326", "EPSG:32631", lon, lat)
@@ -1406,3 +1408,122 @@ def test_datum_parser_review_fixes():
     # zero shift still resolves
     assert crs.parse_wkt(shifted.replace("TOWGS84[100,0,0]",
                                          "TOWGS84[0,0,0]")) == "EPSG:4326"
+
+
+def test_nad27_helmert_datum_end_to_end():
+    """NAD27 (round-6 verdict "missing" #4): EPSG:1173 published CONUS
+    mean translation (-8, 160, 176) on Clarke 1866 — documented ~10 m
+    accuracy class vs the NADCON grid realization (which needs grid
+    files, out of scope).  Checks: float-precision round-trips, a CONUS
+    ground-shift magnitude in the published 10-100 m window, UTM zone
+    codes, proj4/WKT resolution, and an independent scalar EPSG-9606
+    twin of the vectorized path."""
+    lon = np.linspace(-120.0, -75.0, 7)
+    lat = np.linspace(26.0, 48.0, 7)
+    X, Y = crs.transform("EPSG:4326", "EPSG:4267", lon, lat)
+    lo, la = crs.transform("EPSG:4267", "EPSG:4326", X, Y)
+    np.testing.assert_allclose(lo, lon, atol=1e-7)
+    np.testing.assert_allclose(la, lat, atol=1e-7)
+    m_per_deg = 111_320.0
+    dlon, dlat = crs.transform("EPSG:4326", "EPSG:4267",
+                               np.array([-98.0]), np.array([39.0]))
+    disp = math.hypot(
+        (dlon[0] + 98.0) * m_per_deg * math.cos(math.radians(39)),
+        (dlat[0] - 39.0) * m_per_deg)
+    assert 10.0 < disp < 100.0, disp
+
+    # NAD27/UTM 14N: round-trips exactly; sits a datum-shift away from
+    # the WGS84 UTM 14N coordinate of the same ground point
+    E27, N27 = crs.transform("EPSG:4326", "EPSG:26714",
+                             np.array([-98.0]), np.array([39.0]))
+    E84, N84 = crs.transform("EPSG:4326", "EPSG:32614",
+                             np.array([-98.0]), np.array([39.0]))
+    d = math.hypot(E27[0] - E84[0], N27[0] - N84[0])
+    assert 10.0 < d < 300.0, d
+    lo2, la2 = crs.transform("EPSG:26714", "EPSG:4326", E27, N27)
+    np.testing.assert_allclose(lo2, [-98.0], atol=1e-7)
+    np.testing.assert_allclose(la2, [39.0], atol=1e-7)
+
+    assert crs.parse_proj4(
+        "+proj=longlat +ellps=clrk66 +towgs84=-8,160,176") == "EPSG:4267"
+    assert crs.parse_proj4(
+        "+proj=utm +zone=14 +ellps=clrk66 +towgs84=-8,160,176 +units=m"
+    ) == "EPSG:26714"
+    with _pytest.raises(ValueError, match="zones 1-22"):
+        crs.parse_proj4(
+            "+proj=utm +zone=31 +ellps=clrk66 +towgs84=-8,160,176")
+    wkt = ('PROJCS["NAD27 / UTM zone 14N",GEOGCS["NAD27",'
+           'DATUM["North_American_Datum_1927",'
+           'SPHEROID["Clarke 1866",6378206.4,294.978698213898]],'
+           'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Transverse_Mercator"],'
+           'PARAMETER["latitude_of_origin",0],'
+           'PARAMETER["central_meridian",-99],'
+           'PARAMETER["scale_factor",0.9996],'
+           'PARAMETER["false_easting",500000],'
+           'PARAMETER["false_northing",0],UNIT["metre",1],'
+           'AUTHORITY["EPSG","26714"]]')
+    assert crs.parse_wkt(wkt) == "EPSG:26714"
+
+    # independent scalar EPSG-9606 twin (translation-only degenerate)
+    a_c, inv_f = 6378206.4, 294.9786982
+    f = 1.0 / inv_f
+    e2 = f * (2 - f)
+
+    def scalar_nad27_to_wgs84(lon_d, lat_d):
+        phi, lam = math.radians(lat_d), math.radians(lon_d)
+        nu = a_c / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        x = nu * math.cos(phi) * math.cos(lam) - 8.0
+        y = nu * math.cos(phi) * math.sin(lam) + 160.0
+        z = nu * (1 - e2) * math.sin(phi) + 176.0
+        aw, fw = 6378137.0, 1 / 298.257223563
+        ew2 = fw * (2 - fw)
+        p = math.hypot(x, y)
+        phi2 = math.atan2(z, p * (1 - ew2))
+        for _ in range(10):
+            nu2 = aw / math.sqrt(1 - ew2 * math.sin(phi2) ** 2)
+            h = p / math.cos(phi2) - nu2
+            phi2 = math.atan2(z, p * (1 - ew2 * nu2 / (nu2 + h)))
+        return math.degrees(math.atan2(y, x)), math.degrees(phi2)
+
+    for lon_d, lat_d in ((-98.0, 39.0), (-120.3, 34.4), (-77.0, 44.9)):
+        want = scalar_nad27_to_wgs84(lon_d, lat_d)
+        got = crs._datum_to_wgs84(np.array([lon_d]), np.array([lat_d]),
+                                  "NAD27")
+        np.testing.assert_allclose([got[0][0], got[1][0]], want, atol=1e-10)
+
+
+def test_wkt_datum_name_guard():
+    """Round-6 ADVICE (medium): with no TOWGS84, the DATUM *name* must
+    match the registered datum — the ellipsoid alone is ambiguous
+    (PSAD56 and Indian 1954 also live on International 1924 and must NOT
+    silently inherit the ED50 shift)."""
+    tpl = ('GEOGCS["{n}",DATUM["{d}",'
+           'SPHEROID["International 1924",6378388,297]],'
+           'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]')
+    for bad in ("Provisional_South_American_Datum_1956", "Indian_1954",
+                "D_Provisional_S_American_1956"):
+        with _pytest.raises(ValueError, match="refusing to guess"):
+            crs.parse_wkt(tpl.format(n="x", d=bad))
+    # registered spellings resolve: WKT1 underscore, WKT2 spaced, ESRI D_
+    for good in ("European_Datum_1950", "European Datum 1950",
+                 "D_European_1950", "ED50"):
+        assert crs.parse_wkt(tpl.format(n="ED50", d=good)) == "EPSG:4230"
+    # an explicit registry-matching TOWGS84 pins the datum regardless of
+    # an unrecognized name (the shift is the evidence, not the label)
+    pinned = tpl.format(n="x", d="weird_local_name").replace(
+        ',297]]', ',297],TOWGS84[-87,-98,-121,0,0,0,0]]')
+    assert crs.parse_wkt(pinned) == "EPSG:4230"
+    # Clarke 1866 with a non-NAD27 name (e.g. old Bermuda 1957) raises
+    bermuda = ('GEOGCS["Bermuda 1957",DATUM["Bermuda_1957",'
+               'SPHEROID["Clarke 1866",6378206.4,294.978698213898]],'
+               'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]')
+    with _pytest.raises(ValueError, match="refusing to guess"):
+        crs.parse_wkt(bermuda)
+    # Airy with a non-OSGB36 name (e.g. Ireland 1965 uses Airy Modified,
+    # but a plain-Airy mislabel must still refuse)
+    not_osgb = ('GEOGCS["x",DATUM["Ireland_1965",'
+                'SPHEROID["Airy 1830",6377563.396,299.3249646]],'
+                'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]')
+    with _pytest.raises(ValueError, match="refusing to guess"):
+        crs.parse_wkt(not_osgb)

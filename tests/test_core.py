@@ -1527,3 +1527,194 @@ def test_wkt_datum_name_guard():
                 'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]')
     with _pytest.raises(ValueError, match="refusing to guess"):
         crs.parse_wkt(not_osgb)
+
+
+# GDAL-3-shaped WKT2 strings (the default ExportToWkt() output of modern
+# GDAL — round-6 verdict "missing" #5).  Each must resolve to a transform
+# BIT-IDENTICAL to its canonical registry id.
+_DEG2 = 'ANGLEUNIT["degree",0.0174532925199433]'
+_M2 = 'LENGTHUNIT["metre",1]'
+
+
+def _wkt2_geog(name, dname, ell, epsg=None, ensemble=False):
+    d = (f'ENSEMBLE["{dname}",MEMBER["x"],ELLIPSOID[{ell},{_M2}],'
+         'ENSEMBLEACCURACY[2.0]]' if ensemble
+         else f'DATUM["{dname}",ELLIPSOID[{ell},{_M2}]]')
+    tail = f',ID["EPSG",{epsg}]' if epsg else ''
+    return (f'GEOGCRS["{name}",{d},PRIMEM["Greenwich",0,{_DEG2}],'
+            f'CS[ellipsoidal,2],'
+            f'AXIS["geodetic latitude (Lat)",north,ORDER[1],{_DEG2}],'
+            f'AXIS["geodetic longitude (Lon)",east,ORDER[2],{_DEG2}]'
+            f'{tail}]')
+
+
+def _wkt2_proj(name, base, method, params, epsg=None):
+    ps = ",".join(f'PARAMETER["{k}",{v},{u}]' for k, v, u in params)
+    tail = f',ID["EPSG",{epsg}]' if epsg else ''
+    return (f'PROJCRS["{name}",BASE{base},'
+            f'CONVERSION["{name}",METHOD["{method}"],{ps}],'
+            f'CS[Cartesian,2],AXIS["(E)",east,ORDER[1],{_M2}],'
+            f'AXIS["(N)",north,ORDER[2],{_M2}]{tail}]')
+
+
+_WGS84_ELL = '"WGS 84",6378137,298.257223563'
+_GRS80_ELL = '"GRS 1980",6378137,298.257222101'
+_WKT2_BASES = {
+    "wgs84": _wkt2_geog("WGS 84", "World Geodetic System 1984 ensemble",
+                        _WGS84_ELL, 4326, ensemble=True),
+    "nad83": _wkt2_geog("NAD83", "North American Datum 1983",
+                        _GRS80_ELL, 4269),
+    "nad27": _wkt2_geog("NAD27", "North American Datum 1927",
+                        '"Clarke 1866",6378206.4,294.978698213898', 4267),
+    "osgb36": _wkt2_geog("OSGB36",
+                         "Ordnance Survey of Great Britain 1936",
+                         '"Airy 1830",6377563.396,299.3249646', 4277),
+    "ed50": _wkt2_geog("ED50", "European Datum 1950",
+                       '"International 1924",6378388,297', 4230),
+    "sphere": _wkt2_geog("unnamed",
+                         "Not specified (based on custom spheroid)",
+                         '"Custom spheroid",6371007.181,0'),
+}
+_WKT2 = {
+    "EPSG:4326": _WKT2_BASES["wgs84"],
+    "EPSG:4230": _WKT2_BASES["ed50"],
+    "EPSG:4267": _WKT2_BASES["nad27"],
+    "EPSG:32618": _wkt2_proj(
+        "WGS 84 / UTM zone 18N", _WKT2_BASES["wgs84"],
+        "Transverse Mercator",
+        [("Latitude of natural origin", 0, _DEG2),
+         ("Longitude of natural origin", -75, _DEG2),
+         ("Scale factor at natural origin", 0.9996, 'SCALEUNIT["unity",1]'),
+         ("False easting", 500000, _M2),
+         ("False northing", 0, _M2)], 32618),
+    "EPSG:26714": _wkt2_proj(
+        "NAD27 / UTM zone 14N", _WKT2_BASES["nad27"],
+        "Transverse Mercator",
+        [("Latitude of natural origin", 0, _DEG2),
+         ("Longitude of natural origin", -99, _DEG2),
+         ("Scale factor at natural origin", 0.9996, 'SCALEUNIT["unity",1]'),
+         ("False easting", 500000, _M2),
+         ("False northing", 0, _M2)], 26714),
+    "EPSG:27700": _wkt2_proj(
+        "OSGB36 / British National Grid", _WKT2_BASES["osgb36"],
+        "Transverse Mercator",
+        [("Latitude of natural origin", 49, _DEG2),
+         ("Longitude of natural origin", -2, _DEG2),
+         ("Scale factor at natural origin", 0.9996012717,
+          'SCALEUNIT["unity",1]'),
+         ("False easting", 400000, _M2),
+         ("False northing", -100000, _M2)], 27700),
+    "EPSG:3857": _wkt2_proj(
+        "WGS 84 / Pseudo-Mercator", _WKT2_BASES["wgs84"],
+        "Popular Visualisation Pseudo Mercator",
+        [("Latitude of natural origin", 0, _DEG2),
+         ("Longitude of natural origin", 0, _DEG2),
+         ("False easting", 0, _M2), ("False northing", 0, _M2)], 3857),
+    "EPSG:5070": _wkt2_proj(
+        "NAD83 / Conus Albers", _WKT2_BASES["nad83"],
+        "Albers Equal Area",
+        [("Latitude of false origin", 23, _DEG2),
+         ("Longitude of false origin", -96, _DEG2),
+         ("Latitude of 1st standard parallel", 29.5, _DEG2),
+         ("Latitude of 2nd standard parallel", 45.5, _DEG2),
+         ("Easting at false origin", 0, _M2),
+         ("Northing at false origin", 0, _M2)], 5070),
+    "EPSG:3978": _wkt2_proj(
+        "NAD83 / Canada Atlas Lambert", _WKT2_BASES["nad83"],
+        "Lambert Conic Conformal (2SP)",
+        [("Latitude of false origin", 49, _DEG2),
+         ("Longitude of false origin", -95, _DEG2),
+         ("Latitude of 1st standard parallel", 49, _DEG2),
+         ("Latitude of 2nd standard parallel", 77, _DEG2),
+         ("Easting at false origin", 0, _M2),
+         ("Northing at false origin", 0, _M2)], 3978),
+    "EPSG:3413": _wkt2_proj(
+        "WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+        _WKT2_BASES["wgs84"], "Polar Stereographic (variant B)",
+        [("Latitude of standard parallel", 70, _DEG2),
+         ("Longitude of origin", -45, _DEG2),
+         ("False easting", 0, _M2), ("False northing", 0, _M2)], 3413),
+    "SINU": _wkt2_proj(
+        "unnamed", _WKT2_BASES["sphere"], "Sinusoidal",
+        [("Longitude of natural origin", 0, _DEG2),
+         ("False easting", 0, _M2), ("False northing", 0, _M2)]),
+}
+
+
+def test_wkt2_parsing_bit_identical_to_epsg_ids():
+    """WKT2 twins of test_wkt_parsing_bit_identical_to_epsg_ids: the
+    GDAL-3 default grammar resolves to the same registry ids, so the
+    transforms are bit-identical by construction — including the datum
+    CRSs (ED50/OSGB36/NAD27) via the DATUM-name path."""
+    lon = np.array([-120.0, 3.0, 45.0])
+    for canon, wkt2 in _WKT2.items():
+        assert crs.parse_wkt(wkt2) is not None, canon
+        if canon == "EPSG:3413":
+            lat = np.array([70.0, 80.0, 60.0])
+        else:
+            lat = np.array([40.0, 45.0, -33.0])
+        xa, ya = crs.transform("EPSG:4326", wkt2, lon, lat)
+        xb, yb = crs.transform("EPSG:4326", canon, lon, lat)
+        np.testing.assert_array_equal(xa, xb, err_msg=canon)
+        np.testing.assert_array_equal(ya, yb, err_msg=canon)
+
+
+def test_wkt2_boundcrs_and_rejections():
+    """BOUNDCRS: the abridged Helmert must match a REGISTERED datum
+    shift (misread or unregistered -> loud raise, never a silent
+    transform); unsupported WKT2 content raises with a WKT2-prefixed
+    message."""
+    towgs84_osgb = (
+        'ABRIDGEDTRANSFORMATION["OSGB36 to WGS 84",'
+        'METHOD["Position Vector transformation (geog2D domain)",'
+        'ID["EPSG",9606]],'
+        'PARAMETER["X-axis translation",446.448,ID["EPSG",8605]],'
+        'PARAMETER["Y-axis translation",-125.157,ID["EPSG",8606]],'
+        'PARAMETER["Z-axis translation",542.06,ID["EPSG",8607]],'
+        'PARAMETER["X-axis rotation",0.15,ID["EPSG",8608]],'
+        'PARAMETER["Y-axis rotation",0.247,ID["EPSG",8609]],'
+        'PARAMETER["Z-axis rotation",0.842,ID["EPSG",8610]],'
+        'PARAMETER["Scale difference",0.9999795106,ID["EPSG",8611]]]')
+    bound = (f'BOUNDCRS[SOURCECRS[{_WKT2_BASES["osgb36"]}],'
+             f'TARGETCRS[{_WKT2_BASES["wgs84"]}],{towgs84_osgb}]')
+    assert crs.parse_wkt(bound) == "EPSG:4277"
+    # explicit-ppm SCALEUNIT spelling resolves identically
+    ppm = towgs84_osgb.replace(
+        '"Scale difference",0.9999795106',
+        '"Scale difference",-20.4894,SCALEUNIT["parts per million",1E-06]')
+    assert crs.parse_wkt(
+        f'BOUNDCRS[SOURCECRS[{_WKT2_BASES["osgb36"]}],'
+        f'TARGETCRS[{_WKT2_BASES["wgs84"]}],{ppm}]') == "EPSG:4277"
+    # an unregistered shift raises (registry is the arbiter)
+    with pytest.raises(ValueError, match="TOWGS84"):
+        crs.parse_wkt(bound.replace('446.448', '400.0'))
+    # a non-WGS84 hub raises
+    with pytest.raises(ValueError, match="WGS84"):
+        crs.parse_wkt(
+            f'BOUNDCRS[SOURCECRS[{_WKT2_BASES["osgb36"]}],'
+            f'TARGETCRS[{_WKT2_BASES["ed50"]}],{towgs84_osgb}]')
+
+    with pytest.raises(ValueError, match="WKT2: unsupported METHOD"):
+        crs.parse_wkt(_WKT2["EPSG:3857"].replace(
+            "Popular Visualisation Pseudo Mercator",
+            "Hotine Oblique Mercator (variant A)"))
+    with pytest.raises(ValueError, match="WKT2: unsupported PARAMETER"):
+        crs.parse_wkt(_WKT2["EPSG:32618"].replace(
+            "Latitude of natural origin", "Co-latitude of cone axis"))
+    # foot axis unit would silently rescale coordinates -> raise
+    with pytest.raises(ValueError, match="UNIT must be metre"):
+        crs.parse_wkt(_WKT2["EPSG:32618"].replace(
+            f'AXIS["(E)",east,ORDER[1],{_M2}]',
+            'AXIS["(E)",east,ORDER[1],'
+            'LENGTHUNIT["US survey foot",0.304800609601219]]'))
+    # grad geographic unit -> raise (not silently treated as degrees)
+    with pytest.raises(ValueError, match="must be degree"):
+        crs.parse_wkt(_WKT2["EPSG:4326"].replace(
+            'ANGLEUNIT["degree",0.0174532925199433]',
+            'ANGLEUNIT["grad",0.015707963267949]'))
+    # WKT2 PSAD56 (Intl-1924 ellipsoid, foreign datum name) -> raise
+    with pytest.raises(ValueError, match="refusing to guess"):
+        crs.parse_wkt(_WKT2_BASES["ed50"].replace(
+            "European Datum 1950",
+            "Provisional South American Datum 1956").replace(
+            ',ID["EPSG",4230]', ''))

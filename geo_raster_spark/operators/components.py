@@ -131,6 +131,92 @@ def component_stats(comp: DataFrame) -> DataFrame:
     return comp.groupBy("root").agg(F.count("*").alias("n_members"))
 
 
+def cross_modal_corpus(docs: DataFrame, images: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       image_id_col: str = "image_id",
+                       caption_col: str = "caption") -> DataFrame:
+    """The namespaced union corpus for cross-modal dedup:
+    (``node_id`` = 'doc:'+doc_id | 'img:'+image_id, ``modality``,
+    ``text`` = document text | image caption).  The shared text column is
+    what lets one MinHash pass connect a caption-duplicate image to its
+    text twin."""
+    d = docs.select(
+        F.concat(F.lit("doc:"), F.col(id_col).cast("string"))
+         .alias("node_id"),
+        F.lit("doc").alias("modality"),
+        F.col(text_col).alias("text"))
+    i = images.select(
+        F.concat(F.lit("img:"), F.col(image_id_col).cast("string"))
+         .alias("node_id"),
+        F.lit("img").alias("modality"),
+        F.col(caption_col).alias("text"))
+    return d.unionByName(i)
+
+
+def cross_modal_pairs(docs: DataFrame, images: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      image_id_col: str = "image_id",
+                      caption_col: str = "caption",
+                      phash_col: str = "phash",
+                      k: int = 5, n_hashes: int = 32, bands: int = 8,
+                      jaccard_threshold: float = 0.6,
+                      max_hamming: int = 3,
+                      max_bucket: int = 200) -> DataFrame:
+    """Duplicate edges across BOTH modalities (round-6 verdict #6):
+    (id_a < id_b, source) with namespaced ids.
+
+    - ``source='text'``: one MinHash-LSH pass over the UNION of document
+      text and image captions — so an image whose caption duplicates a
+      document's text gets an edge to that document, and caption-duplicate
+      images edge to each other.
+    - ``source='phash'``: perceptual-hash Hamming pairs over the images,
+      in the same ``img:`` namespace.
+
+    Scale shape is unchanged from the parts: one signature scan over the
+    union corpus (captions are just more rows), bucket-bounded joins with
+    the same hot-bucket guards.  ``connected_components`` downstream is
+    id-type-agnostic, so a cluster spanning {doc:…, img:…} collapses to
+    one root — a caption-duplicate image cluster merges with its text
+    twin even when the two modalities never co-paired directly."""
+    from .dedup import minhash_lsh, phash_pairs
+    corpus = cross_modal_corpus(docs, images, text_col, id_col,
+                                image_id_col, caption_col)
+    tp = minhash_lsh(corpus, text_col="text", id_col="node_id", k=k,
+                     n_hashes=n_hashes, bands=bands,
+                     jaccard_threshold=jaccard_threshold,
+                     max_bucket=max_bucket)
+    ip = phash_pairs(
+        images.select(
+            F.concat(F.lit("img:"), F.col(image_id_col).cast("string"))
+             .alias(image_id_col),
+            F.col(phash_col)),
+        id_col=image_id_col, phash_col=phash_col,
+        max_hamming=max_hamming, max_bucket=max_bucket)
+    return (tp.select("id_a", "id_b", F.lit("text").alias("source"))
+              .unionByName(
+                  ip.select("id_a", "id_b", F.lit("phash").alias("source")))
+              .dropDuplicates(["id_a", "id_b"]))
+
+
+def cross_modal_dedup(docs: DataFrame, images: DataFrame,
+                      keep: str = "min_id",
+                      order_col: str | None = None,
+                      **pair_kwargs) -> DataFrame:
+    """Survivor table over the namespaced union corpus: one survivor per
+    cross-modal duplicate component, every unpaired row kept.  Columns
+    (node_id, modality, text); split survivors back per modality by the
+    ``modality`` column (or the id prefix)."""
+    corpus = cross_modal_corpus(
+        docs, images,
+        text_col=pair_kwargs.get("text_col", "text"),
+        id_col=pair_kwargs.get("id_col", "doc_id"),
+        image_id_col=pair_kwargs.get("image_id_col", "image_id"),
+        caption_col=pair_kwargs.get("caption_col", "caption"))
+    pairs = cross_modal_pairs(docs, images, **pair_kwargs)
+    return dedup_corpus(corpus, pairs, id_col="node_id",
+                        keep=keep, order_col=order_col)
+
+
 def dedup_corpus(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                  keep: str = "min_id", order_col: str | None = None,
                  components: DataFrame | None = None) -> DataFrame:

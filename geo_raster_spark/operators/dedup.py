@@ -121,7 +121,11 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text",
     — see BENCH/IMPROVEMENTS.md).  Same KM family downstream; the BASE hash
     differs (FNV-1a on byte windows vs JVM xxhash64 on char shingles), so
     signatures are engine-specific — pairs/estimates are statistically
-    equivalent, not byte-equal."""
+    equivalent, not byte-equal.
+
+    ``_id`` keeps the INPUT id type (long or string) — string ids carry
+    the namespaced ``doc:``/``img:`` nodes of ``cross_modal_pairs``."""
+    id_type = docs.schema[id_col].dataType.simpleString()
     iarr = np.arange(n_hashes, dtype=np.uint64)
     prime = np.uint64(0x100000001B3)
 
@@ -142,7 +146,7 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text",
             yield pd.DataFrame({"_id": pdf[id_col], "sig": sigs})
 
     return docs.select(id_col, text_col).mapInPandas(
-        batch, schema="_id long, sig array<long>")
+        batch, schema=f"_id {id_type}, sig array<long>")
 
 
 def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

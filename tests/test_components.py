@@ -533,3 +533,58 @@ def test_compact_store_minhash_and_phash(spark, sf_dir, tmp_path):
     pafter.unpersist()
     _p2.unpersist()
     assert got_pa == got_pb and len(got_pa) >= 3
+
+
+def test_cross_modal_dedup_planted_cluster(spark):
+    """Round-6 verdict #6: one dedup pass over the union of text-minhash
+    and image-phash pairs with namespaced ids.  Planted cluster: doc:1's
+    text == img:A and img:B's caption (text edges doc:1~img:A~img:B), and
+    img:B ~ img:C by a 2-bit phash flip (phash edge) — the WHOLE
+    {doc:1, img:A, img:B, img:C} cluster must collapse to one survivor
+    even though doc:1 and img:C share neither text nor phash."""
+    lorem = ("the quick brown fox jumps over the lazy dog and then "
+             "keeps running through the mossy quiet forest for hours "
+             "until the river bends north past the old stone mill")
+    other = ("completely different content about spark shuffle "
+             "partitioning strategies broadcast joins and adaptive "
+             "query execution at the hundred terabyte scale")
+    third = ("a third unrelated document concerning raster tile "
+             "pyramids overview resampling and geotiff compression "
+             "parameters for satellite imagery archives")
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["1", "2"], "text": [lorem, other]}))
+    base = np.int64(0x0123456789ABCDEF)
+    images = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["A", "B", "C", "D"],
+        "caption": [lorem, lorem, third, other[:40] + " unrelated tail "
+                    "words making this caption share nothing"],
+        "phash": [np.int64(-0x7EDCBA0987654321), base,
+                  np.int64(base ^ 0x0000000000000011),   # 2 bits from B
+                  np.int64(0x7000000000000001)]}))
+
+    pairs = cc.cross_modal_pairs(docs, images, jaccard_threshold=0.5)
+    got = {(r.id_a, r.id_b, r.source) for r in pairs.collect()}
+    assert ("doc:1", "img:A", "text") in got
+    assert ("img:A", "img:B", "text") in got or \
+           ("doc:1", "img:B", "text") in got
+    assert ("img:B", "img:C", "phash") in got
+    # no spurious edges into doc:2 / img:D
+    assert not any("doc:2" in (a, b) or "img:D" in (a, b)
+                   for a, b, _ in got)
+
+    survivors = cc.cross_modal_dedup(docs, images, jaccard_threshold=0.5)
+    rows = {r.node_id: r.modality for r in survivors.collect()}
+    # the 4-node cluster keeps exactly its min id (doc:1); unpaired rows
+    # (doc:2, img:D) survive untouched
+    assert set(rows) == {"doc:1", "doc:2", "img:D"}
+    assert rows["doc:1"] == "doc"
+
+    # cross-check the component against the union-find oracle
+    comp = cc.connected_components(pairs.select("id_a", "id_b"))
+    want = _union_find([(r.id_a, r.id_b)
+                        for r in pairs.select("id_a", "id_b").collect()])
+    got_comp = {r.node: r.root for r in comp.collect()}
+    comp.unpersist()
+    assert got_comp == want
+    cluster = {n for n, r in got_comp.items() if r == "doc:1"}
+    assert cluster == {"doc:1", "img:A", "img:B", "img:C"}

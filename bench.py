@@ -132,35 +132,100 @@ def main():
 
     from geo_raster_spark.operators import components as cc_op
     from geo_raster_spark.operators import dedup as dd_op
+    def _planted_corpus(base):
+        """base (doc_id, text) -> base + 10% near-copies + 10% exact
+        copies at offset ids: the planted-20% dedup protocol."""
+        n_base = base.count()
+        tenth = max(n_base // 10, 1)
+        near = (base.orderBy("doc_id").limit(tenth)
+                    .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                            F.concat("text", F.lit(" nearcopy"))
+                            .alias("text")))
+        exact = (base.orderBy(F.col("doc_id").desc()).limit(tenth)
+                     .select((F.col("doc_id") + 20_000_000).alias("doc_id"),
+                             "text"))
+        return base.unionByName(near).unionByName(exact), n_base + 2 * tenth
+
+    def _dedup_pipeline_row(corpus, n_total) -> dict:
+        """pairs -> connected components -> survivors, each stage timed;
+        cc_rounds pins the O(log n) convergence against data growth."""
+        row: dict = {"n_docs": n_total}
+        t0 = time.time()
+        pr = dd_op.minhash_lsh(corpus, jaccard_threshold=0.5) \
+            .select("id_a", "id_b")
+        row["n_pairs"] = pr.count()
+        row["pairs_sec"] = round(time.time() - t0, 3)
+        cstats: dict = {}
+        t0 = time.time()
+        comp = cc_op.connected_components(pr, stats=cstats)
+        row["n_dup_nodes"] = comp.count()
+        row["n_components"] = comp.select("root").distinct().count()
+        row["components_sec"] = round(time.time() - t0, 3)
+        row["cc_rounds"] = cstats.get("iterations")
+        t0 = time.time()
+        row["n_survivors"] = cc_op.dedup_corpus(
+            corpus, pr, components=comp).count()
+        row["survivor_sec"] = round(time.time() - t0, 3)
+        pr.unpersist()
+        return row
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
         .select("doc_id", "text")
     n_docs = docs.count()
-    tenth = max(n_docs // 10, 1)
-    near = (docs.orderBy("doc_id").limit(tenth)
-                .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
-                        F.concat("text", F.lit(" nearcopy")).alias("text")))
-    exact = (docs.orderBy(F.col("doc_id").desc()).limit(tenth)
-                 .select((F.col("doc_id") + 20_000_000).alias("doc_id"),
-                         "text"))
-    corpus = docs.unionByName(near).unionByName(exact)
-    dd: dict = {"n_docs": n_docs + 2 * tenth}
+    corpus, n_total = _planted_corpus(docs)
+    dd = _dedup_pipeline_row(corpus, n_total)
+
+    # 10x dedup scale point (round-6 verdict #7): the same planted-20%
+    # protocol over a 10x synthetic corpus in the testdata documents'
+    # style (fixed vocab, ~50 words/doc, fully JVM-generated) — pins
+    # cc_rounds staying O(log n) and pairs_sec scaling ~linearly with
+    # corpus size rather than with the quadratic candidate space.
+    base_words = ["batch", "part", "spark", "line", "column", "order",
+                  "small", "sort", "fast", "value", "scan", "hash",
+                  "slow", "group", "agg", "filter", "query", "big",
+                  "key", "window", "row", "table", "stream", "merge",
+                  "data", "join", "cache", "shuffle", "plan", "stage"]
+    # ~300 distinct tokens: wide enough that two RANDOM docs share few
+    # 5-char shingles (like the testdata corpus, where cross-pairs are
+    # rare) — with the 30-word base alone, random docs minhash-collide
+    # and the row stops measuring the planted-dup pipeline
+    vocab = [f"{w}{i}" for w in base_words for i in range(10)]
+    varr = F.array(*[F.lit(w) for w in vocab])
+    words = [F.element_at(
+        varr, (F.pmod(F.xxhash64(F.col("id"), F.lit(j)),
+                      F.lit(len(vocab))) + 1).cast("int"))
+        for j in range(50)]
+    base10 = spark.range(10 * n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *words).alias("text"))
+    corpus10, n_total10 = _planted_corpus(base10)
+    dd10 = _dedup_pipeline_row(corpus10, n_total10)
+    # corpus-size-normalized throughput ratio: ~1.0 = linear scaling
+    if dd.get("pairs_sec") and dd10.get("pairs_sec"):
+        dd10["pairs_linear_ratio"] = round(
+            (dd["pairs_sec"] / dd["n_docs"])
+            / (dd10["pairs_sec"] / dd10["n_docs"]), 3)
+
+    # cross-modal dedup row (round-6 verdict #6): one components pass
+    # over text-minhash + image-phash edges with namespaced doc:/img:
+    # ids — 2,000 docs + 2,000 synthetic images, 10% of captions planted
+    # as duplicates of document texts so clusters span modalities.
+    cm_docs = docs.orderBy("doc_id").limit(2000) \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    imgs_cm = synth.images_df(spark, 2000, max(CPUS, 8), with_bytes=False) \
+        .select("image_id", "caption", "phash")
+    dup_cap = (cm_docs.limit(200)
+               .select(F.concat(F.lit("cap"), "doc_id").alias("image_id"),
+                       F.col("text").alias("caption"),
+                       F.xxhash64("doc_id").alias("phash")))
+    imgs_cm = imgs_cm.select(
+        F.col("image_id").cast("string").alias("image_id"),
+        "caption", "phash").unionByName(dup_cap)
+    cm: dict = {"n_docs": 2000, "n_images": 2200}
     t0 = time.time()
-    pr = dd_op.minhash_lsh(corpus, jaccard_threshold=0.5) \
-        .select("id_a", "id_b")
-    dd["n_pairs"] = pr.count()
-    dd["pairs_sec"] = round(time.time() - t0, 3)
-    cstats: dict = {}
-    t0 = time.time()
-    comp = cc_op.connected_components(pr, stats=cstats)
-    dd["n_dup_nodes"] = comp.count()
-    dd["n_components"] = comp.select("root").distinct().count()
-    dd["components_sec"] = round(time.time() - t0, 3)
-    dd["cc_rounds"] = cstats.get("iterations")
-    t0 = time.time()
-    dd["n_survivors"] = cc_op.dedup_corpus(
-        corpus, pr, components=comp).count()
-    dd["survivor_sec"] = round(time.time() - t0, 3)
-    pr.unpersist()
+    cm["n_survivors"] = cc_op.cross_modal_dedup(
+        cm_docs, imgs_cm, jaccard_threshold=0.5).count()
+    cm["dedup_sec"] = round(time.time() - t0, 3)
 
     # seam A/B rows (round-5 verdict #3): the decode-dominated JFIF
     # tile_cut, pure-NumPy decoder vs GSR_FASTJPEG=1 (JVM ImageIO through
@@ -216,6 +281,8 @@ def main():
         "queries_extra": extras,
         "sf1_pixel_path": sf1,
         "dedup_pipeline": dd,
+        "dedup_pipeline_10x": dd10,
+        "cross_modal_dedup": cm,
         "native_seam": native,
     }
     print(json.dumps(out))

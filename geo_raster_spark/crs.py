@@ -1009,20 +1009,26 @@ _WKT2_METHODS = {
     "sinusoidal": "sinusoidal",
 }
 _WKT2_PARAMS = {
-    # EPSG parameter name (normalized) -> WKT1 PARAMETER name
-    "latitudeofnaturalorigin": "latitude_of_origin",
-    "longitudeofnaturalorigin": "central_meridian",
-    "scalefactoratnaturalorigin": "scale_factor",
-    "falseeasting": "false_easting",
-    "falsenorthing": "false_northing",
-    "latitudeoffalseorigin": "latitude_of_origin",
-    "longitudeoffalseorigin": "central_meridian",
-    "latitudeof1ststandardparallel": "standard_parallel_1",
-    "latitudeof2ndstandardparallel": "standard_parallel_2",
-    "eastingatfalseorigin": "false_easting",
-    "northingatfalseorigin": "false_northing",
-    "latitudeofstandardparallel": "standard_parallel_1",
-    "longitudeoforigin": "central_meridian",
+    # EPSG parameter name (normalized) -> (WKT1 PARAMETER name, unit kind)
+    # the kind drives unit resolution: the generic ``UNIT`` keyword is a
+    # legal ISO-19162 alias for any specific unit keyword, so the
+    # parameter's SEMANTIC kind — not the keyword — decides whether the
+    # factor converts an angle, a length, or a scale (review r7: reading
+    # UNIT["degree",...] as a scale factor turned lat 70 into lat 1.22
+    # with no error)
+    "latitudeofnaturalorigin": ("latitude_of_origin", "angle"),
+    "longitudeofnaturalorigin": ("central_meridian", "angle"),
+    "scalefactoratnaturalorigin": ("scale_factor", "scale"),
+    "falseeasting": ("false_easting", "length"),
+    "falsenorthing": ("false_northing", "length"),
+    "latitudeoffalseorigin": ("latitude_of_origin", "angle"),
+    "longitudeoffalseorigin": ("central_meridian", "angle"),
+    "latitudeof1ststandardparallel": ("standard_parallel_1", "angle"),
+    "latitudeof2ndstandardparallel": ("standard_parallel_2", "angle"),
+    "eastingatfalseorigin": ("false_easting", "length"),
+    "northingatfalseorigin": ("false_northing", "length"),
+    "latitudeofstandardparallel": ("standard_parallel_1", "angle"),
+    "longitudeoforigin": ("central_meridian", "angle"),
 }
 
 
@@ -1050,23 +1056,31 @@ def _wkt2_angle_deg(val: float, f: float) -> float:
     return math.degrees(val * f)
 
 
-def _wkt2_param_value(p, s: str):
+def _wkt2_param_value(p, kind: str, s: str):
     """WKT2 PARAMETER node -> value in WKT1 conventions (degrees for
-    angles, metres for lengths, plain ratio for scales) using the
-    parameter's own unit node; unitless values pass through (the WKT2
-    spec requires units on CONVERSION parameters, but GDAL drops them in
-    some abridged contexts — there the EPSG defaults apply)."""
+    angles, metres for lengths, plain ratio for scales).
+
+    ``kind`` is the parameter's SEMANTIC unit class (from
+    ``_WKT2_PARAMS``): the generic ``UNIT`` keyword is a legal alias for
+    any specific unit keyword, so the kind — not the keyword — decides
+    how the factor converts.  A unit keyword of a DIFFERENT kind on the
+    parameter (LENGTHUNIT on a latitude…) raises rather than silently
+    mis-converting.  Unitless values pass through (the EPSG default
+    degree/metre/unity conventions)."""
     val = float(p[1][1])
-    f = _wkt2_unit(p, ("ANGLEUNIT",))
-    if f is not None:
+    specific = {"angle": "ANGLEUNIT", "length": "LENGTHUNIT",
+                "scale": "SCALEUNIT"}[kind]
+    for other in ("ANGLEUNIT", "LENGTHUNIT", "SCALEUNIT"):
+        if other != specific and _wkt2_unit(p, (other,)) is not None:
+            raise ValueError(
+                f"WKT2: {other} on the {kind} parameter {p[1][0]!r}: "
+                f"{s[:80]}")
+    f = _wkt2_unit(p, (specific, "UNIT"))
+    if f is None:
+        return val
+    if kind == "angle":
         return _wkt2_angle_deg(val, f)
-    f = _wkt2_unit(p, ("LENGTHUNIT",))
-    if f is not None:
-        return val * f
-    f = _wkt2_unit(p, ("SCALEUNIT", "UNIT"))
-    if f is not None:
-        return val * f
-    return val
+    return val * f
 
 
 def _wkt2_geogcs(node, s: str):
@@ -1126,11 +1140,12 @@ def _wkt2_projcs(node, s: str):
                          f"{meth[0][1][0]!r}: {s[:80]}")
     args = [name, _wkt2_geogcs(base[0], s), ("PROJECTION", [proj1])]
     for p in _wkt_children(conv[0], "PARAMETER"):
-        w1 = _WKT2_PARAMS.get(_wkt2_key(p[1][0]))
-        if w1 is None:
+        m = _WKT2_PARAMS.get(_wkt2_key(p[1][0]))
+        if m is None:
             raise ValueError(f"WKT2: unsupported PARAMETER "
                              f"{p[1][0]!r}: {s[:80]}")
-        args.append(("PARAMETER", [w1, _wkt2_param_value(p, s)]))
+        w1, kind = m
+        args.append(("PARAMETER", [w1, _wkt2_param_value(p, kind, s)]))
     # projected coordinate unit: CRS-level LENGTHUNIT/UNIT, else per-AXIS
     uname, uf = "metre", None
     for holder in [node] + _wkt_children(node, "AXIS"):

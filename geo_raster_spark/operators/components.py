@@ -192,10 +192,17 @@ def cross_modal_pairs(docs: DataFrame, images: DataFrame,
             F.col(phash_col)),
         id_col=image_id_col, phash_col=phash_col,
         max_hamming=max_hamming, max_bucket=max_bucket)
-    return (tp.select("id_a", "id_b", F.lit("text").alias("source"))
-              .unionByName(
-                  ip.select("id_a", "id_b", F.lit("phash").alias("source")))
-              .dropDuplicates(["id_a", "id_b"]))
+    out = (tp.select("id_a", "id_b", F.lit("text").alias("source"))
+             .unionByName(
+                 ip.select("id_a", "id_b", F.lit("phash").alias("source")))
+             .dropDuplicates(["id_a", "id_b"])).persist()
+    out.count()
+    # the per-modality pair tables come back persisted — release them once
+    # the union is materialized, or every call leaks two cache entries for
+    # the session lifetime (review r7).  Callers unpersist() the result.
+    tp.unpersist()
+    ip.unpersist()
+    return out
 
 
 def cross_modal_dedup(docs: DataFrame, images: DataFrame,
@@ -213,8 +220,12 @@ def cross_modal_dedup(docs: DataFrame, images: DataFrame,
         image_id_col=pair_kwargs.get("image_id_col", "image_id"),
         caption_col=pair_kwargs.get("caption_col", "caption"))
     pairs = cross_modal_pairs(docs, images, **pair_kwargs)
+    # connected_components eagerly checkpoints its edge input, so the
+    # persisted pair table can be released before survivor selection
+    comp = connected_components(pairs)
+    pairs.unpersist()
     return dedup_corpus(corpus, pairs, id_col="node_id",
-                        keep=keep, order_col=order_col)
+                        keep=keep, order_col=order_col, components=comp)
 
 
 def dedup_corpus(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",

@@ -109,6 +109,25 @@ def _sm_mix_np(z: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def _widened_id_type(simple: str, id_col: str) -> str:
+    """Stable on-disk id type for signature tables/stores: integral
+    widths all widen to ``long``, strings pass through, anything else
+    raises — a store must never accumulate mixed-type files."""
+    if simple in ("tinyint", "smallint", "int", "bigint"):
+        return "bigint"
+    if simple == "string":
+        return "string"
+    raise ValueError(
+        f"id column {id_col!r} must be integral or string for the "
+        f"signature store, got {simple}")
+
+
+def _widened_id_col(df: DataFrame, id_col: str) -> F.Column:
+    """``_id`` select expression at the store-stable widened type."""
+    t = _widened_id_type(df.schema[id_col].dataType.simpleString(), id_col)
+    return F.col(id_col).cast(t).alias("_id")
+
+
 def minhash_signatures_np(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 5,
                           n_hashes: int = 32) -> DataFrame:
@@ -123,9 +142,13 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text",
     signatures are engine-specific — pairs/estimates are statistically
     equivalent, not byte-equal.
 
-    ``_id`` keeps the INPUT id type (long or string) — string ids carry
-    the namespaced ``doc:``/``img:`` nodes of ``cross_modal_pairs``."""
-    id_type = docs.schema[id_col].dataType.simpleString()
+    ``_id`` follows the input id type — STRING ids carry the namespaced
+    ``doc:``/``img:`` nodes of ``cross_modal_pairs``; every INTEGRAL
+    width is widened to ``long`` so two batches of the same store can
+    never append mixed int32/int64 parquet files (which would wedge
+    every later read of ``sigs`` — review r7); anything else raises."""
+    id_type = _widened_id_type(docs.schema[id_col].dataType.simpleString(),
+                               id_col)
     iarr = np.arange(n_hashes, dtype=np.uint64)
     prime = np.uint64(0x100000001B3)
 
@@ -626,6 +649,11 @@ def append_to_minhash_store(spark, path: str, new_sig: DataFrame) -> int:
     """Append a batch's signatures + bands to the store (call with the
     ACCEPTED subset after dedup so rejected near-dups never pollute the
     store).  Returns the number of rows appended."""
+    from .similarity import _recover_swap
+    # a compaction crashed mid-swap leaves sigs/bands under __compact_old;
+    # appending into a fresh root would orphan the resident store
+    _recover_swap(f"{path}/sigs")
+    _recover_swap(f"{path}/bands")
     p = spark.read.parquet(f"{path}/params").collect()[0]
     # checkpoint: the (semi-join) input evaluates ONCE, not per action.
     # Write order bands THEN sigs: a crash between the files leaves
@@ -743,7 +771,7 @@ def build_phash_store(images: DataFrame, path: str,
     batches then touch the resident corpus only as a block scan probed
     by a broadcast (no resident shuffle)."""
     import pandas as pd
-    sig = images.select(F.col(id_col).alias("_id"),
+    sig = images.select(_widened_id_col(images, id_col),
                         F.col(phash_col).cast("long").alias("simhash"))
     sig.write.mode("overwrite").parquet(f"{path}/sigs")
     spark = images.sparkSession
@@ -770,7 +798,7 @@ def incremental_phash_pairs(spark, path: str, new_images: DataFrame,
     max_hamming = int(p["max_hamming"])
 
     new_sig = new_images.select(
-        F.col(id_col).alias("_id"),
+        _widened_id_col(new_images, id_col),
         F.col(phash_col).cast("long").alias("simhash")).persist()
     n_new = new_sig.count()
     small_batch = n_new * (max_hamming + 1) <= broadcast_threshold
@@ -813,6 +841,9 @@ def incremental_phash_pairs(spark, path: str, new_images: DataFrame,
 def append_to_phash_store(spark, path: str, new_sig: DataFrame) -> int:
     """Image twin of :func:`append_to_minhash_store`: checkpoint once,
     write blocks THEN sigs (same crash-ordering rationale)."""
+    from .similarity import _recover_swap
+    _recover_swap(f"{path}/sigs")
+    _recover_swap(f"{path}/blocks")
     p = spark.read.parquet(f"{path}/params").collect()[0]
     new_sig = new_sig.localCheckpoint(eager=True)
     n = new_sig.count()
@@ -873,16 +904,19 @@ def compact_store(spark, path: str, n_files: int = 8) -> dict:
     whose extra duplicate sig rows are exactly the state this function
     cleans (re-run to converge); queries stay correct throughout because
     pairs ``dropDuplicates`` and the hot-bucket guard ``countDistinct``.
-    At deployment the whole rewrite is one transactional Iceberg
-    ``rewrite_data_files`` — SCALE.md checkpoint row."""
-    import os
-    import shutil
-    from .similarity import _count_data_files
+    Each swap itself uses the shared two-rename protocol of
+    ``similarity._swap_dir`` with ``_recover_swap`` restoring a
+    mid-swap-crashed directory on the next call.  At deployment the whole
+    rewrite is one transactional Iceberg ``rewrite_data_files`` —
+    SCALE.md checkpoint row."""
+    from .similarity import _count_data_files, _recover_swap, _swap_dir
 
     p = spark.read.parquet(f"{path}/params").collect()[0]
     is_minhash = "n_hashes" in p.__fields__
     dname = "bands" if is_minhash else "blocks"
     spath, dpath = f"{path}/sigs", f"{path}/{dname}"
+    _recover_swap(spath)
+    _recover_swap(dpath)
     files_before = _count_data_files(spath) + _count_data_files(dpath)
     sigs = spark.read.parquet(spath)
     rows_before = sigs.count()
@@ -898,12 +932,7 @@ def compact_store(spark, path: str, n_files: int = 8) -> dict:
     derived.coalesce(max(1, n_files)).write.mode("overwrite").parquet(dtmp)
 
     for live, tmp in ((dpath, dtmp), (spath, stmp)):  # derived THEN sigs
-        old = live + "__compact_old"
-        if os.path.isdir(old):
-            shutil.rmtree(old)  # residue of a crashed prior compaction
-        os.rename(live, old)
-        os.rename(tmp, live)
-        shutil.rmtree(old)
+        _swap_dir(live, tmp)
     return {"store": "minhash" if is_minhash else "phash",
             "files_before": files_before,
             "files_after": _count_data_files(spath) + _count_data_files(dpath),

@@ -185,10 +185,17 @@ def build_lsh_index(emb: DataFrame, dim: int, path: str,
     idempotent per batch; a rebuild's static overwrite clears the whole
     layout including stale append batches."""
     import pandas as pd
+    _clear_index_residue(path)
     mu = data_mean(emb, dim, vec_col)
+    # partitionOverwriteMode pinned static: under a session-level dynamic
+    # default the overwrite would only replace the __build__ partitions
+    # and stale append batches (bucketed with the OLD quantizer) would
+    # silently survive into the rebuilt index (review r7)
     (with_lsh_bucket(emb, dim, n_planes, seed, vec_col, center=mu)
         .withColumn("batch_id", F.lit(_BUILD_BATCH))
-        .write.mode("overwrite").partitionBy("batch_id", "bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id", "bucket")
         .parquet(f"{path}/assignments"))
     spark = emb.sparkSession
     spark.createDataFrame(pd.DataFrame({
@@ -288,11 +295,15 @@ def build_ivf_index(emb: DataFrame, dim: int, path: str,
     Spark's partition pruning turns the coarse quantizer into an I/O filter,
     the on-disk analogue of an inverted-list scan."""
     import pandas as pd
+    _clear_index_residue(path)
     C = fit_centroids(emb, dim, n_centroids, iters=iters, seed=seed,
                       vec_col=vec_col)
+    # static overwrite for the same reason as build_lsh_index (review r7)
     (with_ivf_bucket(emb, C, vec_col)
         .withColumn("batch_id", F.lit(_BUILD_BATCH))
-        .write.mode("overwrite").partitionBy("batch_id", "ivf")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id", "ivf")
         .parquet(f"{path}/assignments"))
     spark = emb.sparkSession
     spark.createDataFrame(pd.DataFrame({
@@ -330,6 +341,50 @@ def _mean_ivf_dist(df: DataFrame, centroids: np.ndarray,
     row = df.select(
         F.avg(F.sqrt(F.array_min(F.array(*dists)))).alias("m")).collect()[0]
     return float(row["m"]) if row["m"] is not None else 0.0
+
+
+def _clear_index_residue(path: str) -> None:
+    """Reset append/compaction state on a REBUILD: the compacted-batches
+    ledger and any compaction temp/old directories belong to the index
+    generation being overwritten.  A surviving ledger would make a
+    post-rebuild replay of a previously-folded batch_id silently no-op —
+    its rows would be missing from the new index forever (review r7)."""
+    for sub in ("compacted_batches", "assignments__compact_tmp",
+                "assignments__compact_old"):
+        p = f"{path}/{sub}"
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+
+def _recover_swap(live: str) -> None:
+    """Crash recovery for :func:`_swap_dir`: a crash between the two
+    renames leaves ``live`` missing and ``live__compact_old`` holding the
+    previous (correct) layout — restore it so reads and a compaction
+    re-run converge instead of failing on a missing path (review r7)."""
+    old = live + "__compact_old"
+    if not os.path.isdir(live) and os.path.isdir(old):
+        os.rename(old, live)
+
+
+def _swap_dir(live: str, tmp: str) -> None:
+    """Two-rename directory swap shared by ``compact_index`` and
+    ``dedup.compact_store``.  Crash protocol (every window re-run
+    convergent, see :func:`_recover_swap`):
+
+    1. remove residue of a crashed prior swap,
+    2. ``live`` -> ``live__compact_old``   (crash here: recovery renames
+       it back; ``tmp`` is residue removed by the next run),
+    3. ``tmp`` -> ``live``                 (crash here: old is residue),
+    4. remove ``live__compact_old``.
+
+    At deployment both renames are one transactional table-format rewrite
+    (Iceberg ``rewrite_data_files``) — SCALE.md checkpoint row."""
+    old = live + "__compact_old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
 
 
 def _compacted_batches(spark, path: str) -> set:
@@ -384,6 +439,17 @@ def append_to_index(spark, path: str, new_emb: DataFrame, kind: str,
         raise ValueError(
             f"batch_id must match [A-Za-z0-9._-]+ and not be the reserved "
             f"{_BUILD_BATCH!r}, got {batch_id!r}")
+    apath = f"{path}/assignments"
+    # a crashed compaction mid-swap leaves the layout under __compact_old;
+    # appending into a fresh root would orphan the whole resident index
+    _recover_swap(apath)
+    if os.path.isdir(apath) and not any(
+            e.startswith("batch_id=") for e in os.listdir(apath)
+            if not e.startswith(("_", "."))):
+        raise ValueError(
+            f"{apath} predates the batch_id= layout (pre-round-7 build) — "
+            "appending would mix partition depths and break every read; "
+            "rebuild with build_lsh_index/build_ivf_index first")
     if batch_id in _compacted_batches(spark, path):
         # this batch's rows were folded into the build partition by
         # compact_index — a replayed delivery must be a no-op
@@ -407,8 +473,10 @@ def append_to_index(spark, path: str, new_emb: DataFrame, kind: str,
         new_dist = _mean_center_dist(new_emb, mu, vec_col)
     # overwrite of the batch's OWN directory: first delivery creates it,
     # a replay rewrites it with identical content — never touches sibling
-    # batches or the build partition
-    assigned.write.mode("overwrite").partitionBy(part) \
+    # batches or the build partition (static mode so a replay clears ALL
+    # of the batch directory, not just the partitions it writes)
+    assigned.write.mode("overwrite") \
+        .option("partitionOverwriteMode", "static").partitionBy(part) \
         .parquet(f"{path}/assignments/batch_id={batch_id}")
 
     build_dist = None
@@ -450,8 +518,13 @@ def compact_index(spark, path: str, id_col: str = "vec_id") -> dict:
     steps are one transactional table-format rewrite (Iceberg
     ``rewrite_data_files``) — SCALE.md checkpoint row."""
     apath = f"{path}/assignments"
+    _recover_swap(apath)
     cur = spark.read.parquet(apath)
     part = "ivf" if "ivf" in cur.columns else "bucket"
+    if "batch_id" not in cur.columns:
+        raise ValueError(
+            f"{apath} predates the batch_id= layout (pre-round-7 build) — "
+            "nothing to compact; rebuild to adopt the appendable layout")
     batches = [r["batch_id"]
                for r in cur.select("batch_id").distinct().collect()]
     files_before = _count_data_files(apath)
@@ -473,12 +546,7 @@ def compact_index(spark, path: str, id_col: str = "vec_id") -> dict:
     (compacted.withColumn("batch_id", F.lit(_BUILD_BATCH))
         .repartition(F.col(part))
         .write.mode("overwrite").partitionBy("batch_id", part).parquet(tmp))
-    old = apath + "__compact_old"
-    if os.path.isdir(old):
-        shutil.rmtree(old)  # residue of a crashed prior compaction
-    os.rename(apath, old)
-    os.rename(tmp, apath)
-    shutil.rmtree(old)
+    _swap_dir(apath, tmp)
     return {"part_col": part, "batches_folded": len(folded),
             "files_before": files_before,
             "files_after": _count_data_files(apath),

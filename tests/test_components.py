@@ -588,3 +588,60 @@ def test_cross_modal_dedup_planted_cluster(spark):
     assert got_comp == want
     cluster = {n for n, r in got_comp.items() if r == "doc:1"}
     assert cluster == {"doc:1", "img:A", "img:B", "img:C"}
+
+
+def test_store_swap_recovery_and_id_widening(spark, sf_dir, tmp_path):
+    """Round-7 review closures on the signature stores:
+    (a) a compaction crashed between its two renames leaves the live dir
+        under __compact_old — the next append recovers it instead of
+        appending into a fresh root (which would orphan the store);
+    (b) integral id widths all widen to long on disk, so an int32 batch
+        appended to a store built from int64 ids cannot wedge later
+        reads with mixed-type parquet files; non-integral/non-string id
+        types raise."""
+    import os
+
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .select("doc_id", "text"))
+    path = str(tmp_path / "mh_rec")
+    dedup.build_minhash_store(d, path)
+    n0 = spark.read.parquet(f"{path}/sigs").count()
+
+    # (a) simulate the mid-swap crash window
+    os.rename(f"{path}/sigs", f"{path}/sigs__compact_old")
+    extra = (d.limit(3)
+              .withColumn("doc_id",
+                          (F.col("doc_id") + 60_000_000).cast("int"))
+              .withColumn("text", F.concat("text", F.lit(" recv"))))
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    from geo_raster_spark.operators.dedup import minhash_signatures_np
+    sig = minhash_signatures_np(extra, "text", "doc_id",
+                                int(p["k"]), int(p["n_hashes"]))
+    # (b) int32 input id arrives widened to long in the signature table
+    assert dict(sig.dtypes)["_id"] == "bigint"
+    dedup.append_to_minhash_store(spark, path, sig)
+    stored = spark.read.parquet(f"{path}/sigs")
+    assert stored.count() == n0 + 3          # resident rows recovered
+    assert dict(stored.dtypes)["_id"] == "bigint"
+
+    # non-integral, non-string id type -> loud raise
+    bad = d.limit(2).withColumn("doc_id", F.col("doc_id").cast("double"))
+    with pytest.raises(ValueError, match="integral or string"):
+        minhash_signatures_np(bad, "text", "doc_id", 5, 32)
+
+    # phash twin: recovery on blocks + widened int id
+    from geo_raster_spark import synth
+    imgs = synth.images_df(spark, 20, 4, with_bytes=False) \
+        .select(F.xxhash64("image_id").cast("int").alias("image_id"),
+                "phash")
+    ppath = str(tmp_path / "ph_rec")
+    dedup.build_phash_store(imgs, ppath)
+    assert dict(spark.read.parquet(f"{ppath}/sigs").dtypes)["_id"] \
+        == "bigint"
+    pn0 = spark.read.parquet(f"{ppath}/blocks").count()
+    os.rename(f"{ppath}/blocks", f"{ppath}/blocks__compact_old")
+    psig = spark.createDataFrame(
+        pd.DataFrame({"_id": np.arange(2, dtype=np.int64) + 90_000_000,
+                      "simhash": np.array([3, 9], dtype=np.int64)}))
+    dedup.append_to_phash_store(spark, ppath, psig)
+    assert spark.read.parquet(f"{ppath}/blocks").count() > pn0

@@ -1718,3 +1718,29 @@ def test_wkt2_boundcrs_and_rejections():
             "European Datum 1950",
             "Provisional South American Datum 1956").replace(
             ',ID["EPSG",4230]', ''))
+
+
+def test_wkt2_generic_unit_keyword_by_parameter_kind():
+    """Round-7 review: ISO 19162 allows the generic UNIT keyword as an
+    alias for ANGLEUNIT/LENGTHUNIT/SCALEUNIT — the parameter's SEMANTIC
+    kind must drive the conversion.  Before the fix, a Polar
+    Stereographic standard parallel of 70 with UNIT[\"degree\",...]
+    fell through to the scale branch and became lat 1.22 silently."""
+    ps_generic = _WKT2["EPSG:3413"].replace(
+        f'PARAMETER["Latitude of standard parallel",70,{_DEG2}]',
+        'PARAMETER["Latitude of standard parallel",70,'
+        'UNIT["degree",0.0174532925199433]]')
+    assert ps_generic != _WKT2["EPSG:3413"]
+    assert crs.parse_wkt(ps_generic) == crs.parse_wkt(_WKT2["EPSG:3413"])
+    # generic UNIT on a length parameter converts as length
+    utm_generic = _WKT2["EPSG:32618"].replace(
+        f'PARAMETER["False easting",500000,{_M2}]',
+        'PARAMETER["False easting",500000,UNIT["metre",1]]')
+    assert crs.parse_wkt(utm_generic) == crs.parse_wkt(_WKT2["EPSG:32618"])
+    # a MISMATCHED specific keyword raises instead of mis-converting
+    with pytest.raises(ValueError, match="LENGTHUNIT on the angle"):
+        crs.parse_wkt(_WKT2["EPSG:32618"].replace(
+            'PARAMETER["Longitude of natural origin",-75,'
+            'ANGLEUNIT["degree",0.0174532925199433]]',
+            'PARAMETER["Longitude of natural origin",-75,'
+            'LENGTHUNIT["metre",1]]'))

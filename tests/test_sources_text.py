@@ -640,3 +640,80 @@ def test_compact_index_folds_batches_and_dedups(spark, sf_dir, tmp_path):
     # rerun converges (idempotent maintenance): nothing left to fold
     rep2 = similarity.compact_index(spark, path, id_col="vec_id")
     assert rep2["dup_rows_dropped"] == 0 and rep2["rows_after"] == n
+
+
+def test_index_rebuild_replay_guards_and_recovery(spark, sf_dir, tmp_path):
+    """Round-7 review closures on the ANN index lifecycle:
+    (a) a REBUILD clears the compacted-batches ledger, so replaying a
+        previously-folded batch_id into the new index inserts its rows
+        instead of silently no-opping (missing vectors forever);
+    (b) rebuild overwrite is pinned to static partitionOverwriteMode —
+        under a session-level dynamic default, stale append batches
+        (assigned with the OLD quantizer) must not survive the rebuild;
+    (c) appending into a pre-batch_id (legacy-layout) index raises
+        loudly instead of mixing partition depths;
+    (d) a compaction crashed between its two renames is recovered by the
+        next append (the resident index is not orphaned)."""
+    import os
+
+    from geo_raster_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    first = emb.orderBy("vec_id").limit(n // 2)
+    rest = emb.join(first.select("vec_id"), "vec_id", "left_anti")
+    n_rest = n - n // 2
+    path = str(tmp_path / "ivf_cycle")
+
+    # (a) ledger must not survive a rebuild
+    similarity.build_ivf_index(first, 64, path, n_centroids=8)
+    similarity.append_to_index(spark, path, rest, kind="ivf",
+                               batch_id="day-001")
+    similarity.compact_index(spark, path)
+    r_replay = similarity.append_to_index(spark, path, rest, kind="ivf",
+                                          batch_id="day-001")
+    assert r_replay.get("skipped_compacted") and r_replay["n_appended"] == 0
+    similarity.build_ivf_index(first, 64, path, n_centroids=8)  # rebuild
+    r_after = similarity.append_to_index(spark, path, rest, kind="ivf",
+                                         batch_id="day-001")
+    assert r_after["n_appended"] == n_rest, \
+        "post-rebuild replay of a folded batch_id must INSERT"
+    assert spark.read.parquet(f"{path}/assignments").count() == n
+
+    # (b) rebuild under dynamic partitionOverwriteMode drops stale batches
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        similarity.build_ivf_index(first, 64, path, n_centroids=8)
+        assert spark.read.parquet(f"{path}/assignments").count() == n // 2
+        assert not any(e.startswith("batch_id=day")
+                       for e in os.listdir(f"{path}/assignments"))
+    finally:
+        if old_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           old_mode)
+
+    # (d) mid-swap compaction crash: live dir renamed away, old present
+    apath = f"{path}/assignments"
+    os.rename(apath, apath + "__compact_old")
+    r_rec = similarity.append_to_index(spark, path, rest, kind="ivf",
+                                       batch_id="day-002")
+    assert r_rec["n_appended"] == n_rest
+    assert spark.read.parquet(apath).count() == n  # resident rows intact
+
+    # (c) legacy layout (no batch_id= level) -> loud raise
+    lpath = str(tmp_path / "legacy_idx")
+    (similarity.with_ivf_bucket(first,
+                                similarity.load_ivf_centroids(spark, path))
+        .write.mode("overwrite").partitionBy("ivf")
+        .parquet(f"{lpath}/assignments"))
+    spark.read.parquet(f"{path}/centroids").write.mode("overwrite") \
+        .parquet(f"{lpath}/centroids")
+    with pytest.raises(ValueError, match="batch_id= layout"):
+        similarity.append_to_index(spark, lpath, rest, kind="ivf",
+                                   batch_id="day-001")
+    with pytest.raises(ValueError, match="batch_id= layout"):
+        similarity.compact_index(spark, lpath)

@@ -1096,7 +1096,9 @@ def _wkt2_geogcs(node, s: str):
     if ell is None:
         raise ValueError(f"WKT2: no ELLIPSOID in GEOGCRS: {s[:80]}")
     a, invf = float(ell[1][1]), float(ell[1][2])
-    f = _wkt2_unit(ell, ("LENGTHUNIT",))
+    # the generic UNIT keyword is a legal alias (ISO 19162); an
+    # ELLIPSOID unit is a length by definition
+    f = _wkt2_unit(ell, ("LENGTHUNIT", "UNIT"))
     if f is not None:
         a *= f
     args = [name, ("DATUM", [dname if dname is not None else name,
@@ -1104,7 +1106,8 @@ def _wkt2_geogcs(node, s: str):
     prim_deg = 0.0
     for pm in _wkt_children(node, "PRIMEM"):
         v = float(pm[1][1])
-        fp = _wkt2_unit(pm, ("ANGLEUNIT",))
+        # a PRIMEM unit is an angle by definition — generic UNIT included
+        fp = _wkt2_unit(pm, ("ANGLEUNIT", "UNIT"))
         prim_deg = _wkt2_angle_deg(v, fp) if fp is not None else v
     args.append(("PRIMEM", ["Greenwich", prim_deg]))
     # the CRS coordinate angle unit: CRS-level ANGLEUNIT/UNIT, else the
@@ -1112,7 +1115,7 @@ def _wkt2_geogcs(node, s: str):
     uf = _wkt2_unit(node, ("ANGLEUNIT", "UNIT"))
     if uf is None:
         for ax in _wkt_children(node, "AXIS"):
-            uf = _wkt2_unit(ax, ("ANGLEUNIT",))
+            uf = _wkt2_unit(ax, ("ANGLEUNIT", "UNIT"))
             if uf is not None:
                 break
     args.append(("UNIT", ["degree",

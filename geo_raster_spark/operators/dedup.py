@@ -109,14 +109,17 @@ def _sm_mix_np(z: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _widened_id_type(simple: str, id_col: str) -> str:
+def _widened_id_type(simple: str, id_col: str, strict: bool = True) -> str:
     """Stable on-disk id type for signature tables/stores: integral
-    widths all widen to ``long``, strings pass through, anything else
-    raises — a store must never accumulate mixed-type files."""
+    widths all widen to ``long``, strings pass through.  ``strict``
+    (the STORE boundary — build/append) raises on anything else, so a
+    store can never accumulate mixed-type files; non-strict (in-session
+    signature generation, where ids only flow through joins and ``<``)
+    passes unknown types through unchanged."""
     if simple in ("tinyint", "smallint", "int", "bigint"):
         return "bigint"
-    if simple == "string":
-        return "string"
+    if simple == "string" or not strict:
+        return simple
     raise ValueError(
         f"id column {id_col!r} must be integral or string for the "
         f"signature store, got {simple}")
@@ -126,6 +129,21 @@ def _widened_id_col(df: DataFrame, id_col: str) -> F.Column:
     """``_id`` select expression at the store-stable widened type."""
     t = _widened_id_type(df.schema[id_col].dataType.simpleString(), id_col)
     return F.col(id_col).cast(t).alias("_id")
+
+
+def _check_store_id_type(spark, path: str, new_sig: DataFrame) -> None:
+    """Append chokepoint: the batch's ``_id`` type must equal the
+    resident ``sigs`` type.  A store built before the round-7 widening
+    (int32 on disk) or a string-id store fed a bigint batch would
+    otherwise accumulate mixed-type parquet files and wedge every later
+    read (review r7, second pass)."""
+    resident = dict(spark.read.parquet(f"{path}/sigs").dtypes)["_id"]
+    batch = dict(new_sig.dtypes)["_id"]
+    if resident != batch:
+        raise ValueError(
+            f"store at {path} holds _id:{resident} but the batch carries "
+            f"_id:{batch} — appending would mix parquet schemas; rebuild "
+            "the store (or cast the batch ids) to migrate")
 
 
 def minhash_signatures_np(docs: DataFrame, text_col: str = "text",
@@ -146,9 +164,11 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text",
     ``doc:``/``img:`` nodes of ``cross_modal_pairs``; every INTEGRAL
     width is widened to ``long`` so two batches of the same store can
     never append mixed int32/int64 parquet files (which would wedge
-    every later read of ``sigs`` — review r7); anything else raises."""
+    every later read of ``sigs`` — review r7).  Other id types pass
+    through for in-session pair generation; the STORE boundary
+    (build/append) enforces integral-or-string separately."""
     id_type = _widened_id_type(docs.schema[id_col].dataType.simpleString(),
-                               id_col)
+                               id_col, strict=False)
     iarr = np.arange(n_hashes, dtype=np.uint64)
     prime = np.uint64(0x100000001B3)
 
@@ -546,6 +566,8 @@ def build_minhash_store(docs: DataFrame, path: str, text_col: str = "text",
     new batch's bands (the resident rows never shuffle), and (b) a
     semi-joined read of ``sigs`` bounded by the candidate count."""
     import pandas as pd
+    # store boundary: enforce the canonical integral-or-string id class
+    _widened_id_type(docs.schema[id_col].dataType.simpleString(), id_col)
     sig = minhash_signatures_np(docs, text_col, id_col, k, n_hashes)
     sig.write.mode("overwrite").parquet(f"{path}/sigs")
     spark = docs.sparkSession
@@ -581,6 +603,11 @@ def incremental_minhash_pairs(spark, path: str, new_docs: DataFrame,
     table exceeds this row count fall back to a sort-merge join on the
     band key (hint-pinned so size stats can't flip it back), shuffling
     both sides but never materializing the batch in every executor."""
+    from .similarity import _recover_swap
+    # a compaction crashed mid-swap would make these reads fail on a
+    # missing path — restore first (review r7, second pass)
+    _recover_swap(f"{path}/sigs")
+    _recover_swap(f"{path}/bands")
     p = spark.read.parquet(f"{path}/params").collect()[0]
     k, n_hashes, bands = int(p["k"]), int(p["n_hashes"]), int(p["bands"])
 
@@ -654,6 +681,7 @@ def append_to_minhash_store(spark, path: str, new_sig: DataFrame) -> int:
     # appending into a fresh root would orphan the resident store
     _recover_swap(f"{path}/sigs")
     _recover_swap(f"{path}/bands")
+    _check_store_id_type(spark, path, new_sig)
     p = spark.read.parquet(f"{path}/params").collect()[0]
     # checkpoint: the (semi-join) input evaluates ONCE, not per action.
     # Write order bands THEN sigs: a crash between the files leaves
@@ -794,6 +822,9 @@ def incremental_phash_pairs(spark, path: str, new_images: DataFrame,
     rows scanned, hamming verified JVM-side; ``broadcast_threshold``
     guards the backfill case with the same sort-merge fallback).
     Returns ``(pairs, new_sig)``."""
+    from .similarity import _recover_swap
+    _recover_swap(f"{path}/sigs")
+    _recover_swap(f"{path}/blocks")
     p = spark.read.parquet(f"{path}/params").collect()[0]
     max_hamming = int(p["max_hamming"])
 
@@ -844,6 +875,7 @@ def append_to_phash_store(spark, path: str, new_sig: DataFrame) -> int:
     from .similarity import _recover_swap
     _recover_swap(f"{path}/sigs")
     _recover_swap(f"{path}/blocks")
+    _check_store_id_type(spark, path, new_sig)
     p = spark.read.parquet(f"{path}/params").collect()[0]
     new_sig = new_sig.localCheckpoint(eager=True)
     n = new_sig.count()

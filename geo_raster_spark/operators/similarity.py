@@ -214,6 +214,7 @@ def lsh_topk_indexed(spark, path: str, probe_vec, k: int = 10,
     come from the tiny stats sidecar, and ``bucket IN (...)`` is a PARTITION
     filter on the assignments table — only ~|shell|/2^n_planes of the data
     is read, and no full-table pass happens at query time."""
+    _recover_swap(f"{path}/assignments")  # crashed-compaction restore
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     dim, n_planes, seed = int(stats["dim"]), int(stats["n_planes"]), int(stats["seed"])
     mu = np.asarray(stats["center"], dtype=np.float64)
@@ -564,6 +565,7 @@ def ivf_topk_indexed(spark, path: str, probe_vec, k: int = 10,
                      id_col: str = "vec_id") -> DataFrame:
     """IVF ANN over a persisted index: the ``ivf IN (...)`` predicate is a
     PARTITION filter — only nprobe/n_centroids of the table is read."""
+    _recover_swap(f"{path}/assignments")  # crashed-compaction restore
     probe_vec = np.asarray(probe_vec, dtype=np.float64)
     C = load_ivf_centroids(spark, path)
     order = np.argsort(((C - probe_vec) ** 2).sum(1))[:nprobe]

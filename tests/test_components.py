@@ -624,10 +624,29 @@ def test_store_swap_recovery_and_id_widening(spark, sf_dir, tmp_path):
     assert stored.count() == n0 + 3          # resident rows recovered
     assert dict(stored.dtypes)["_id"] == "bigint"
 
-    # non-integral, non-string id type -> loud raise
+    # non-integral, non-string id types stay usable for IN-SESSION pair
+    # generation (ids only flow through joins) but the STORE boundary
+    # raises loudly (review r7, second pass)
     bad = d.limit(2).withColumn("doc_id", F.col("doc_id").cast("double"))
+    assert dict(minhash_signatures_np(bad, "text", "doc_id", 5,
+                                      32).dtypes)["_id"] == "double"
     with pytest.raises(ValueError, match="integral or string"):
-        minhash_signatures_np(bad, "text", "doc_id", 5, 32)
+        dedup.build_minhash_store(bad, str(tmp_path / "bad_store"))
+    # append chokepoint: a batch whose _id type differs from the
+    # resident store raises instead of mixing parquet schemas
+    str_sig = spark.createDataFrame(
+        pd.DataFrame({"_id": ["s1", "s2"],
+                      "sig": [[1] * int(p["n_hashes"])] * 2}))
+    with pytest.raises(ValueError, match="mix parquet schemas"):
+        dedup.append_to_minhash_store(spark, path, str_sig)
+
+    # a mid-swap crash is also recovered by the incremental READ path
+    os.rename(f"{path}/bands", f"{path}/bands__compact_old")
+    probe = d.limit(2).withColumn("doc_id", F.col("doc_id") + 70_000_000)
+    rpairs, rsig = dedup.incremental_minhash_pairs(spark, path, probe)
+    rpairs.unpersist()
+    rsig.unpersist()
+    assert os.path.isdir(f"{path}/bands")
 
     # phash twin: recovery on blocks + widened int id
     from geo_raster_spark import synth

@@ -1744,3 +1744,35 @@ def test_wkt2_generic_unit_keyword_by_parameter_kind():
             'ANGLEUNIT["degree",0.0174532925199433]]',
             'PARAMETER["Longitude of natural origin",-75,'
             'LENGTHUNIT["metre",1]]'))
+
+
+def test_wkt2_generic_unit_on_primem_and_ellipsoid():
+    """Review r7 second pass: PRIMEM and ELLIPSOID units may also use
+    the generic UNIT keyword — a grad prime meridian must convert (and
+    then raise as non-Greenwich), not be silently read as degrees; a
+    foot-unit ellipsoid axis must scale to metres (and then raise as an
+    unsupported ellipsoid), not be read as a 20-million-metre sphere."""
+    paris = _WKT2["EPSG:4326"].replace(
+        f'PRIMEM["Greenwich",0,{_DEG2}]',
+        'PRIMEM["Paris",2.5969213,UNIT["grad",0.015707963267948967]]')
+    with pytest.raises(ValueError, match="prime meridian"):
+        crs.parse_wkt(paris)
+    # the same PRIMEM spelled with value 0 still resolves (unit converts
+    # 0 to 0 degrees)
+    zero = _WKT2["EPSG:4326"].replace(
+        f'PRIMEM["Greenwich",0,{_DEG2}]',
+        'PRIMEM["Greenwich",0,UNIT["grad",0.015707963267948967]]')
+    assert crs.parse_wkt(zero) == "EPSG:4326"
+    ft_ell = _WKT2["EPSG:4326"].replace(
+        '"WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]',
+        '"WGS 84 ft",20925646.3,298.257223563,'
+        'UNIT["US survey foot",0.304800609601219]')
+    with pytest.raises(ValueError, match="unsupported ellipsoid|WKT"):
+        # 20925646.3 survey feet scale to ~6378137 m — but the value is
+        # deliberately off the catalog number, so the family check must
+        # see METRES (and raise on the mismatch), not raw feet
+        crs.parse_wkt(ft_ell)
+    ok_ell = _WKT2["EPSG:4326"].replace(
+        '"WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]',
+        '"WGS 84",6378137,298.257223563,UNIT["metre",1]')
+    assert crs.parse_wkt(ok_ell) == "EPSG:4326"

@@ -9,6 +9,7 @@ console scripts (SURVEY.md §2.1 util/).
     python -m geo_raster_spark.cli knn        --points 20000 --lon 10 --lat 20 -k 5
     python -m geo_raster_spark.cli dedup      --docs /data/docs.parquet --out /tmp/unique \
                                               [--keep min_id|max_order --order-col score]
+    python -m geo_raster_spark.cli compact    --store /data/minhash_store | --index /data/ivf_index
 
 Reference CLI -> subcommand map:
   split_raster_tiles.py      -> tile-cut   (plan+exec+resume in one job)
@@ -158,6 +159,22 @@ def cmd_dedup(args):
     pairs.unpersist()
 
 
+def cmd_compact(args):
+    """Maintenance face of compact_store/compact_index (round-6 verdict
+    #2): fold the daily-append small files, drop crash-replay-duplicated
+    rows, print the reclaim stats — the knob an operator cron-runs so a
+    year of appends doesn't become hundreds of files per partition."""
+    spark = _spark(args)
+    if args.store:
+        from .operators.dedup import compact_store
+        print(json.dumps(compact_store(spark, args.store,
+                                       n_files=args.n_files)))
+    else:
+        from .operators.similarity import compact_index
+        print(json.dumps(compact_index(spark, args.index,
+                                       id_col=args.id_col)))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="geo_raster_spark")
     p.add_argument("--cores", type=int, default=8)
@@ -214,11 +231,21 @@ def main(argv=None):
     d.add_argument("--order-col", default=None,
                    help="column to maximize when --keep max_order")
 
+    c = sub.add_parser("compact")
+    target = c.add_mutually_exclusive_group(required=True)
+    target.add_argument("--store",
+                        help="minhash/phash signature store root")
+    target.add_argument("--index", help="ANN index root (ivf or lsh)")
+    c.add_argument("--n-files", type=int, default=8,
+                   help="files per table after store compaction")
+    c.add_argument("--id-col", default="vec_id",
+                   help="vector id column (index compaction)")
+
     args = p.parse_args(argv)
     {"flagship": cmd_flagship, "tile-cut": cmd_tile_cut,
      "tile-index": cmd_tile_index, "extent-geojson": cmd_extent_geojson,
      "zonal": cmd_zonal, "knn": cmd_knn,
-     "dedup": cmd_dedup}[args.cmd](args)
+     "dedup": cmd_dedup, "compact": cmd_compact}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,7 @@ high-latitude imagery.
 from __future__ import annotations
 
 import math
+import os
 import re
 
 import numpy as np
@@ -81,9 +82,12 @@ _KRUGER = {
 # (a, 1/f) per ellipsoid; position-vector (EPSG 9606) shift TO WGS84 as
 # (tx, ty, tz [m], rx, ry, rz [arcsec], s [ppm]).  GRS80/NAD83 stays a
 # zero shift (sub-metre from WGS84, same treatment as the reference's OSR
-# default pipeline).  NTv2 grid-shift files remain out of scope: NAD27 is
-# served by the published EPSG:1173 mean Helmert below (accuracy class
-# documented there); any OTHER grid-shift datum is a loud raise.
+# default pipeline).  NAD27 is served by the published EPSG:1173 mean
+# Helmert below (accuracy class documented there); round 7 adds the NTv2
+# grid-shift seam — register_grid_shift() upgrades any registered datum
+# to survey-grade grid interpolation (ntv2.py), mean Helmert outside the
+# grid's coverage.  A datum with NEITHER a Helmert entry nor a grid is a
+# loud raise.
 _ELLPS = {
     "WGS84": (6378137.0, 1.0 / 298.257223563),
     "GRS80": (6378137.0, 1.0 / 298.257222101),
@@ -103,7 +107,8 @@ _DATUMS = {
     # NAD27 -> WGS84: EPSG:1173, the published CONUS mean geocentric
     # translation (-8, 160, 176).  ACCURACY CLASS ~10 m: NAD27's true
     # realization varies regionally (authoritative conversion is the
-    # NADCON/NTv2 grid, out of scope here — no grid files in-engine);
+    # NADCON/NTv2 grid — register one via register_grid_shift and this
+    # entry becomes the outside-coverage fallback only); with no grid
     # this is the same single-mean-Helmert treatment OSGB36 gets, with
     # a wider documented error bar.  (round-6 verdict "What's missing" #4)
     "NAD27": ("CLARKE66", (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)),
@@ -148,7 +153,7 @@ def _helmert_matrix(params):
     return np.array([tx, ty, tz]), m
 
 
-def _datum_to_wgs84(lon, lat, datum: str):
+def _helmert_to_wgs84(lon, lat, datum: str):
     ellps, params = _DATUMS[datum]
     X, Y, Z = _geodetic_to_ecef(lon, lat, ellps)
     t, m = _helmert_matrix(params)
@@ -158,7 +163,7 @@ def _datum_to_wgs84(lon, lat, datum: str):
     return lon2.reshape(np.shape(X)), lat2.reshape(np.shape(X))
 
 
-def _wgs84_to_datum(lon, lat, datum: str):
+def _helmert_from_wgs84(lon, lat, datum: str):
     """Exact inverse: solve the linear system rather than negate the
     small-angle parameters, so round-trips close to float precision."""
     ellps, params = _DATUMS[datum]
@@ -168,6 +173,83 @@ def _wgs84_to_datum(lon, lat, datum: str):
         m, np.vstack([np.ravel(X), np.ravel(Y), np.ravel(Z)]) - t[:, None])
     lon2, lat2 = _ecef_to_geodetic(out[0], out[1], out[2], ellps)
     return lon2.reshape(np.shape(X)), lat2.reshape(np.shape(X))
+
+
+# --- NTv2 grid-shift seam (round 7) -----------------------------------
+# A registered grid upgrades a datum's transform from its single mean
+# Helmert (the ~5-10 m class documented per _DATUMS entry) to the
+# survey-grade NTv2 grid — the treatment the reference gets from OSR
+# when NADCON/NTv2 files are installed [ref: mod/geo_base_c.pyx:1000].
+# Points OUTSIDE the grid's coverage fall back to the mean Helmert
+# (grids only cover their jurisdiction), a documented graceful
+# degradation, never a silent zero shift.
+_GRID_SHIFTS: dict = {}
+_env_grids_loaded = False
+
+
+def register_grid_shift(datum: str, grid) -> None:
+    """Route ``datum``'s transforms through an NTv2 grid.  ``grid`` is an
+    :class:`ntv2.Ntv2Grid` or a ``.gsb`` path.
+
+    Process scope: a direct call registers the grid in THIS process only
+    — fine for driver-side math (footprints, extents, catalogs, tests).
+    The warp/tile_cut datum leg runs inside applyInPandas on EXECUTOR
+    Python workers, so deployments set
+    ``GSR_NTV2_GRIDS="NAD27=/path/conus.gsb[;ED50=...]"`` (the same
+    per-worker registration seam as ``GSR_FASTJPEG``): every worker
+    loads lazily at its first transform.  Grids are MB-class, loaded
+    once per process; interpolation stays vectorized NumPy."""
+    if datum not in _DATUMS:
+        raise ValueError(
+            f"unknown datum {datum!r}: grid shifts attach to a registered "
+            f"Helmert datum {sorted(_DATUMS)}")
+    from . import ntv2 as _ntv2
+    if isinstance(grid, str):
+        grid = _ntv2.load_ntv2(grid)
+    if not isinstance(grid, _ntv2.Ntv2Grid):
+        raise TypeError("grid must be an ntv2.Ntv2Grid or a .gsb path")
+    _GRID_SHIFTS[datum] = grid
+
+
+def unregister_grid_shift(datum: str) -> None:
+    _GRID_SHIFTS.pop(datum, None)
+
+
+def _grid_for(datum: str):
+    global _env_grids_loaded
+    if not _env_grids_loaded:
+        _env_grids_loaded = True
+        spec = os.environ.get("GSR_NTV2_GRIDS", "")
+        for part in filter(None, (p.strip() for p in spec.split(";"))):
+            name, sep, path = part.partition("=")
+            if not sep:
+                raise ValueError(f"GSR_NTV2_GRIDS entry {part!r} is not "
+                                 "DATUM=/path/file.gsb")
+            register_grid_shift(name.strip(), path.strip())
+    return _GRID_SHIFTS.get(datum)
+
+
+def _datum_to_wgs84(lon, lat, datum: str):
+    grid = _grid_for(datum)
+    if grid is None:
+        return _helmert_to_wgs84(lon, lat, datum)
+    glon, glat, cov = grid.forward(lon, lat)
+    if bool(np.all(cov)):
+        return glon, glat
+    hlon, hlat = _helmert_to_wgs84(lon, lat, datum)
+    return np.where(cov, glon, hlon), np.where(cov, glat, hlat)
+
+
+def _wgs84_to_datum(lon, lat, datum: str):
+    grid = _grid_for(datum)
+    if grid is None:
+        return _helmert_from_wgs84(lon, lat, datum)
+    glon, glat, cov = grid.inverse(np.asarray(lon, dtype=np.float64),
+                                   np.asarray(lat, dtype=np.float64))
+    if bool(np.all(cov)):
+        return glon, glat
+    hlon, hlat = _helmert_from_wgs84(lon, lat, datum)
+    return np.where(cov, glon, hlon), np.where(cov, glat, hlat)
 
 
 # EPSG:27700 British National Grid: general transverse Mercator on Airy
@@ -558,8 +640,9 @@ def _proj4_datum_crs(kv: dict, s: str) -> str:
         raise ValueError(
             "proj4 +towgs84 does not match a registered Helmert datum "
             "(ED50 on +ellps=intl, OSGB36 on +ellps=airy, NAD27 on "
-            "+ellps=clrk66 via the EPSG:1173 mean shift); NTv2 grid-shift "
-            f"datums are unsupported: {s}")
+            "+ellps=clrk66 via the EPSG:1173 mean shift); datums outside "
+            "the registry are unsupported (an NTv2 grid refines a "
+            f"REGISTERED datum via crs.register_grid_shift): {s}")
     proj = kv.get("proj")
 
     def check(allowed: dict):

@@ -116,3 +116,46 @@ def streaming_dedup_admission(spark: SparkSession, docs_path: str,
                   .option("checkpointLocation", checkpoint_path)
                   .trigger(availableNow=True)
                   .start())
+
+
+def streaming_phash_admission(spark: SparkSession, images_path: str,
+                              store_path: str, out_path: str,
+                              checkpoint_path: str,
+                              schema: str | None = None,
+                              id_col: str = "image_id",
+                              phash_col: str = "phash",
+                              max_bucket: int = 200):
+    """Image twin of :func:`streaming_dedup_admission`: each micro-batch
+    of newly-arrived image metadata (the input_hint ``phash:int64``
+    column) runs ``dedup.incremental_phash_dedup`` against the persisted
+    phash store (built once with ``dedup.build_phash_store``) — Hamming
+    near-dups of resident images are rejected, in-batch clusters
+    collapse, accepted rows land in ``out_path`` (idempotent per-batch
+    subdirectory) and their phash blocks enter the store.  Same crash
+    contract as the text path: sink delivery BEFORE the store append,
+    empty replay recomputes never clobber a prior delivery."""
+    from ..operators import dedup
+
+    schema = schema or f"{id_col} long, {phash_col} long"
+    stream = spark.readStream.schema(schema).parquet(images_path)
+
+    def process_batch(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+
+        def sink(accepted):
+            if accepted.limit(1).count() == 0:
+                return
+            (accepted.withColumn("batch_id", F.lit(batch_id))
+                     .write.mode("overwrite")
+                     .parquet(f"{out_path}/batch={batch_id}"))
+
+        dedup.incremental_phash_dedup(
+            spark, store_path, batch_df, id_col=id_col,
+            phash_col=phash_col, max_bucket=max_bucket, out_sink=sink)
+
+    return (stream.writeStream
+                  .foreachBatch(process_batch)
+                  .option("checkpointLocation", checkpoint_path)
+                  .trigger(availableNow=True)
+                  .start())

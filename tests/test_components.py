@@ -306,6 +306,41 @@ def test_cli_dedup_end_to_end(spark, sf_dir, tmp_path):
     assert kept.select("doc_id").distinct().count() == stats["n_survivors"]
 
 
+def test_cli_compact_store(spark, sf_dir, tmp_path):
+    """Store maintenance is operator-reachable from the CLI: replay
+    residue in, reclaim stats out, duplicates gone."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from geo_raster_spark import cli
+    from geo_raster_spark.operators.dedup import minhash_signatures_np
+
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .select("doc_id", "text"))
+    path = str(tmp_path / "mh_cli")
+    dedup.build_minhash_store(d, path)
+    n0 = spark.read.parquet(f"{path}/sigs").count()
+    extra = (d.limit(5).withColumn("doc_id", F.col("doc_id") + 60_000_000)
+               .withColumn("text", F.concat(F.col("text"),
+                                            F.lit(" clicompact"))))
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    sig = minhash_signatures_np(extra, "text", "doc_id",
+                                int(p["k"]), int(p["n_hashes"]))
+    dedup.append_to_minhash_store(spark, path, sig)
+    dedup.append_to_minhash_store(spark, path, sig)   # replay residue
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.main(["--cores", "8", "compact", "--store", path])
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["store"] == "minhash"
+    assert stats["dup_rows_dropped"] == 5
+    assert stats["rows_after"] == n0 + 5
+    assert stats["files_after"] <= stats["files_before"]
+    assert spark.read.parquet(f"{path}/sigs").count() == n0 + 5
+
+
 def test_embedding_pairs_dedup_corpus_end_to_end(spark, sf_dir):
     """Completes the composition matrix: EMBEDDING near-dup pairs
     (knn_pairs_exact) feed the same components/survivor machinery as

@@ -147,3 +147,43 @@ def test_streaming_dedup_admission(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     a2 = spark.read.parquet(out).toPandas()
     assert sorted(a2["doc_id"]) == [30_000_001, 30_000_002, 30_000_013]
+
+
+def test_streaming_phash_admission(spark, tmp_path):
+    """Image twin of the streaming ingest door: wave 1 admits fresh
+    phashes; wave 2 (a 1-bit flip of a resident + an exact resident copy
+    + one far hash) admits only the far hash — Hamming dedup state
+    persists in the phash store across restarts."""
+    import pandas as pd
+
+    from geo_raster_spark.operators import dedup
+
+    store = str(tmp_path / "pstore")
+    src = str(tmp_path / "imgs")
+    out = str(tmp_path / "paccepted")
+    ckpt = str(tmp_path / "pckpt")
+
+    base = spark.createDataFrame(pd.DataFrame(
+        [{"image_id": i, "phash": (i * 0x9E3779B97F4A7C15) & ((1 << 63) - 1)}
+         for i in range(1, 41)]))
+    dedup.build_phash_store(base, store, max_hamming=2)
+
+    h1, h2 = 0x0F0F0F0F0F0F0F0, 0x123456789ABCDE
+    w1 = pd.DataFrame([{"image_id": 50_000_001, "phash": h1},
+                       {"image_id": 50_000_002, "phash": h2}])
+    spark.createDataFrame(w1).write.mode("append").parquet(src)
+    q = incremental.streaming_phash_admission(spark, src, store, out, ckpt)
+    q.awaitTermination(120)
+    a1 = spark.read.parquet(out).toPandas()
+    assert sorted(a1["image_id"]) == [50_000_001, 50_000_002]
+
+    w2 = pd.DataFrame([
+        {"image_id": 50_000_011, "phash": h1 ^ 1},        # 1-bit near-dup
+        {"image_id": 50_000_012, "phash": h2},            # exact resident
+        {"image_id": 50_000_013, "phash": 0x7EDCBA987654321},  # fresh
+    ])
+    spark.createDataFrame(w2).write.mode("append").parquet(src)
+    q2 = incremental.streaming_phash_admission(spark, src, store, out, ckpt)
+    q2.awaitTermination(120)
+    a2 = spark.read.parquet(out).toPandas()
+    assert sorted(a2["image_id"]) == [50_000_001, 50_000_002, 50_000_013]

@@ -199,16 +199,23 @@ def register_grid_shift(datum: str, grid) -> None:
     per-worker registration seam as ``GSR_FASTJPEG``): every worker
     loads lazily at its first transform.  Grids are MB-class, loaded
     once per process; interpolation stays vectorized NumPy."""
+    _GRID_SHIFTS[datum] = _load_grid(datum, grid)
+
+
+def _load_grid(datum: str, grid):
+    """Validate-and-parse WITHOUT touching the registry, so callers can
+    stage multi-grid loads atomically (a half-registered state must
+    never become visible — see _grid_for)."""
     if datum not in _DATUMS:
         raise ValueError(
             f"unknown datum {datum!r}: grid shifts attach to a registered "
             f"Helmert datum {sorted(_DATUMS)}")
     from . import ntv2 as _ntv2
-    if isinstance(grid, str):
-        grid = _ntv2.load_ntv2(grid)
+    if isinstance(grid, (str, os.PathLike)):
+        grid = _ntv2.load_ntv2(os.fspath(grid))
     if not isinstance(grid, _ntv2.Ntv2Grid):
         raise TypeError("grid must be an ntv2.Ntv2Grid or a .gsb path")
-    _GRID_SHIFTS[datum] = grid
+    return grid
 
 
 def unregister_grid_shift(datum: str) -> None:
@@ -218,14 +225,21 @@ def unregister_grid_shift(datum: str) -> None:
 def _grid_for(datum: str):
     global _env_grids_loaded
     if not _env_grids_loaded:
-        _env_grids_loaded = True
+        # parse EVERY entry before registering ANY, and latch the
+        # loaded flag only on full success: a failed load must keep
+        # RAISING on retry (Spark reuses Python workers, so a latched
+        # failure would silently downgrade every later transform in
+        # this process to the mean Helmert — review r7)
         spec = os.environ.get("GSR_NTV2_GRIDS", "")
+        staged = {}
         for part in filter(None, (p.strip() for p in spec.split(";"))):
             name, sep, path = part.partition("=")
             if not sep:
                 raise ValueError(f"GSR_NTV2_GRIDS entry {part!r} is not "
                                  "DATUM=/path/file.gsb")
-            register_grid_shift(name.strip(), path.strip())
+            staged[name.strip()] = _load_grid(name.strip(), path.strip())
+        _GRID_SHIFTS.update(staged)
+        _env_grids_loaded = True
     return _GRID_SHIFTS.get(datum)
 
 

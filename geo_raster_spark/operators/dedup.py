@@ -137,7 +137,9 @@ def _check_store_id_type(spark, path: str, new_sig: DataFrame) -> None:
     (int32 on disk) or a string-id store fed a bigint batch would
     otherwise accumulate mixed-type parquet files and wedge every later
     read (review r7, second pass)."""
-    resident = dict(spark.read.parquet(f"{path}/sigs").dtypes)["_id"]
+    from .similarity import _live_dir
+    resident = dict(spark.read.parquet(_live_dir(f"{path}/sigs"))
+                    .dtypes)["_id"]
     batch = dict(new_sig.dtypes)["_id"]
     if resident != batch:
         raise ValueError(
@@ -603,21 +605,28 @@ def incremental_minhash_pairs(spark, path: str, new_docs: DataFrame,
     table exceeds this row count fall back to a sort-merge join on the
     band key (hint-pinned so size stats can't flip it back), shuffling
     both sides but never materializing the batch in every executor."""
-    from .similarity import _recover_swap
-    # a compaction crashed mid-swap would make these reads fail on a
-    # missing path — restore first (review r7, second pass)
-    _recover_swap(f"{path}/sigs")
-    _recover_swap(f"{path}/bands")
+    from .similarity import _live_dir
+    # a compaction crashed mid-swap leaves the layout under
+    # __compact_old — READ it from there; renaming from this (read-only)
+    # path would race an in-flight compaction swap (review r7, third
+    # pass).  The next append/compaction performs the actual recovery.
+    spath, bpath = _live_dir(f"{path}/sigs"), _live_dir(f"{path}/bands")
     p = spark.read.parquet(f"{path}/params").collect()[0]
     k, n_hashes, bands = int(p["k"]), int(p["n_hashes"]), int(p["bands"])
 
     new_sig = minhash_signatures_np(new_docs, text_col, id_col, k,
                                     n_hashes).persist()
+    # fail BEFORE any pair work or sink delivery: with the id widening
+    # relaxed in-session, a mistyped batch id would otherwise surface
+    # only at append time — after incremental_dedup's out_sink already
+    # delivered the batch, leaving a permanent poison pill (review r7,
+    # third pass)
+    _check_store_id_type(spark, path, new_sig)
     n_new = new_sig.count()
     small_batch = n_new * bands <= broadcast_threshold
     new_bands = band_table(new_sig, n_hashes, bands)
 
-    stored_bands = spark.read.parquet(f"{path}/bands")
+    stored_bands = spark.read.parquet(bpath)
     if max_bucket is not None:
         # resident hot buckets are a property of the STORE — exclude them
         # store-side (broadcast list), same guard as minhash_lsh.
@@ -643,7 +652,7 @@ def incremental_minhash_pairs(spark, path: str, new_docs: DataFrame,
                      F.col("nb._id").alias("id_b"))
              .where(F.col("id_a") != F.col("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
-    stored_sig = spark.read.parquet(f"{path}/sigs")
+    stored_sig = spark.read.parquet(spath)
     sa = stored_sig.select(F.col("_id").alias("id_a"),
                            F.col("sig").alias("sig_a"))
     sb = new_sig.select(F.col("_id").alias("id_b"),
@@ -763,7 +772,9 @@ def incremental_dedup(spark, path: str, new_docs: DataFrame,
         spark, path, new_docs, text_col, id_col, jaccard_threshold,
         max_bucket, broadcast_threshold)
     new_ids = new_sig.select(F.col("_id").alias(id_col))
-    stored_ids = spark.read.parquet(f"{path}/sigs").select("_id")
+    from .similarity import _live_dir
+    stored_ids = spark.read.parquet(_live_dir(f"{path}/sigs")) \
+        .select("_id")
     # localCheckpoint (NOT persist): the append below writes into
     # {path}/sigs, and Spark's InsertIntoHadoopFsRelation refreshes that
     # path's file index — invalidating any CACHED plan that reads it
@@ -822,20 +833,23 @@ def incremental_phash_pairs(spark, path: str, new_images: DataFrame,
     rows scanned, hamming verified JVM-side; ``broadcast_threshold``
     guards the backfill case with the same sort-merge fallback).
     Returns ``(pairs, new_sig)``."""
-    from .similarity import _recover_swap
-    _recover_swap(f"{path}/sigs")
-    _recover_swap(f"{path}/blocks")
+    from .similarity import _live_dir
+    # read-only crashed-swap view — see incremental_minhash_pairs
+    bpath = _live_dir(f"{path}/blocks")
     p = spark.read.parquet(f"{path}/params").collect()[0]
     max_hamming = int(p["max_hamming"])
 
     new_sig = new_images.select(
         _widened_id_col(new_images, id_col),
         F.col(phash_col).cast("long").alias("simhash")).persist()
+    # type-match vs the resident store BEFORE pair work / sink delivery
+    # (review r7, third pass — same rationale as the minhash path)
+    _check_store_id_type(spark, path, new_sig)
     n_new = new_sig.count()
     small_batch = n_new * (max_hamming + 1) <= broadcast_threshold
     new_blocks = pigeonhole_block_table(new_sig, max_hamming)
 
-    stored_blocks = spark.read.parquet(f"{path}/blocks")
+    stored_blocks = spark.read.parquet(bpath)
     if max_bucket is not None:
         # countDistinct — see incremental_minhash_pairs (replay-duplicated
         # rows must not inflate a bucket over the cap)
@@ -901,7 +915,9 @@ def incremental_phash_dedup(spark, path: str, new_images: DataFrame,
         spark, path, new_images, id_col, phash_col, max_bucket,
         broadcast_threshold)
     new_ids = new_sig.select(F.col("_id").alias(id_col))
-    stored_ids = spark.read.parquet(f"{path}/sigs").select("_id")
+    from .similarity import _live_dir
+    stored_ids = spark.read.parquet(_live_dir(f"{path}/sigs")) \
+        .select("_id")
     # localCheckpoint, not persist — see incremental_dedup (the sig
     # append refreshes the path's file index and would invalidate a
     # cached plan reading it, flipping the returned rows to rejected)

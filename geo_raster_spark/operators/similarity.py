@@ -214,7 +214,7 @@ def lsh_topk_indexed(spark, path: str, probe_vec, k: int = 10,
     come from the tiny stats sidecar, and ``bucket IN (...)`` is a PARTITION
     filter on the assignments table — only ~|shell|/2^n_planes of the data
     is read, and no full-table pass happens at query time."""
-    _recover_swap(f"{path}/assignments")  # crashed-compaction restore
+    apath = _live_dir(f"{path}/assignments")  # crashed-compaction view
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     dim, n_planes, seed = int(stats["dim"]), int(stats["n_planes"]), int(stats["seed"])
     mu = np.asarray(stats["center"], dtype=np.float64)
@@ -222,7 +222,7 @@ def lsh_topk_indexed(spark, path: str, probe_vec, k: int = 10,
     planes = random_planes(dim, n_planes, seed)
     b0 = _bucket_of(probe_vec, planes, mu)
     cand_buckets = _multiprobe_buckets(b0, n_planes, multiprobe_bits)
-    cand = (spark.read.parquet(f"{path}/assignments")
+    cand = (spark.read.parquet(apath)
                  .where(F.col("bucket").isin([int(b) for b in cand_buckets])))
     p = probe_literal(probe_vec)
     scored = cand.select(
@@ -360,11 +360,31 @@ def _clear_index_residue(path: str) -> None:
 def _recover_swap(live: str) -> None:
     """Crash recovery for :func:`_swap_dir`: a crash between the two
     renames leaves ``live`` missing and ``live__compact_old`` holding the
-    previous (correct) layout — restore it so reads and a compaction
-    re-run converge instead of failing on a missing path (review r7)."""
+    previous (correct) layout — restore it so a compaction or append
+    re-run converges instead of failing on a missing path (review r7).
+
+    WRITER-only (appends + compaction), and those run under the store's
+    single-concurrent-maintainer contract (see :func:`_swap_dir`) — a
+    concurrent caller could not tell a crashed swap from one mid-flight
+    and would rename the directory out from under it.  Query paths use
+    the non-mutating :func:`_live_dir` instead (review r7, third pass)."""
     old = live + "__compact_old"
     if not os.path.isdir(live) and os.path.isdir(old):
         os.rename(old, live)
+
+
+def _live_dir(live: str) -> str:
+    """Non-mutating :func:`_recover_swap` twin for QUERY paths: if a
+    crashed (or in-flight) compaction has the layout under
+    ``__compact_old``, READ from there — the pre-compaction view, which
+    stays query-identical by the compaction contract.  Renaming from a
+    reader would race a mid-swap maintenance call and could fail ITS
+    second rename; readers also must not race each other.  The next
+    maintenance call performs the actual recovery."""
+    if os.path.isdir(live):
+        return live
+    old = live + "__compact_old"
+    return old if os.path.isdir(old) else live
 
 
 def _swap_dir(live: str, tmp: str) -> None:
@@ -565,11 +585,11 @@ def ivf_topk_indexed(spark, path: str, probe_vec, k: int = 10,
                      id_col: str = "vec_id") -> DataFrame:
     """IVF ANN over a persisted index: the ``ivf IN (...)`` predicate is a
     PARTITION filter — only nprobe/n_centroids of the table is read."""
-    _recover_swap(f"{path}/assignments")  # crashed-compaction restore
+    apath = _live_dir(f"{path}/assignments")  # crashed-compaction view
     probe_vec = np.asarray(probe_vec, dtype=np.float64)
     C = load_ivf_centroids(spark, path)
     order = np.argsort(((C - probe_vec) ** 2).sum(1))[:nprobe]
-    cand = (spark.read.parquet(f"{path}/assignments")
+    cand = (spark.read.parquet(apath)
                  .where(F.col("ivf").isin([int(i) for i in order])))
     p = probe_literal(probe_vec)
     scored = cand.select(

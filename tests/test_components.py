@@ -306,6 +306,37 @@ def test_cli_dedup_end_to_end(spark, sf_dir, tmp_path):
     assert kept.select("doc_id").distinct().count() == stats["n_survivors"]
 
 
+def test_incremental_dedup_bad_id_type_fails_before_sink(spark, sf_dir,
+                                                         tmp_path):
+    """Review r7, third pass: a mistyped batch id must raise BEFORE the
+    out_sink delivers anything — a post-sink failure would leave a
+    permanent poison pill (rows delivered downstream whose signatures
+    never enter the store, re-delivering and re-raising every replay)."""
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .select("doc_id", "text"))
+    path = str(tmp_path / "mh_type")
+    dedup.build_minhash_store(d, path)
+    bad = d.limit(3).withColumn("doc_id", F.col("doc_id").cast("double"))
+    delivered = []
+    with pytest.raises(ValueError, match="mix parquet schemas"):
+        dedup.incremental_dedup(spark, path, bad,
+                                out_sink=delivered.append)
+    assert delivered == []
+
+    # phash twin: the strict store-id widening trips first, same timing
+    base = spark.createDataFrame(pd.DataFrame(
+        {"image_id": np.array([1, 2], dtype=np.int64),
+         "phash": np.array([111, 222], dtype=np.int64)}))
+    ppath = str(tmp_path / "ph_type")
+    dedup.build_phash_store(base, ppath)
+    badp = spark.createDataFrame(pd.DataFrame(
+        {"image_id": [1.5, 2.5], "phash": [3.0, 9.0]}))
+    with pytest.raises(ValueError, match="integral or string"):
+        dedup.incremental_phash_dedup(spark, ppath, badp,
+                                      out_sink=delivered.append)
+    assert delivered == []
+
+
 def test_cli_compact_store(spark, sf_dir, tmp_path):
     """Store maintenance is operator-reachable from the CLI: replay
     residue in, reclaim stats out, duplicates gone."""
@@ -675,13 +706,21 @@ def test_store_swap_recovery_and_id_widening(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="mix parquet schemas"):
         dedup.append_to_minhash_store(spark, path, str_sig)
 
-    # a mid-swap crash is also recovered by the incremental READ path
+    # a mid-swap crash: the incremental READ path serves the
+    # pre-compaction __compact_old view WITHOUT renaming — a reader
+    # cannot tell a crashed swap from one in flight, so renaming from a
+    # query would race a live compaction (review r7, third pass).  The
+    # next WRITER (here: compaction) performs the actual recovery.
     os.rename(f"{path}/bands", f"{path}/bands__compact_old")
     probe = d.limit(2).withColumn("doc_id", F.col("doc_id") + 70_000_000)
     rpairs, rsig = dedup.incremental_minhash_pairs(spark, path, probe)
     rpairs.unpersist()
     rsig.unpersist()
+    assert not os.path.isdir(f"{path}/bands")      # reader left it alone
+    assert os.path.isdir(f"{path}/bands__compact_old")
+    dedup.compact_store(spark, path)               # writer recovers
     assert os.path.isdir(f"{path}/bands")
+    assert not os.path.isdir(f"{path}/bands__compact_old")
 
     # phash twin: recovery on blocks + widened int id
     from geo_raster_spark import synth

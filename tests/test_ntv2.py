@@ -280,3 +280,23 @@ def test_env_seam_loads_grid_per_process(tmp_path, monkeypatch):
     monkeypatch.setattr(crs, "_GRID_SHIFTS", {})
     with pytest.raises(ValueError, match="GSR_NTV2_GRIDS"):
         crs._grid_for("NAD27")
+    # a failed load must NOT latch: Spark reuses Python workers across
+    # task retries, and a latched failure would silently downgrade every
+    # later transform to the mean Helmert (review r7, third pass)
+    with pytest.raises(ValueError, match="GSR_NTV2_GRIDS"):
+        crs._grid_for("NAD27")
+    # a missing grid FILE keeps raising on retry too, and a half-valid
+    # multi-entry spec registers nothing
+    monkeypatch.setenv("GSR_NTV2_GRIDS",
+                       f"NAD27={p};ED50={tmp_path}/missing.gsb")
+    monkeypatch.setattr(crs, "_env_grids_loaded", False)
+    monkeypatch.setattr(crs, "_GRID_SHIFTS", {})
+    for _ in range(2):
+        with pytest.raises(FileNotFoundError):
+            crs._grid_for("NAD27")
+    assert crs._GRID_SHIFTS == {}   # the valid NAD27 entry did NOT leak in
+    # pathlib.Path registration works (the docstring invites paths)
+    import pathlib
+    monkeypatch.setattr(crs, "_GRID_SHIFTS", {})
+    crs.register_grid_shift("NAD27", pathlib.Path(p))
+    assert crs._GRID_SHIFTS["NAD27"].system_f == "NAD27"

@@ -696,9 +696,19 @@ def test_index_rebuild_replay_guards_and_recovery(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                            old_mode)
 
-    # (d) mid-swap compaction crash: live dir renamed away, old present
+    # (d) mid-swap compaction crash: live dir renamed away, old present.
+    # A QUERY serves the pre-compaction view WITHOUT renaming (a reader
+    # must not race an in-flight swap — review r7, third pass) ...
     apath = f"{path}/assignments"
+    probe_q = [1.0] * 64
+    before_crash = similarity.ivf_topk_indexed(
+        spark, path, probe_q, k=5, nprobe=8).toPandas()
     os.rename(apath, apath + "__compact_old")
+    during_crash = similarity.ivf_topk_indexed(
+        spark, path, probe_q, k=5, nprobe=8).toPandas()
+    assert list(during_crash["vec_id"]) == list(before_crash["vec_id"])
+    assert not os.path.isdir(apath)            # reader left the crash be
+    # ... and the next WRITER (append) performs the recovery
     r_rec = similarity.append_to_index(spark, path, rest, kind="ivf",
                                        batch_id="day-002")
     assert r_rec["n_appended"] == n_rest

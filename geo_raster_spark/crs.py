@@ -771,6 +771,41 @@ def parse_proj4(s: str):
         # (raises loudly when the datum/projection isn't implemented)
         return _proj4_datum_crs(kv, s)
 
+    if str(kv.get("datum", "")).upper() == "NAD27":
+        # PROJ's +datum=NAD27 IMPLIES the NADCON grid shift — honor it
+        # only when a grid is actually registered (r7: the NTv2 seam);
+        # without one, accepting it would silently deliver the ~10 m
+        # mean-Helmert class under a flag that promises survey grade
+        if _grid_for("NAD27") is None:
+            raise ValueError(
+                "+datum=NAD27 implies the NADCON/NTv2 grid shift; "
+                "register one (crs.register_grid_shift / GSR_NTV2_GRIDS) "
+                "or spell the mean-Helmert intent explicitly as "
+                f"+ellps=clrk66 +towgs84=-8,160,176: {s}")
+        # same whitelist discipline as every proj4 branch: nothing that
+        # could change the transform may ride along unchecked
+        extra = sorted(k for k in kv
+                       if k not in ("proj", "zone", "south", "datum",
+                                    "units", "no_defs", "wktext", "type",
+                                    "axis"))
+        if extra:
+            raise ValueError(f"unsupported modifier(s) {extra} on a "
+                             f"+datum=NAD27 string: {s}")
+        if kv.get("axis", "enu") != "enu":
+            raise ValueError(f"+axis changes the transform: {s}")
+        if proj in ("longlat", "latlong", "lonlat"):
+            if kv.get("units") not in (None, True, "degrees", "deg"):
+                raise ValueError(f"geographic +units must be degrees: {s}")
+            return "EPSG:4267"
+        if proj == "utm" and not kv.get("south"):
+            if kv.get("units") not in (None, True, "m"):
+                raise ValueError(f"+units must be m on utm: {s}")
+            zone = int(kv.get("zone", 0))
+            if 1 <= zone <= 22:
+                return f"EPSG:267{zone:02d}"
+        raise ValueError(
+            f"NAD27 is supported as longlat or UTM north zones 1-22: {s}")
+
     def num(k, default=0.0):
         return float(kv.get(k, default))
 
@@ -1336,6 +1371,41 @@ def _wkt2_to_wkt1(node, s: str):
     raise ValueError(f"WKT2: unsupported CRS node {node[0]}: {s[:80]}")
 
 
+_WKT_HORIZONTAL = ("GEOGCS", "PROJCS", "GEOGCRS", "PROJCRS", "GEODCRS",
+                   "BOUNDCRS")
+# metadata members a compound node may carry besides its component CRSs
+_WKT_COMPOUND_META = ("AUTHORITY", "ID", "USAGE", "SCOPE", "AREA", "BBOX",
+                      "REMARK")
+
+
+def _compound_horizontal(node, s: str):
+    """COMPD_CS/COMPOUNDCRS -> its horizontal member node.  DEM-style
+    catalogs wrap horizontal + vertical; this engine's transforms are
+    strictly 2-D (the datum step already discards ellipsoidal height,
+    documented at _ecef_to_geodetic), so the vertical member
+    (VERT_CS/VERTCRS — datum, unit and axis included) is DISCARDED and
+    the horizontal resolves as if bare.  Anything other than exactly one
+    horizontal plus vertical/metadata members raises: a second
+    horizontal, a TIMECRS, or a PARAMETRICCRS component cannot be
+    silently dropped."""
+    horiz = [c for c in node[1]
+             if isinstance(c, tuple) and c[0] in _WKT_HORIZONTAL]
+    if len(horiz) != 1:
+        raise ValueError(
+            f"WKT compound: expected exactly one horizontal component, "
+            f"got {len(horiz)}: {s[:80]}")
+    extra = [c[0] for c in node[1]
+             if isinstance(c, tuple)
+             and c[0] not in _WKT_HORIZONTAL
+             and c[0] not in ("VERT_CS", "VERTCRS")
+             and c[0] not in _WKT_COMPOUND_META]
+    if extra:
+        raise ValueError(
+            f"WKT compound: unsupported component(s) {extra} — only a "
+            f"vertical member can be discarded (2-D engine): {s[:80]}")
+    return horiz[0]
+
+
 def parse_wkt(s: str):
     """WKT CRS string -> canonical registry id, or None if ``s`` is not
     WKT.  WKT1 GEOGCS/PROJCS and WKT2 GEOGCRS/PROJCRS/BOUNDCRS forms of
@@ -1344,13 +1414,18 @@ def parse_wkt(s: str):
     datums or meaning-changing parameters raise ValueError.  WKT2 trees
     are first rewritten into the WKT1 node shape (units converted via
     the explicit WKT2 unit nodes) so both grammars share one validated
-    branch body."""
+    branch body.  COMPD_CS/COMPOUNDCRS (horizontal + vertical) resolve
+    to their horizontal member — see :func:`_compound_horizontal`."""
     head = s.strip()[:12].upper()
     if not (head.startswith("GEOGCS") or head.startswith("PROJCS")
             or head.startswith("GEOGCRS") or head.startswith("PROJCRS")
-            or head.startswith("GEODCRS") or head.startswith("BOUNDCRS")):
+            or head.startswith("GEODCRS") or head.startswith("BOUNDCRS")
+            or head.startswith("COMPD_CS")
+            or head.startswith("COMPOUNDCRS")):
         return None
     node, _ = _wkt_node(s.strip(), 0)
+    if node[0] in ("COMPD_CS", "COMPOUNDCRS"):
+        node = _compound_horizontal(node, s)
     if node[0] in ("GEOGCRS", "GEODCRS", "PROJCRS", "BOUNDCRS"):
         node = _wkt2_to_wkt1(node, s)
 
@@ -1542,7 +1617,8 @@ def normalize_crs(crs: str) -> str:
             raise ValueError(f"unknown crs {crs}")
         return p
     if c[:12].upper().startswith(("GEOGCS", "PROJCS", "GEOGCRS", "PROJCRS",
-                                  "GEODCRS", "BOUNDCRS")):
+                                  "GEODCRS", "BOUNDCRS", "COMPD_CS",
+                                  "COMPOUNDCRS")):
         p = parse_wkt(c)
         if p is None:
             raise ValueError(f"unknown crs {crs}")

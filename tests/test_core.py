@@ -1268,9 +1268,24 @@ def test_ed50_utm_zone_and_proj4_resolution():
     ) == "EPSG:27700"
     with _pytest.raises(ValueError, match="registered Helmert datum"):
         crs.parse_proj4("+proj=longlat +ellps=intl +towgs84=-1,-2,-3")
-    with _pytest.raises(ValueError,
-                        match="changes the transform|unsupported|unknown"):
+    # +datum=NAD27 IMPLIES the grid shift: without a registered grid it
+    # raises (naming the explicit mean-Helmert spelling); WITH one it
+    # resolves to the registry ids (r7 NTv2 seam)
+    with _pytest.raises(ValueError, match="NADCON/NTv2 grid shift"):
         crs.normalize_crs("+proj=utm +zone=11 +datum=NAD27")
+    from tests.test_ntv2 import _PARENT, build_gsb
+    from geo_raster_spark import ntv2 as _ntv2
+    crs.register_grid_shift("NAD27", _ntv2.parse_ntv2(build_gsb([_PARENT])))
+    try:
+        assert crs.normalize_crs("+proj=utm +zone=11 +datum=NAD27") \
+            == "EPSG:26711"
+        assert crs.normalize_crs("+proj=longlat +datum=NAD27") \
+            == "EPSG:4267"
+        # the whitelist still holds on this branch
+        with _pytest.raises(ValueError, match="unsupported modifier"):
+            crs.normalize_crs("+proj=utm +zone=11 +datum=NAD27 +k=2")
+    finally:
+        crs.unregister_grid_shift("NAD27")
 
 
 def test_wkt_datum_crs_resolution():
@@ -1776,3 +1791,47 @@ def test_wkt2_generic_unit_on_primem_and_ellipsoid():
         '"WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]',
         '"WGS 84",6378137,298.257223563,UNIT["metre",1]')
     assert crs.parse_wkt(ok_ell) == "EPSG:4326"
+
+
+def test_wkt_compound_resolves_horizontal_discards_vertical():
+    """COMPD_CS / COMPOUNDCRS (r7): DEM-style horizontal+vertical
+    compounds resolve to their horizontal member — this engine is 2-D
+    (heights are discarded at the datum step), so the vertical member
+    carries no information for it.  Non-vertical extra components are a
+    loud raise, never silently dropped."""
+    vert1 = ('VERT_CS["EGM96 height",VERT_DATUM["EGM96 geoid",2005],'
+             'UNIT["metre",1],AXIS["Gravity-related height",UP],'
+             'AUTHORITY["EPSG","5773"]]')
+    comp1 = (f'COMPD_CS["WGS 84 / UTM zone 18N + EGM96",'
+             f'{_WKT["EPSG:32618"]},{vert1}]')
+    assert crs.parse_wkt(comp1) == crs.parse_wkt(_WKT["EPSG:32618"])
+    # transforms bit-identical to the bare horizontal
+    lon, lat = np.array([-75.5, -74.0]), np.array([40.0, -10.0])
+    xa, ya = crs.transform("EPSG:4326", comp1, lon, lat)
+    xb, yb = crs.transform("EPSG:4326", _WKT["EPSG:32618"], lon, lat)
+    np.testing.assert_array_equal(xa, xb)
+    np.testing.assert_array_equal(ya, yb)
+
+    vert2 = ('VERTCRS["EGM96 height",'
+             'VDATUM["EGM96 geoid"],CS[vertical,1],'
+             'AXIS["gravity-related height (H)",up],'
+             'LENGTHUNIT["metre",1]]')
+    comp2 = f'COMPOUNDCRS["WGS 84 + EGM96",{_WKT2["EPSG:4326"]},{vert2}]'
+    assert crs.parse_wkt(comp2) == crs.parse_wkt(_WKT2["EPSG:4326"])
+
+    # geographic + vertical in WKT1 spelling too
+    comp3 = f'COMPD_CS["WGS 84 + EGM96",{_WKT["EPSG:4326"]},{vert1}]'
+    assert crs.parse_wkt(comp3) == "EPSG:4326"
+
+    # rejections: two horizontals / zero horizontals / a TIMECRS member
+    with pytest.raises(ValueError, match="exactly one horizontal"):
+        crs.parse_wkt(f'COMPD_CS["x",{_WKT["EPSG:4326"]},'
+                      f'{_WKT["EPSG:32618"]}]')
+    with pytest.raises(ValueError, match="exactly one horizontal"):
+        crs.parse_wkt(f'COMPD_CS["x",{vert1}]')
+    with pytest.raises(ValueError, match="unsupported component"):
+        crs.parse_wkt(f'COMPOUNDCRS["x",{_WKT2["EPSG:4326"]},'
+                      'TIMECRS["GPS time",TDATUM["Time origin"],'
+                      'CS[TemporalDateTime,1],AXIS["time (T)",future]]]')
+    # normalize_crs routes compounds end-to-end
+    assert crs.normalize_crs(comp3) == "EPSG:4326"

@@ -300,3 +300,72 @@ def test_components_any_graph_matches_union_find(seed):
     got = {r["node"]: r["root"]
            for r in cc.connected_components(df).collect()}
     assert got == want
+
+
+@SET
+@given(st.integers(0, 2**31 - 1))
+def test_ntv2_bilinear_exact_on_random_linear_fields(seed):
+    """For ANY linear shift field sampled at the nodes, bilinear
+    interpolation must reproduce it exactly (up to float32 node storage)
+    at arbitrary interior points — the NTv2 analytic invariant."""
+    from geo_raster_spark import ntv2
+    from tests.test_ntv2 import build_gsb
+
+    rng = np.random.default_rng(seed)
+    s_lat = float(rng.uniform(-80, 60)) * 3600.0
+    e_long = float(rng.uniform(-170, 150)) * 3600.0
+    lat_inc = float(rng.uniform(300.0, 3600.0))
+    long_inc = float(rng.uniform(300.0, 3600.0))
+    nrows, ncols = int(rng.integers(2, 12)), int(rng.integers(2, 12))
+    a0, a1, a2 = rng.uniform(-3, 3), rng.uniform(-1e-5, 1e-5), \
+        rng.uniform(-1e-5, 1e-5)
+    b0, b1, b2 = rng.uniform(-3, 3), rng.uniform(-1e-5, 1e-5), \
+        rng.uniform(-1e-5, 1e-5)
+
+    def field(lat_sec, lonw_sec):
+        return (a0 + a1 * (lat_sec - s_lat) + a2 * (lonw_sec - e_long),
+                b0 + b1 * (lat_sec - s_lat) + b2 * (lonw_sec - e_long))
+
+    sub = dict(name="RAND", s_lat=s_lat,
+               n_lat=s_lat + (nrows - 1) * lat_inc,
+               e_long=e_long, w_long=e_long + (ncols - 1) * long_inc,
+               lat_inc=lat_inc, long_inc=long_inc, shift=field)
+    g = ntv2.parse_ntv2(build_gsb([sub]))
+    # keep a >max-shift margin from the boundary: a forward-shifted point
+    # can otherwise exit coverage, where inverse() passes through by
+    # contract (uncovered = no shift) — correct behavior, not the
+    # invariant under test
+    lat_sec = rng.uniform(s_lat + 5.0, sub["n_lat"] - 5.0, 40)
+    lonw_sec = rng.uniform(e_long + 5.0, sub["w_long"] - 5.0, 40)
+    dlat, dlonw, cov = g.shift(-lonw_sec / 3600.0, lat_sec / 3600.0)
+    assert cov.all()
+    exp = field(lat_sec, lonw_sec)
+    # float32 storage of node values bounds the error; scale with field
+    tol = 1e-5 * max(1.0, abs(a0) + abs(b0))
+    np.testing.assert_allclose(dlat, exp[0], atol=tol)
+    np.testing.assert_allclose(dlonw, exp[1], atol=tol)
+    # inverse closes through the same grid
+    flon, flat, _ = g.forward(-lonw_sec / 3600.0, lat_sec / 3600.0)
+    blon, blat, _ = g.inverse(flon, flat)
+    np.testing.assert_allclose(blon, -lonw_sec / 3600.0, atol=1e-8)
+    np.testing.assert_allclose(blat, lat_sec / 3600.0, atol=1e-8)
+
+
+@SET
+@given(st.integers(0, 2**31 - 1))
+def test_ntv2_truncation_always_raises_cleanly(seed):
+    """Any prefix of a valid .gsb either parses (full length) or raises
+    ValueError — never an unhandled struct/index error."""
+    import pytest
+
+    from geo_raster_spark import ntv2
+    from tests.test_ntv2 import _PARENT, build_gsb
+
+    data = build_gsb([_PARENT])
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(0, len(data)))
+    if n == len(data):
+        ntv2.parse_ntv2(data)
+    else:
+        with pytest.raises(ValueError):
+            ntv2.parse_ntv2(data[:n])

@@ -793,6 +793,8 @@ def parse_proj4(s: str):
                              f"+datum=NAD27 string: {s}")
         if kv.get("axis", "enu") != "enu":
             raise ValueError(f"+axis changes the transform: {s}")
+        if kv.get("type", "crs") != "crs":
+            raise ValueError(f"+type must be crs: {s}")
         if proj in ("longlat", "latlong", "lonlat"):
             if kv.get("units") not in (None, True, "degrees", "deg"):
                 raise ValueError(f"geographic +units must be degrees: {s}")
@@ -1397,7 +1399,8 @@ def _compound_horizontal(node, s: str):
     extra = [c[0] for c in node[1]
              if isinstance(c, tuple)
              and c[0] not in _WKT_HORIZONTAL
-             and c[0] not in ("VERT_CS", "VERTCRS")
+             # WKT1 / WKT2 / ESRI vertical spellings
+             and c[0] not in ("VERT_CS", "VERTCRS", "VERTCS")
              and c[0] not in _WKT_COMPOUND_META]
     if extra:
         raise ValueError(

@@ -675,22 +675,34 @@ def incremental_minhash_pairs(spark, path: str, new_docs: DataFrame,
 
     intra = minhash_pairs_from_sig(new_sig, n_hashes, bands,
                                    jaccard_threshold, max_bucket)
-    pairs = cross_pairs.unionByName(intra).persist()
+    pairs = cross_pairs.unionByName(intra)
+    if spath != f"{path}/sigs" or bpath != f"{path}/bands":
+        # crashed-swap view: checkpoint (not persist) so the pair table
+        # survives the writer recovery that the downstream append runs —
+        # a persisted plan re-evaluates against the renamed-away path if
+        # its partitions are evicted
+        pairs = pairs.localCheckpoint(eager=True)
+    else:
+        pairs = pairs.persist()
     pairs.count()
     intra.unpersist()
     return pairs, new_sig
 
 
-def append_to_minhash_store(spark, path: str, new_sig: DataFrame) -> int:
+def append_to_minhash_store(spark, path: str, new_sig: DataFrame,
+                            check_id_type: bool = True) -> int:
     """Append a batch's signatures + bands to the store (call with the
     ACCEPTED subset after dedup so rejected near-dups never pollute the
-    store).  Returns the number of rows appended."""
+    store).  Returns the number of rows appended.  ``check_id_type=False``
+    skips the resident-schema probe when the caller (the incremental
+    paths) already ran it pre-sink — direct callers keep the chokepoint."""
     from .similarity import _recover_swap
     # a compaction crashed mid-swap leaves sigs/bands under __compact_old;
     # appending into a fresh root would orphan the resident store
     _recover_swap(f"{path}/sigs")
     _recover_swap(f"{path}/bands")
-    _check_store_id_type(spark, path, new_sig)
+    if check_id_type:
+        _check_store_id_type(spark, path, new_sig)
     p = spark.read.parquet(f"{path}/params").collect()[0]
     # checkpoint: the (semi-join) input evaluates ONCE, not per action.
     # Write order bands THEN sigs: a crash between the files leaves
@@ -795,7 +807,8 @@ def incremental_dedup(spark, path: str, new_docs: DataFrame,
     append_to_minhash_store(
         spark, path,
         new_sig.join(accepted.select(F.col(id_col).alias("_id")),
-                     "_id", "left_semi"))
+                     "_id", "left_semi"),
+        check_id_type=False)   # already checked pre-sink in the pairs step
     new_sig.unpersist()
     pairs.unpersist()
     return accepted
@@ -877,19 +890,26 @@ def incremental_phash_pairs(spark, path: str, new_images: DataFrame,
              .dropDuplicates(["id_a", "id_b"]))
 
     intra = simhash_pairs_from_sig(new_sig, max_hamming, max_bucket)
-    pairs = cross.unionByName(intra).persist()
+    pairs = cross.unionByName(intra)
+    if bpath != f"{path}/blocks":
+        # crashed-swap view — see incremental_minhash_pairs
+        pairs = pairs.localCheckpoint(eager=True)
+    else:
+        pairs = pairs.persist()
     pairs.count()
     intra.unpersist()
     return pairs, new_sig
 
 
-def append_to_phash_store(spark, path: str, new_sig: DataFrame) -> int:
+def append_to_phash_store(spark, path: str, new_sig: DataFrame,
+                          check_id_type: bool = True) -> int:
     """Image twin of :func:`append_to_minhash_store`: checkpoint once,
     write blocks THEN sigs (same crash-ordering rationale)."""
     from .similarity import _recover_swap
     _recover_swap(f"{path}/sigs")
     _recover_swap(f"{path}/blocks")
-    _check_store_id_type(spark, path, new_sig)
+    if check_id_type:
+        _check_store_id_type(spark, path, new_sig)
     p = spark.read.parquet(f"{path}/params").collect()[0]
     new_sig = new_sig.localCheckpoint(eager=True)
     n = new_sig.count()
@@ -929,7 +949,8 @@ def incremental_phash_dedup(spark, path: str, new_images: DataFrame,
     append_to_phash_store(
         spark, path,
         new_sig.join(accepted.select(F.col(id_col).alias("_id")),
-                     "_id", "left_semi"))
+                     "_id", "left_semi"),
+        check_id_type=False)   # already checked pre-sink in the pairs step
     new_sig.unpersist()
     pairs.unpersist()
     return accepted

@@ -228,7 +228,12 @@ def lsh_topk_indexed(spark, path: str, probe_vec, k: int = 10,
     scored = cand.select(
         id_col,
         F.round(cosine_sim(F.col(vec_col).cast("array<double>"), p), 8).alias("cosine"))
-    return _topk(scored, k, id_col)
+    out = _topk(scored, k, id_col)
+    if apath != f"{path}/assignments":
+        # crashed-swap view: materialize the (<= k rows) result so it
+        # survives a concurrent/later writer recovering the layout
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
 def fit_centroids(emb: DataFrame, dim: int, k: int = 16, iters: int = 8,
@@ -380,11 +385,32 @@ def _live_dir(live: str) -> str:
     stays query-identical by the compaction contract.  Renaming from a
     reader would race a mid-swap maintenance call and could fail ITS
     second rename; readers also must not race each other.  The next
-    maintenance call performs the actual recovery."""
+    maintenance call performs the actual recovery.
+
+    Concurrency contract: a plan built against the ``__compact_old``
+    view can fail LOUDLY (missing path — retry the query) if maintenance
+    completes or recovers underneath it; it can never silently read a
+    partial directory, because every deletion of the old dir goes
+    through a rename-to-``__gc``-then-rmtree (deletion is atomic from
+    the path's perspective).  Callers that must SURVIVE a concurrent
+    recovery (the indexed top-k queries, the incremental pair tables)
+    eagerly materialize when this returns the old view."""
     if os.path.isdir(live):
         return live
     old = live + "__compact_old"
     return old if os.path.isdir(old) else live
+
+
+def _rmtree_atomic(path: str) -> None:
+    """Remove a directory so that concurrent readers of its PATH either
+    see it fully or not at all: rename to a ``__gc`` staging name first,
+    then delete — a reader holding the old path fails loudly on a
+    missing directory instead of silently listing a half-deleted one."""
+    gc = path + "__gc"
+    if os.path.isdir(gc):
+        shutil.rmtree(gc)
+    os.rename(path, gc)
+    shutil.rmtree(gc)
 
 
 def _swap_dir(live: str, tmp: str) -> None:
@@ -402,10 +428,10 @@ def _swap_dir(live: str, tmp: str) -> None:
     (Iceberg ``rewrite_data_files``) — SCALE.md checkpoint row."""
     old = live + "__compact_old"
     if os.path.isdir(old):
-        shutil.rmtree(old)
+        _rmtree_atomic(old)
     os.rename(live, old)
     os.rename(tmp, live)
-    shutil.rmtree(old)
+    _rmtree_atomic(old)
 
 
 def _compacted_batches(spark, path: str) -> set:
@@ -595,7 +621,11 @@ def ivf_topk_indexed(spark, path: str, probe_vec, k: int = 10,
     scored = cand.select(
         id_col,
         F.round(cosine_sim(F.col(vec_col).cast("array<double>"), p), 8).alias("cosine"))
-    return _topk(scored, k, id_col)
+    out = _topk(scored, k, id_col)
+    if apath != f"{path}/assignments":
+        # crashed-swap view — see lsh_topk_indexed
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
 def knn_pairs_exact(emb: DataFrame, dim: int, n_planes: int = 8,

@@ -1823,6 +1823,13 @@ def test_wkt_compound_resolves_horizontal_discards_vertical():
     comp3 = f'COMPD_CS["WGS 84 + EGM96",{_WKT["EPSG:4326"]},{vert1}]'
     assert crs.parse_wkt(comp3) == "EPSG:4326"
 
+    # ESRI VERTCS spelling (no underscore) is a vertical member too
+    vert_esri = ('VERTCS["NAVD_1988",VDATUM["North_American_Vertical_'
+                 'Datum_1988"],PARAMETER["Vertical_Shift",0.0],'
+                 'PARAMETER["Direction",1.0],UNIT["Meter",1.0]]')
+    comp4 = f'COMPD_CS["x",{_WKT["EPSG:32618"]},{vert_esri}]'
+    assert crs.parse_wkt(comp4) == crs.parse_wkt(_WKT["EPSG:32618"])
+
     # rejections: two horizontals / zero horizontals / a TIMECRS member
     with pytest.raises(ValueError, match="exactly one horizontal"):
         crs.parse_wkt(f'COMPD_CS["x",{_WKT["EPSG:4326"]},'

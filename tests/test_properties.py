@@ -363,7 +363,7 @@ def test_ntv2_truncation_always_raises_cleanly(seed):
 
     data = build_gsb([_PARENT])
     rng = np.random.default_rng(seed)
-    n = int(rng.integers(0, len(data)))
+    n = int(rng.integers(0, len(data), endpoint=True))
     if n == len(data):
         ntv2.parse_ntv2(data)
     else:

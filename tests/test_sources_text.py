@@ -704,8 +704,8 @@ def test_index_rebuild_replay_guards_and_recovery(spark, sf_dir, tmp_path):
     before_crash = similarity.ivf_topk_indexed(
         spark, path, probe_q, k=5, nprobe=8).toPandas()
     os.rename(apath, apath + "__compact_old")
-    during_crash = similarity.ivf_topk_indexed(
-        spark, path, probe_q, k=5, nprobe=8).toPandas()
+    lazy = similarity.ivf_topk_indexed(spark, path, probe_q, k=5, nprobe=8)
+    during_crash = lazy.toPandas()
     assert list(during_crash["vec_id"]) == list(before_crash["vec_id"])
     assert not os.path.isdir(apath)            # reader left the crash be
     # ... and the next WRITER (append) performs the recovery
@@ -713,6 +713,9 @@ def test_index_rebuild_replay_guards_and_recovery(spark, sf_dir, tmp_path):
                                        batch_id="day-002")
     assert r_rec["n_appended"] == n_rest
     assert spark.read.parquet(apath).count() == n  # resident rows intact
+    # the crashed-window result handle is eagerly materialized, so it
+    # SURVIVES the recovery that just renamed its source directory away
+    assert list(lazy.toPandas()["vec_id"]) == list(before_crash["vec_id"])
 
     # (c) legacy layout (no batch_id= level) -> loud raise
     lpath = str(tmp_path / "legacy_idx")

@@ -680,11 +680,11 @@ def incremental_minhash_pairs(spark, path: str, new_docs: DataFrame,
         # crashed-swap view: checkpoint (not persist) so the pair table
         # survives the writer recovery that the downstream append runs —
         # a persisted plan re-evaluates against the renamed-away path if
-        # its partitions are evicted
+        # its partitions are evicted.  Eager: no count needed.
         pairs = pairs.localCheckpoint(eager=True)
     else:
         pairs = pairs.persist()
-    pairs.count()
+        pairs.count()
     intra.unpersist()
     return pairs, new_sig
 
@@ -896,7 +896,7 @@ def incremental_phash_pairs(spark, path: str, new_images: DataFrame,
         pairs = pairs.localCheckpoint(eager=True)
     else:
         pairs = pairs.persist()
-    pairs.count()
+        pairs.count()
     intra.unpersist()
     return pairs, new_sig
 

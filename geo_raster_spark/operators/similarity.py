@@ -228,12 +228,8 @@ def lsh_topk_indexed(spark, path: str, probe_vec, k: int = 10,
     scored = cand.select(
         id_col,
         F.round(cosine_sim(F.col(vec_col).cast("array<double>"), p), 8).alias("cosine"))
-    out = _topk(scored, k, id_col)
-    if apath != f"{path}/assignments":
-        # crashed-swap view: materialize the (<= k rows) result so it
-        # survives a concurrent/later writer recovering the layout
-        out = out.localCheckpoint(eager=True)
-    return out
+    return _eager_if_old_view(_topk(scored, k, id_col), apath,
+                              f"{path}/assignments")
 
 
 def fit_centroids(emb: DataFrame, dim: int, k: int = 16, iters: int = 8,
@@ -356,7 +352,11 @@ def _clear_index_residue(path: str) -> None:
     post-rebuild replay of a previously-folded batch_id silently no-op —
     its rows would be missing from the new index forever (review r7)."""
     for sub in ("compacted_batches", "assignments__compact_tmp",
-                "assignments__compact_old"):
+                "assignments__compact_old",
+                # a crash inside _rmtree_atomic leaves the old generation
+                # parked under the __gc staging name (review r7, 5th pass)
+                "assignments__compact_old__gc",
+                "assignments__gc"):
         p = f"{path}/{sub}"
         if os.path.isdir(p):
             shutil.rmtree(p)
@@ -405,12 +405,23 @@ def _rmtree_atomic(path: str) -> None:
     """Remove a directory so that concurrent readers of its PATH either
     see it fully or not at all: rename to a ``__gc`` staging name first,
     then delete — a reader holding the old path fails loudly on a
-    missing directory instead of silently listing a half-deleted one."""
+    missing directory instead of silently listing a half-deleted one.
+    A crash after the rename parks the data under ``__gc``; the next
+    call here (or an index rebuild via ``_clear_index_residue``)
+    removes it."""
     gc = path + "__gc"
     if os.path.isdir(gc):
         shutil.rmtree(gc)
     os.rename(path, gc)
     shutil.rmtree(gc)
+
+
+def _eager_if_old_view(df, resolved: str, live: str):
+    """Single enforcement point for the :func:`_live_dir` contract:
+    results computed against a crashed-swap ``__compact_old`` view are
+    eagerly materialized so the returned handle survives a writer
+    recovering the layout underneath it.  No-op on the live path."""
+    return df.localCheckpoint(eager=True) if resolved != live else df
 
 
 def _swap_dir(live: str, tmp: str) -> None:
@@ -621,11 +632,8 @@ def ivf_topk_indexed(spark, path: str, probe_vec, k: int = 10,
     scored = cand.select(
         id_col,
         F.round(cosine_sim(F.col(vec_col).cast("array<double>"), p), 8).alias("cosine"))
-    out = _topk(scored, k, id_col)
-    if apath != f"{path}/assignments":
-        # crashed-swap view — see lsh_topk_indexed
-        out = out.localCheckpoint(eager=True)
-    return out
+    return _eager_if_old_view(_topk(scored, k, id_col), apath,
+                              f"{path}/assignments")
 
 
 def knn_pairs_exact(emb: DataFrame, dim: int, n_planes: int = 8,

@@ -730,3 +730,19 @@ def test_index_rebuild_replay_guards_and_recovery(spark, sf_dir, tmp_path):
                                    batch_id="day-001")
     with pytest.raises(ValueError, match="batch_id= layout"):
         similarity.compact_index(spark, lpath)
+
+
+def test_rebuild_clears_gc_residue(spark, sf_dir, tmp_path):
+    """A crash inside _rmtree_atomic parks the old index generation
+    under a __gc staging dir; a rebuild must clear it like every other
+    compaction residue (review r7, fifth pass)."""
+    import os
+
+    from geo_raster_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+    path = str(tmp_path / "gc_idx")
+    similarity.build_ivf_index(emb, 64, path, n_centroids=4)
+    os.makedirs(f"{path}/assignments__compact_old__gc/stale", exist_ok=True)
+    similarity.build_ivf_index(emb, 64, path, n_centroids=4)
+    assert not os.path.isdir(f"{path}/assignments__compact_old__gc")

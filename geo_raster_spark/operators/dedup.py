@@ -171,27 +171,77 @@ def minhash_signatures_np(docs: DataFrame, text_col: str = "text",
     (build/append) enforces integral-or-string separately."""
     id_type = _widened_id_type(docs.schema[id_col].dataType.simpleString(),
                                id_col, strict=False)
-    iarr = np.arange(n_hashes, dtype=np.uint64)
-    prime = np.uint64(0x100000001B3)
 
     def batch(it):
         for pdf in it:
-            sigs = []
-            for t in pdf[text_col]:
-                b = np.frombuffer(str(t).lower().encode("utf-8"), np.uint8)
-                if len(b) < k:
-                    b = np.pad(b, (0, k - len(b)))
-                win = np.lib.stride_tricks.sliding_window_view(b, k)
-                h1 = np.full(len(win), 0xCBF29CE484222325, np.uint64)
-                for j in range(k):
-                    h1 = (h1 ^ win[:, j].astype(np.uint64)) * prime
-                h2 = _sm_mix_np(h1) | np.uint64(1)
-                m = (h1[:, None] + iarr[None, :] * h2[:, None]).min(axis=0)
-                sigs.append(m.astype(np.int64).tolist())
-            yield pd.DataFrame({"_id": pdf[id_col], "sig": sigs})
+            sig = km_minhash_batch(pdf[text_col], k, n_hashes)
+            yield pd.DataFrame({"_id": pdf[id_col],
+                                "sig": sig.astype(np.int64).tolist()})
 
     return docs.select(id_col, text_col).mapInPandas(
         batch, schema=f"_id {id_type}, sig array<long>")
+
+
+def km_minhash_batch(texts, k: int = 5, n_hashes: int = 32) -> np.ndarray:
+    """(n_docs, n_hashes) KM minhash signatures, vectorized across the WHOLE
+    batch (round 8, guide §4.2): one flat byte buffer for every document,
+    ONE sliding-window FNV-1a pass over it, per-doc minima via
+    ``minimum.reduceat`` — no per-document Python loop (the round-3 kernel
+    ran ~30 interpreter steps per doc; at 72k docs that loop was the
+    dedup-pipeline wall).  Byte-identical to the scalar form
+    (``_km_sig_doc``, kept as the parity oracle — asserted in tests):
+    windows crossing document boundaries are EXCLUDED by a ragged index
+    gather, never by a sentinel (KM variants wrap modulo 2^64, so a
+    sentinel hash could still win a minimum)."""
+    prime = np.uint64(0x100000001B3)
+    bufs = []
+    for t in texts:
+        b = str(t).lower().encode("utf-8")
+        if len(b) < k:
+            b = b + b"\x00" * (k - len(b))
+        bufs.append(b)
+    n_docs = len(bufs)
+    if n_docs == 0:
+        return np.zeros((0, n_hashes), dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n_docs)
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    # FNV-1a over every flat window (including doc-crossing ones — cheaper
+    # to compute than to branch; they are dropped by the gather below)
+    win = np.lib.stride_tricks.sliding_window_view(flat, k)
+    h1f = np.full(len(win), 0xCBF29CE484222325, np.uint64)
+    for j in range(k):
+        h1f = (h1f ^ win[:, j].astype(np.uint64)) * prime
+    # ragged index of each doc's VALID windows in the flat window array
+    nwin = lens - (k - 1)                      # >= 1 (short docs padded)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    total = int(nwin.sum())
+    # valid_idx = concat(arange(start_d, start_d + nwin_d))
+    doc_of = np.repeat(np.arange(n_docs), nwin)
+    within = np.arange(total) - np.repeat(np.cumsum(nwin) - nwin, nwin)
+    valid_idx = starts[doc_of] + within
+    h1 = h1f[valid_idx]
+    h2 = _sm_mix_np(h1) | np.uint64(1)
+    red = np.cumsum(nwin) - nwin               # reduceat boundaries
+    sig = np.empty((n_docs, n_hashes), dtype=np.uint64)
+    for i in range(n_hashes):
+        sig[:, i] = np.minimum.reduceat(h1 + np.uint64(i) * h2, red)
+    return sig
+
+
+def _km_sig_doc(text, k: int = 5, n_hashes: int = 32) -> np.ndarray:
+    """Scalar per-document reference of ``km_minhash_batch`` (the round-3
+    kernel verbatim) — kept ONLY as the batch kernel's parity oracle."""
+    prime = np.uint64(0x100000001B3)
+    iarr = np.arange(n_hashes, dtype=np.uint64)
+    b = np.frombuffer(str(text).lower().encode("utf-8"), np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)))
+    win = np.lib.stride_tricks.sliding_window_view(b, k)
+    h1 = np.full(len(win), 0xCBF29CE484222325, np.uint64)
+    for j in range(k):
+        h1 = (h1 ^ win[:, j].astype(np.uint64)) * prime
+    h2 = _sm_mix_np(h1) | np.uint64(1)
+    return (h1[:, None] + iarr[None, :] * h2[:, None]).min(axis=0)
 
 
 def minhash_lsh(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -285,8 +335,10 @@ def minhash_pairs_from_sig(sig: DataFrame, n_hashes: int = 32,
 
     # force materialization NOW: a lazily-persisted self-join input is
     # still re-resolved per side at analysis time (observed nondeterminism
-    # persists until the cache actually exists before the join is planned)
-    sig.count()
+    # persists until the cache actually exists before the join is planned).
+    # ONE job materializes both caches — bands_df scans every sig partition,
+    # so counting it fills sig's cache too (the separate sig.count() job
+    # was measured at ~0.4 s of pure latency per call, round 8)
     bands_df.count()
 
     if max_bucket is not None:
@@ -473,14 +525,12 @@ def simhash_pairs_from_sig(sig: DataFrame, max_hamming: int = 3,
     ``_id``, ``simhash``) — the pair-join stage of ``simhash_pairs``,
     callable over a persisted signature artifact so an external oracle can
     re-run the same join SQL-side."""
-    lvl = sig.storageLevel
-    sig_owned = not (lvl.useMemory or lvl.useDisk)
-    if sig_owned:
-        sig = sig.persist()
-    sig.count()  # materialize before the self-join (see minhash_lsh)
-
+    # unlike minhash_pairs_from_sig, sig is consumed EXACTLY once here (the
+    # self-joined table is ``blocks``, which carries simhash through), so an
+    # owned sig needs no cache of its own — blocks' materialization below is
+    # the pre-self-join fence (two redundant jobs removed, round 8)
     blocks = pigeonhole_block_table(sig, max_hamming).persist()
-    blocks.count()
+    blocks.count()  # materialize before the self-join (see minhash_lsh)
 
     if max_bucket is not None:
         # broadcast anti-join exclusion (see minhash_lsh): probe rows stay put
@@ -505,8 +555,6 @@ def simhash_pairs_from_sig(sig: DataFrame, max_hamming: int = 3,
                .dropDuplicates(["id_a", "id_b"]))
     out = pairs.persist()
     out.count()   # materialize the (small) result, release intermediates
-    if sig_owned:
-        sig.unpersist()
     blocks.unpersist()
     return out
 

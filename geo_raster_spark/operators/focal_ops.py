@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 
 from .. import codecs
 from ..grid import TileGrid
+from ..partitioning import grouped_stream
 from ..kernels import focal as focal_k
 
 TILE_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
@@ -166,6 +167,4 @@ def focal_tiles(tiles: DataFrame, kind: str, halo: int = 2,
             "data": codecs.encode_band_like(out, carr.dtype),
         }])
 
-    return (neigh.repartition("dst_tag")
-                 .groupBy("dst_tag")
-                 .applyInPandas(assemble, schema=TILE_SCHEMA))
+    return grouped_stream(neigh, ["dst_tag"], assemble, TILE_SCHEMA)

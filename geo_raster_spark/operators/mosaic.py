@@ -26,6 +26,7 @@ from .. import codecs
 from ..grid import RasterInfo, TileGrid
 from ..kernels import agg as agg_k
 from ..kernels import warp as warp_k
+from ..partitioning import grouped_stream, keyed_repartition
 from .tile_assign import assign_tiles
 
 TILE_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
@@ -185,9 +186,10 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
         return pd.DataFrame([row])
 
     def plain(df: DataFrame) -> DataFrame:
-        return (df.repartition(*group_cols)
-                  .groupBy(*group_cols)
-                  .applyInPandas(assemble, schema=schema))
+        # streamed grouped map at pinned width: batch-level Arrow instead of
+        # one JVM round-trip per tile group, and no AQE byte-coalescing of
+        # the decode-heavy stage (see partitioning.grouped_stream)
+        return grouped_stream(df, group_cols, assemble, schema)
 
     if salt_buckets is not None and salt_buckets > 1:
         if salt_threshold is None:
@@ -283,9 +285,8 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
             row[band_col] = int(key[1])
         return pd.DataFrame([row])
 
-    partials = (salted.repartition(*part_keys)
-                      .groupBy(*part_keys)
-                      .applyInPandas(assemble_partial, schema=part_schema))
+    partials = grouped_stream(salted, part_keys, assemble_partial,
+                              part_schema)
 
     def merge(key, pdf: pd.DataFrame):
         tag = key[0]
@@ -332,8 +333,7 @@ def _tile_cut_salted(assigned: DataFrame, g: TileGrid, nodata: float,
             row[band_col] = int(key[1])
         return pd.DataFrame([row])
 
-    return (partials.groupBy(*merge_keys)
-                    .applyInPandas(merge, schema=out_schema))
+    return grouped_stream(partials, merge_keys, merge, out_schema)
 
 
 RGB_TILE_SCHEMA = ("tile_tag string, tile_col int, tile_row int, "
@@ -407,6 +407,4 @@ def combine_bands(tiles: DataFrame, bands=(0, 1, 2), band_col: str = "band",
             "data": data,
         }])
 
-    return (tiles.repartition("tile_tag")
-                 .groupBy("tile_tag")
-                 .applyInPandas(combine, schema=RGB_TILE_SCHEMA))
+    return grouped_stream(tiles, ["tile_tag"], combine, RGB_TILE_SCHEMA)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .. import codecs
 from ..grid import TileGrid
+from ..partitioning import grouped_stream
 from ..kernels import agg as agg_k
 
 LEVEL_SCHEMA = ("level int, tile_tag string, tile_col int, tile_row int, "
@@ -88,9 +89,8 @@ def build_overviews(tiles: DataFrame, levels: int = 2, nodata: float = 0.0,
         parent = (cur
                   .withColumn("pcol", (F.col("tile_col") / 2).cast("int"))
                   .withColumn("prow", (F.col("tile_row") / 2).cast("int")))
-        nxt = (parent.repartition("pcol", "prow")
-                     .groupBy("pcol", "prow")
-                     .applyInPandas(combine(lv), schema=LEVEL_SCHEMA))
+        nxt = grouped_stream(parent, ["pcol", "prow"], combine(lv),
+                             LEVEL_SCHEMA)
         levels_out.append(nxt)
         cur = nxt.select("tile_tag", "tile_col", "tile_row", "data")
 

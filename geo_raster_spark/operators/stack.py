@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from .. import codecs
+from ..partitioning import grouped_stream
 
 STACK_SCHEMA = ("tile_tag string, n_epochs int, width int, height int, "
                 "gt array<double>, painted bigint, val_sum double, "
@@ -101,6 +102,4 @@ def pixel_stack_stats(tiles: DataFrame, stat: str = "median",
             row[band_col] = int(key[1])
         return pd.DataFrame([row])
 
-    return (tiles.repartition(*group_cols)
-                 .groupBy(*group_cols)
-                 .applyInPandas(combine, schema=schema))
+    return grouped_stream(tiles, group_cols, combine, schema)

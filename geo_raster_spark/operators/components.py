@@ -75,13 +75,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # keeping every iteration's plan O(1) deep.  (On a real cluster with
     # executor loss concerns, set a reliable checkpoint dir; the shape is
     # identical.)
-    e = e.localCheckpoint(eager=True)
-    if e.limit(1).count() == 0:
+    # LAZY checkpoint + one _sig job (round 8): the signature aggregation
+    # is the action that materializes the checkpoint blocks, so each round
+    # runs ONE job instead of eager-checkpoint + signature + (initially)
+    # an emptiness probe — three jobs' latency folded into one; _sig's
+    # count doubles as the empty check.
+    e = e.localCheckpoint(eager=False)
+    prev, prev_sig = e, _sig(e)
+    if prev_sig[0] == 0:
         schema_src = pairs.select(F.col(id_a).alias("node"),
                                   F.col(id_a).alias("root"))
         return schema_src.limit(0)
 
-    prev, prev_sig = e, _sig(e)
     if stats is not None:
         stats["edges"] = prev_sig[0]
     for it in range(max_iter):
@@ -103,8 +108,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          j.where(F.col("v") != F.col("m"))
                           .select(F.col("v").alias("u"),
                                   F.col("m").alias("v"))))
-        cur = ss.localCheckpoint(eager=True)
-        cur_sig = _sig(cur)
+        cur = ss.localCheckpoint(eager=False)
+        cur_sig = _sig(cur)   # one job: materializes the checkpoint too
         if cur_sig == prev_sig and \
                 cur.subtract(prev).limit(1).count() == 0:
             prev = cur

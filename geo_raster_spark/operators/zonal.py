@@ -119,16 +119,16 @@ def _partials_kernel(bc, nodata: float, res: int):
         zr = bc.value if hasattr(bc, "value") else bc
         for pdf in batches:
             out = []
-            for (img_id, zid), grp in pdf.groupby(["image_id", "zone_id"],
-                                                  sort=False):
-                r0 = grp.iloc[0]
+            # group by IMAGE first (round 8): an image paired with several
+            # zones decodes and builds its pixel-center cell grid ONCE per
+            # batch instead of once per (image, zone) pair — the decode +
+            # latlng_to_cell grid were ~2/3 of the pair cost and are
+            # zone-independent.  Per-(zone, fcell) slicing is unchanged, so
+            # partial rows are identical.
+            for img_id, igrp in pdf.groupby("image_id", sort=False):
+                r0 = igrp.iloc[0]
                 arr = codecs.decode(r0["bytes"], r0["fmt"]).astype(np.float64)
                 info = RasterInfo(tuple(r0["gt"]), int(r0["w"]), int(r0["h"]))
-                m = rz.rasterize(zr[int(zid)], info)
-                # restrict each fcell row to pixels whose center cell ==
-                # that join cell: the k rows of an image spanning k cover
-                # cells partition its pixels exactly (see candidate-join
-                # comment above)
                 gt = info.gt
                 xs = gt[0] + (np.arange(info.width) + 0.5) * gt[1]
                 ys = gt[3] + (np.arange(info.height) + 0.5) * gt[5]
@@ -141,15 +141,21 @@ def _partials_kernel(bc, nodata: float, res: int):
                 X, Y = np.meshgrid(xs, ys)
                 pc = dggs.latlng_to_cell(((X + 180.0) % 360.0) - 180.0, Y,
                                          res=res)
-                inpoly = m == 1
-                for fcell in grp["fcell"]:
-                    vals = arr[inpoly & (pc == int(fcell))]
-                    vals = vals[vals != nodata]
-                    if len(vals) == 0:
-                        continue
-                    out.append((int(zid), img_id, float(vals.sum()),
-                                int(len(vals)), float(vals.min()),
-                                float(vals.max())))
+                for zid, grp in igrp.groupby("zone_id", sort=False):
+                    m = rz.rasterize(zr[int(zid)], info)
+                    # restrict each fcell row to pixels whose center cell ==
+                    # that join cell: the k rows of an image spanning k cover
+                    # cells partition its pixels exactly (see candidate-join
+                    # comment above)
+                    inpoly = m == 1
+                    for fcell in grp["fcell"]:
+                        vals = arr[inpoly & (pc == int(fcell))]
+                        vals = vals[vals != nodata]
+                        if len(vals) == 0:
+                            continue
+                        out.append((int(zid), img_id, float(vals.sum()),
+                                    int(len(vals)), float(vals.min()),
+                                    float(vals.max())))
             yield pd.DataFrame(out, columns=["zone_id", "image_id", "psum",
                                              "pcount", "pmin", "pmax"])
 

@@ -345,9 +345,11 @@ def q_w3_stateful_sessions(spark, sf_dir):
         q = stateful.streaming_sessionize(spark, src, ckpt, out, gap_sec=1800)
         q.awaitTermination(300)
         res = spark.read.parquet(out)
-        # materialize before the temp dir disappears
-        pdf = res.toPandas()
-        return spark.createDataFrame(pdf, schema=res.schema)
+        # materialize EXECUTOR-side before the temp dir disappears: the
+        # former toPandas()+createDataFrame round-trip pulled every session
+        # row through the driver (round 8 — it was also the one remaining
+        # driver materialization in a declared query path)
+        return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

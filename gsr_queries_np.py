@@ -31,7 +31,11 @@ def _t(spark, sf_dir, name):
 def _images(spark, n=400):
     from geo_raster_spark import synth
     from geo_raster_spark.operators import footprint
-    return footprint.with_footprint(synth.images_df(spark, n, 8, with_bytes=True))
+    # generation parallelism follows the session (round 8) — the payload
+    # encode loop was pinned to 8 tasks regardless of core count
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    return footprint.with_footprint(
+        synth.images_df(spark, n, par, with_bytes=True))
 
 
 def q_g5_tile_cut(spark, sf_dir):
@@ -432,7 +436,13 @@ def q_m1_image_features(spark, sf_dir):
             .write.mode("overwrite").parquet(path)
 
     feats = mm.image_features(_images(spark, 200))
-    meta = _images(spark, 200).select("image_id", "fmt")
+    # metadata-only twin for the rollup join: image_id/fmt don't depend on
+    # the payload, so skip the 200 extra payload encodes a bytes-bearing
+    # generator would pay (round 8)
+    from geo_raster_spark import synth as _synth
+    meta = _synth.images_df(
+        spark, 200, max(spark.sparkContext.defaultParallelism, 8),
+        with_bytes=False).select("image_id", "fmt")
     return (feats.join(meta, "image_id")
                  .groupBy("fmt")
                  .agg(F.count("*").alias("n"),

@@ -143,6 +143,17 @@ def tile_cut(images: DataFrame, grid: TileGrid | None = None,
     group_cols = ["tile_tag"] + ([band_col] if band_col else [])
     schema = TILE_SCHEMA + (f", {band_col} int" if band_col else "")
 
+    # project to exactly what the assemble kernel reads BEFORE the shuffle
+    # (guide §4.1: pandas kernels are opaque to column pruning, so without
+    # this the exchange ships caption/lon/lat/footprint/phash per candidate
+    # row for nothing — only the payload and the paint metadata are needed)
+    need = ["tile_tag", "tile_col", "tile_row", "image_id", "bytes", "fmt",
+            "gt", "w", "h"]
+    for extra in (band_col, priority_col, src_crs_col):
+        if extra:
+            need.append(extra)
+    assigned = assigned.select(*need)
+
     def assemble(key, pdf: pd.DataFrame):
         tag = key[0]
         tcol = int(pdf["tile_col"].iloc[0])

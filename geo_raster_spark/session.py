@@ -66,6 +66,11 @@ def _warm_session(spark: SparkSession, cores: int) -> None:
 
     from pyspark.sql import functions as F
 
+    # 0. ship the package zip now (idempotent) — otherwise the first
+    # query pays the zip build + addPyFile RPC inside its timed region
+    from .deploy import ensure_py_files
+    ensure_py_files(spark)
+
     # 1. Python worker pool + Arrow serde: one tiny batch per core spawns
     # every worker once (spark.python.worker.reuse keeps them alive) and
     # pays the numpy/pandas/pyarrow imports off the query path.

@@ -31,11 +31,12 @@ def _t(spark, sf_dir, name):
 def _images(spark, n=400):
     from geo_raster_spark import synth
     from geo_raster_spark.operators import footprint
-    # generation parallelism follows the session (round 8) — the payload
-    # encode loop was pinned to 8 tasks regardless of core count
-    par = max(spark.sparkContext.defaultParallelism, 8)
+    # 8 generation tasks A/B-measured FASTER than one per core at these
+    # row counts (round 8: 200 imgs, p8 1.10 s vs p32 1.45 s — ~6-row
+    # Python tasks are pure scheduling overhead); downstream kernels
+    # re-partition to full width where it matters
     return footprint.with_footprint(
-        synth.images_df(spark, n, par, with_bytes=True))
+        synth.images_df(spark, n, 8, with_bytes=True))
 
 
 def q_g5_tile_cut(spark, sf_dir):
@@ -440,9 +441,8 @@ def q_m1_image_features(spark, sf_dir):
     # the payload, so skip the 200 extra payload encodes a bytes-bearing
     # generator would pay (round 8)
     from geo_raster_spark import synth as _synth
-    meta = _synth.images_df(
-        spark, 200, max(spark.sparkContext.defaultParallelism, 8),
-        with_bytes=False).select("image_id", "fmt")
+    meta = _synth.images_df(spark, 200, 8, with_bytes=False) \
+        .select("image_id", "fmt")
     return (feats.join(meta, "image_id")
                  .groupBy("fmt")
                  .agg(F.count("*").alias("n"),

@@ -183,20 +183,40 @@ def cross_modal_pairs(docs: DataFrame, images: DataFrame,
     id-type-agnostic, so a cluster spanning {doc:…, img:…} collapses to
     one root — a caption-duplicate image cluster merges with its text
     twin even when the two modalities never co-paired directly."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from .dedup import minhash_lsh, phash_pairs
     corpus = cross_modal_corpus(docs, images, text_col, id_col,
                                 image_id_col, caption_col)
-    tp = minhash_lsh(corpus, text_col="text", id_col="node_id", k=k,
-                     n_hashes=n_hashes, bands=bands,
-                     jaccard_threshold=jaccard_threshold,
-                     max_bucket=max_bucket)
-    ip = phash_pairs(
-        images.select(
-            F.concat(F.lit("img:"), F.col(image_id_col).cast("string"))
-             .alias(image_id_col),
-            F.col(phash_col)),
-        id_col=image_id_col, phash_col=phash_col,
-        max_hamming=max_hamming, max_bucket=max_bucket)
+
+    # the two pair generators are INDEPENDENT jobs with internal
+    # materialization fences (persist+count) — run them concurrently so
+    # one's fence latency back-fills the other's idle executors
+    # (optimization guide §2.6; results are unioned after both finish, so
+    # output is unchanged).  inheritable_thread_target keeps job-group /
+    # local properties correct for driver threads.
+    def _text_pairs():
+        return minhash_lsh(corpus, text_col="text", id_col="node_id", k=k,
+                           n_hashes=n_hashes, bands=bands,
+                           jaccard_threshold=jaccard_threshold,
+                           max_bucket=max_bucket)
+
+    def _image_pairs():
+        return phash_pairs(
+            images.select(
+                F.concat(F.lit("img:"), F.col(image_id_col).cast("string"))
+                 .alias(image_id_col),
+                F.col(phash_col)),
+            id_col=image_id_col, phash_col=phash_col,
+            max_hamming=max_hamming, max_bucket=max_bucket)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        tp_f = pool.submit(inheritable_thread_target(_text_pairs))
+        ip_f = pool.submit(inheritable_thread_target(_image_pairs))
+        tp = tp_f.result()
+        ip = ip_f.result()
     out = (tp.select("id_a", "id_b", F.lit("text").alias("source"))
              .unionByName(
                  ip.select("id_a", "id_b", F.lit("phash").alias("source")))

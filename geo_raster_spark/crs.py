@@ -238,6 +238,14 @@ def _grid_for(datum: str):
                 raise ValueError(f"GSR_NTV2_GRIDS entry {part!r} is not "
                                  "DATUM=/path/file.gsb")
             staged[name.strip()] = _load_grid(name.strip(), path.strip())
+        # explicit register_grid_shift wins over ambient env config: a
+        # grid the user registered BEFORE the first transform must not be
+        # silently replaced by the GSR_NTV2_GRIDS entry for the same
+        # datum (ADVICE r7).  Every env entry is still parsed/loaded
+        # above so a broken env spec raises regardless.
+        for k in list(staged):
+            if k in _GRID_SHIFTS:
+                staged.pop(k)
         _GRID_SHIFTS.update(staged)
         _env_grids_loaded = True
     return _GRID_SHIFTS.get(datum)
@@ -1118,9 +1126,23 @@ def _wkt_check_towgs84(node, datum: str, s: str):
     want = list(_DATUMS[datum][1])
     got = tow + [0.0] * (7 - len(tow)) if len(tow) in (3, 7) else None
     if got is None or any(abs(a - b) > 1e-3 for a, b in zip(got, want)):
+        # a scale-term-only mismatch often means the WKT2 unitless
+        # 'Scale difference' heuristic fired: values in (0.9, 1.1) with
+        # no SCALEUNIT are read as the RATIO form ((val-1)*1e6 ppm), so
+        # a genuine 0.95 ppm becomes -50000 ppm (ADVICE r7) — say so
+        # instead of blaming the datum alone
+        hint = ""
+        if got is not None and len(got) == 7 \
+                and all(abs(a - b) <= 1e-3
+                        for a, b in zip(got[:6], want[:6])) \
+                and abs(got[6] - want[6]) > 1e-3:
+            hint = (" (note: a unitless WKT2 'Scale difference' in "
+                    "(0.9, 1.1) is interpreted as a ratio, (val-1)*1e6 "
+                    "ppm — declare an explicit SCALEUNIT if the value "
+                    "was already ppm)")
         raise ValueError(
             f"WKT: TOWGS84{tuple(tow)} does not match the registered "
-            f"{datum} shift {tuple(want)}: {s[:80]}")
+            f"{datum} shift {tuple(want)}{hint}: {s[:80]}")
 
 
 # --- WKT2 (ISO 19162) -> WKT1-shaped node translation -----------------------

@@ -587,9 +587,25 @@ def compact_index(spark, path: str, id_col: str = "vec_id") -> dict:
                for r in cur.select("batch_id").distinct().collect()]
     files_before = _count_data_files(apath)
     rows_before = cur.count()
-    # duplicates can only be byte-identical replay copies (every batch is
-    # assigned with the same frozen quantizer), so any-survivor dedup by
-    # id preserves query results exactly
+    # duplicates may only be byte-identical replay copies (every batch is
+    # assigned with the same frozen quantizer) — ENFORCED, not assumed
+    # (ADVICE r7): an id re-embedded under a new batch_id would otherwise
+    # collapse to an arbitrary survivor and silently change query results
+    # post-compaction.  Conflict check = one aggregation over a content
+    # hash of every non-batch column; maintenance-path cost only.
+    content = [c for c in cur.columns if c != "batch_id"]
+    bad = (cur.select(id_col, F.xxhash64(*content).alias("_h"))
+              .groupBy(id_col)
+              .agg(F.countDistinct("_h").alias("_n"))
+              .where(F.col("_n") > 1)
+              .limit(5).collect())
+    if bad:
+        ids = [r[id_col] for r in bad]
+        raise ValueError(
+            f"compact_index: id(s) {ids} carry DIFFERING row content "
+            "across batches — duplicates must be byte-identical replay "
+            "copies; re-embedding a vector requires rebuild_index, not "
+            "append + compaction")
     compacted = cur.dropDuplicates([id_col]).drop("batch_id")
     rows_after = compacted.count()
 

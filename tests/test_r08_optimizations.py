@@ -82,6 +82,86 @@ def test_km_minhash_batch_matches_scalar(text):
     assert np.array_equal(batch[2], _km_sig_doc(text + "!"))
 
 
+def test_explicit_grid_registration_beats_env(tmp_path, monkeypatch):
+    """ADVICE r7: a grid registered via register_grid_shift BEFORE any
+    transform must not be silently replaced by the GSR_NTV2_GRIDS env
+    entry for the same datum at lazy env-load time."""
+    from test_ntv2 import _PARENT, build_gsb
+
+    from geo_raster_spark import crs, ntv2
+
+    p = tmp_path / "env.gsb"
+    p.write_bytes(build_gsb([_PARENT]))
+    monkeypatch.setenv("GSR_NTV2_GRIDS", f"NAD27={p}")
+    monkeypatch.setattr(crs, "_env_grids_loaded", False)
+    monkeypatch.setattr(crs, "_GRID_SHIFTS", {})
+    crs.register_grid_shift("NAD27", ntv2.parse_ntv2(build_gsb([_PARENT])))
+    explicit = crs._GRID_SHIFTS["NAD27"]
+    # the first transform triggers the env load — the explicit object
+    # must survive it (identity, not just equality)
+    assert crs._grid_for("NAD27") is explicit
+    # a datum NOT explicitly registered still loads from the env
+    monkeypatch.setenv("GSR_NTV2_GRIDS", f"ED50={p}")
+    monkeypatch.setattr(crs, "_env_grids_loaded", False)
+    assert crs._grid_for("ED50") is not None
+
+
+def test_compact_index_rejects_reembedded_id(spark, sf_dir, tmp_path):
+    """ADVICE r7: duplicates folded by compact_index must be
+    byte-identical replay copies — an id re-appended with a DIFFERENT
+    embedding raises instead of collapsing to an arbitrary survivor."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geo_raster_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    first = emb.orderBy("vec_id").limit(n // 2)
+    rest = emb.join(first.select("vec_id"), "vec_id", "left_anti")
+    path = str(tmp_path / "ivf_conflict")
+    similarity.build_ivf_index(first, 64, path, n_centroids=8)
+    similarity.append_to_index(spark, path, rest, kind="ivf",
+                               batch_id="day-001")
+    # same ids, different vectors, new batch id: a re-embedding
+    mutated = rest.withColumn(
+        "embedding", F.transform(F.col("embedding"),
+                                 lambda x: x + F.lit(0.25))
+                      .cast("array<float>"))
+    similarity.append_to_index(spark, path, mutated, kind="ivf",
+                               batch_id="day-002-reembedded")
+    with pytest.raises(ValueError, match="DIFFERING row content"):
+        similarity.compact_index(spark, path, id_col="vec_id")
+
+
+def test_boundcrs_scale_mismatch_names_the_heuristic():
+    """ADVICE r7: when only the scale term of an abridged Helmert
+    mismatches, the error must mention the unitless ratio/ppm heuristic
+    rather than blaming the datum alone."""
+    import pytest
+
+    from geo_raster_spark import crs
+    from test_core import _WKT2_BASES
+
+    tr = (
+        'ABRIDGEDTRANSFORMATION["OSGB36 to WGS 84",'
+        'METHOD["Position Vector transformation (geog2D domain)",'
+        'ID["EPSG",9606]],'
+        'PARAMETER["X-axis translation",446.448,ID["EPSG",8605]],'
+        'PARAMETER["Y-axis translation",-125.157,ID["EPSG",8606]],'
+        'PARAMETER["Z-axis translation",542.06,ID["EPSG",8607]],'
+        'PARAMETER["X-axis rotation",0.15,ID["EPSG",8608]],'
+        'PARAMETER["Y-axis rotation",0.247,ID["EPSG",8609]],'
+        'PARAMETER["Z-axis rotation",0.842,ID["EPSG",8610]],'
+        # a genuine 0.95 PPM written unitless falls in the (0.9, 1.1)
+        # window and is read as the ratio form -> -50000 ppm mismatch
+        'PARAMETER["Scale difference",0.95,ID["EPSG",8611]]]')
+    bound = (f'BOUNDCRS[SOURCECRS[{_WKT2_BASES["osgb36"]}],'
+             f'TARGETCRS[{_WKT2_BASES["wgs84"]}],{tr}]')
+    with pytest.raises(ValueError, match="SCALEUNIT"):
+        crs.parse_wkt(bound)
+
+
 def test_km_minhash_batch_fuzz():
     import random
 

@@ -42,7 +42,12 @@ def get_spark(app_name: str = "geo-raster-spark", cores: int | None = None,
     sc = spark.sparkContext
     if not getattr(sc, _WARM_FLAG, False) \
             and os.environ.get("GSR_NO_WARMUP") != "1":
-        _warm_session(spark, cores)
+        try:
+            _warm_session(spark, cores)
+        except Exception as exc:  # best-effort: a warm-up failure (e.g. a
+            # locked-down temp dir in a foreign harness) must never take
+            # down session creation — queries still run, just cold.
+            print(f"geo_raster_spark: session warm-up skipped: {exc!r}")
         setattr(sc, _WARM_FLAG, True)
     return spark
 

@@ -106,17 +106,24 @@ def grouped_stream(df: DataFrame, group_cols: list, fn, schema: str,
             if n == 0:
                 continue
             # rows of the LAST key may continue in the next batch — buffer
-            # them (they are contiguous at the tail: input sorted by key)
+            # them (they are contiguous at the tail: input sorted by key).
+            # NULL-safe match: pandas `==` is False for NaN==NaN, which
+            # would mis-buffer a null-keyed tail group.
             tail = pdf[group_cols].iloc[-1]
             mask = None
             for c in group_cols:
-                m = (pdf[c] == tail[c]).to_numpy()
+                t = tail[c]
+                m = (pdf[c].isna() if pd.isna(t)
+                     else (pdf[c] == t)).to_numpy()
                 mask = m if mask is None else (mask & m)
             start_last = n - int(mask[::-1].argmin() if not mask.all() else n)
             buf = pdf.iloc[start_last:]
             head = pdf.iloc[:start_last]
             if len(head):
-                for _key, grp in head.groupby(group_cols, sort=False):
+                # dropna=False: Spark's applyInPandas groups null keys like
+                # any other value; pandas groupby would silently DROP them
+                for _key, grp in head.groupby(group_cols, sort=False,
+                                              dropna=False):
                     emit(grp)
                     if npend >= flush_rows:
                         yield flush()

@@ -82,6 +82,28 @@ def test_km_minhash_batch_matches_scalar(text):
     assert np.array_equal(batch[2], _km_sig_doc(text + "!"))
 
 
+def test_grouped_stream_keeps_null_group_keys(spark):
+    """Spark's applyInPandas groups NULL keys like any other value;
+    pandas groupby drops NaN keys by default — grouped_stream must match
+    Spark (dropna=False + null-safe tail buffering)."""
+    from geo_raster_spark.partitioning import grouped_stream
+
+    def fn(key, pdf):
+        return pd.DataFrame([{"k": pdf["k"].iloc[0], "n": len(pdf)}])
+
+    df = (spark.range(0, 5000)
+          .withColumn("k", F.when(F.col("id") % 5 == 0, F.lit(None))
+                            .otherwise((F.col("id") % 7).cast("string"))))
+    got = grouped_stream(df, ["k"], fn, "k string, n long").toPandas() \
+        .sort_values("k", na_position="last").reset_index(drop=True)
+    ref = (df.repartition("k").groupBy("k")
+             .applyInPandas(fn, schema="k string, n long").toPandas()
+             .sort_values("k", na_position="last").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref)
+    # the null group really is present and complete
+    assert int(got.loc[got["k"].isna(), "n"].iloc[0]) == 1000
+
+
 def test_explicit_grid_registration_beats_env(tmp_path, monkeypatch):
     """ADVICE r7: a grid registered via register_grid_shift BEFORE any
     transform must not be silently replaced by the GSR_NTV2_GRIDS env
